@@ -1,0 +1,223 @@
+"""Two-phase (partial + final) rollup into retention tiers.
+
+Reference analog: the per-``(pod, measure_time)`` / per-bucket aggregates —
+system-wide per-bucket means (``Joiner.py:313-357``), per-(trace, service)
+rollups (``TraceInOneRowExploder.py:83-123``) — generalized to the north
+rule's continuous aggregates: count/sum/min/max/p95 of a value column per
+``(source, bucket)`` at 1m/5m/1h tiers.
+
+Scale design (the part the reference lacks — it is single-process,
+``JoinManager.py:60-121``):
+
+- **One pass over raw data for ALL tiers.** ``partial_rollup`` computes, per
+  input batch, one partial row per ``(source, bucket_t1, bucket_t2, ...)``
+  composite key: count/sum/min/max plus a mergeable quantile summary blob.
+  A 100 TB input collapses to ~(#sources x #minutes) partial rows per batch
+  BEFORE any shuffle — this per-batch combining is also the skew story: the
+  hot source (~80% of rows, FIXTURES.md F1; reference analog the 1733 MB
+  service, ``insights-experience.md:78``) is reduced batch-locally, so the
+  final groupby sees at most one row per key per batch, never the raw skew.
+  An optional salt column is supported for pathological cases where even
+  partial rows for one key overwhelm a single ``map_groups`` task.
+- **Per-tier final merge over partials only.** Each tier's
+  ``groupby(source, bucket_tier)`` shuffles partial rows (KBs), not events.
+- **Round-to-nearest buckets are computed per tier from the raw
+  event_time** (Polars ``dt.round`` semantics, reference
+  ``TracesParser.py:155``): nearest-rounding does NOT compose hierarchically
+  (e.g. 07:28:00 -> 1m 07:28 -> ... -> 1h rounds down, but via a 5m bucket
+  of 07:30 it would round up), hence the composite partial key rather than
+  re-aggregating 1m outputs. With ``bucket_mode='floor'`` (tumbling
+  windows), tiers DO compose and :func:`reaggregate` implements the cheap
+  hierarchical 1m->5m->1h path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.bucketing import bucket_us
+from ..state.sketches import QuantileSummary
+
+
+def _bucket(ts: np.ndarray, width: int, mode: str) -> np.ndarray:
+    if mode == "nearest":
+        return bucket_us(ts, width)
+    w = np.int64(width)
+    return np.asarray(ts, dtype=np.int64) // w * w
+
+
+class PartialRollup:
+    """Per-batch combiner (stateless; plain function semantics, class only to
+    hold config). Emits one row per (key, composite-bucket) per batch."""
+
+    def __init__(
+        self,
+        tiers: dict[str, int],
+        value_col: str,
+        key_col: str = "source",
+        ts_col: str = "event_time_us",
+        quantile_cap: int = 4096,
+        bucket_mode: str = "nearest",
+        salt: int = 1,
+    ):
+        self.tiers = tiers
+        self.value_col = value_col
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.cap = quantile_cap
+        self.mode = bucket_mode
+        self.salt = salt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "key": batch[self.key_col].to_numpy(zero_copy_only=False),
+                "v": batch[self.value_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        bucket_cols = []
+        for name, width in self.tiers.items():
+            col = f"bucket_{name}"
+            df[col] = _bucket(ts, width, self.mode)
+            bucket_cols.append(col)
+        if self.salt > 1:
+            # spread one composite key's partials across `salt` final-merge
+            # tasks; final groupby includes 'salt' then a second tiny merge
+            df["salt"] = np.arange(len(df), dtype=np.int64) % self.salt
+
+        group_cols = ["key", *bucket_cols] + (["salt"] if self.salt > 1 else [])
+        gb = df.groupby(group_cols, sort=False)
+        agg = gb["v"].agg(["count", "sum", "min", "max"]).reset_index()
+        blobs = [
+            QuantileSummary.of(g.to_numpy(), cap=self.cap).to_bytes()
+            for _, g in gb["v"]
+        ]
+        out = {
+            self.key_col: pa.array(agg["key"].astype(str)),
+            **{c: pa.array(agg[c].to_numpy(), type=pa.int64()) for c in bucket_cols},
+            "cnt": pa.array(agg["count"].to_numpy(), type=pa.int64()),
+            "sum_v": pa.array(agg["sum"].to_numpy(), type=pa.float64()),
+            "min_v": pa.array(agg["min"].to_numpy(), type=pa.float64()),
+            "max_v": pa.array(agg["max"].to_numpy(), type=pa.float64()),
+            "qsum": pa.array(blobs, type=pa.binary()),
+        }
+        if self.salt > 1:
+            out["salt"] = pa.array(agg["salt"].to_numpy(), type=pa.int64())
+        return pa.table(out)
+
+
+def _merge_partials(
+    g: pd.DataFrame,
+    key_col: str,
+    bucket_col: str,
+    cap: int,
+    p: float,
+    keep_summary: bool = False,
+) -> pd.DataFrame:
+    summaries = [QuantileSummary.from_bytes(b) for b in g["qsum"]]
+    merged = QuantileSummary.merge_all(summaries, cap=cap)
+    out = {
+        key_col: [g[key_col].iloc[0]],
+        "bucket_us": [np.int64(g[bucket_col].iloc[0])],
+        "cnt": [np.int64(g["cnt"].sum())],
+        "sum_v": [float(g["sum_v"].sum())],
+        "min_v": [float(g["min_v"].min())],
+        "max_v": [float(g["max_v"].max())],
+        "p95_v": [merged.quantile(p)],
+    }
+    if keep_summary:
+        out["qsum"] = [merged.to_bytes()]
+    return pd.DataFrame(out)
+
+
+def rollup_tiers(
+    events: ray.data.Dataset,
+    tiers: dict[str, int],
+    value_col: str = "n_tok",
+    key_col: str = "source",
+    ts_col: str = "event_time_us",
+    quantile_cap: int = 4096,
+    bucket_mode: str = "nearest",
+    salt: int = 1,
+    p: float = 0.95,
+    keep_summary: bool = False,
+) -> dict[str, ray.data.Dataset]:
+    """events → {tier_name: rollup Dataset(source, bucket_us, cnt, sum_v,
+    min_v, max_v, p95_v)}. One pass over events, one small shuffle per tier.
+    """
+    partials = events.map_batches(
+        PartialRollup(
+            tiers, value_col, key_col, ts_col, quantile_cap, bucket_mode, salt
+        ),
+        batch_format="pyarrow",
+    )
+    if len(tiers) > 1 or keep_summary:
+        # partials feed several tier merges -> pin them once in the object
+        # store instead of recomputing the full scan per tier
+        partials = partials.materialize()
+
+    out: dict[str, ray.data.Dataset] = {}
+    for name in tiers:
+        bcol = f"bucket_{name}"
+        merged = partials.groupby([key_col, bcol]).map_groups(
+            lambda g, _b=bcol: _merge_partials(
+                g, key_col, _b, quantile_cap, p, keep_summary
+            ),
+            batch_format="pandas",
+        )
+        out[name] = merged
+    return out
+
+
+def reaggregate(
+    rollup_fine: ray.data.Dataset,
+    coarse_width_us: int,
+    key_col: str = "source",
+    quantile_cap: int = 4096,
+    p: float = 0.95,
+) -> ray.data.Dataset:
+    """Hierarchical re-rollup for FLOOR-aligned tiers (1m -> 5m -> 1h).
+
+    Valid only for tumbling (floor) windows where the coarse width is a
+    multiple of the fine width: count/sum/min/max compose; p95 requires the
+    fine tier to have kept its quantile summary column ('qsum').
+    """
+    has_qsum = "qsum" in rollup_fine.schema().names
+
+    def to_coarse(batch: pa.Table) -> pa.Table:
+        b = batch["bucket_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        coarse = b // np.int64(coarse_width_us) * np.int64(coarse_width_us)
+        return batch.set_column(
+            batch.schema.get_field_index("bucket_us"),
+            "bucket_us",
+            pa.array(coarse, type=pa.int64()),
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if has_qsum:
+            merged = QuantileSummary.merge_all(
+                [QuantileSummary.from_bytes(b) for b in g["qsum"]], cap=quantile_cap
+            )
+            p95 = merged.quantile(p)
+        else:
+            p95 = float("nan")
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "bucket_us": [np.int64(g["bucket_us"].iloc[0])],
+                "cnt": [np.int64(g["cnt"].sum())],
+                "sum_v": [float(g["sum_v"].sum())],
+                "min_v": [float(g["min_v"].min())],
+                "max_v": [float(g["max_v"].max())],
+                "p95_v": [p95],
+            }
+        )
+
+    coarse = rollup_fine.map_batches(to_coarse, batch_format="pyarrow")
+    return coarse.groupby([key_col, "bucket_us"]).map_groups(
+        merge, batch_format="pandas"
+    )
