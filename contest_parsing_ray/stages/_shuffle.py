@@ -1,0 +1,127 @@
+"""Hash-partitioned shuffle helper — the engine's workhorse exchange.
+
+Ray Data's ``groupby(cols).map_groups(fn)`` makes one Python call per
+distinct group; for high-cardinality keys (doc_id dedup, (key, bucket)
+rollup merges) that is millions of interpreter calls. The scalable idiom is
+to shuffle on ``__part = hash64(cols) % P`` (one small int key, P ~ a few x
+cluster cores) and run ONE vectorized function per partition, which handles
+all of its groups with pandas/numpy in C.
+
+Hashing is vectorized over the raw Arrow buffers (no Python per row) and is
+uniform in the key hash, so input skew (the 80%-hot source, FIXTURES.md F1)
+does not skew partitions unless all rows share ONE key value — for that
+case callers add more columns (e.g. bucket) to the partition key, the
+engine's salting story (SURVEY §4 skew row).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64, copy=True)
+        x += np.uint64(0x9E3779B97F4A7C15)
+        z = x
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def hash64_strings(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized 64-bit hash of a string/binary column over raw buffers."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_binary())
+    buf = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    lengths = np.diff(offsets)
+    starts = offsets[:-1]
+    total = int(lengths.sum())
+    seg_off = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=seg_off[1:])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(seg_off[:-1], lengths)
+    byte_idx = np.repeat(starts, lengths) + pos
+    data = buf[byte_idx].astype(np.uint64)
+    with np.errstate(over="ignore"):
+        PRIME = np.uint64(0x100000001B3)
+        weights = (pos.astype(np.uint64) + np.uint64(0x9E3779B9)) * PRIME
+        mixed = (data + np.uint64(1)) * weights
+        mixed ^= mixed >> np.uint64(29)
+        mixed *= np.uint64(0xBF58476D1CE4E5B9)
+        if total:
+            sums = np.add.reduceat(mixed, seg_off[:-1].clip(0, total - 1))
+            sums = np.where(lengths == 0, np.uint64(0xCBF29CE484222325), sums)
+        else:
+            sums = np.full(len(lengths), np.uint64(0xCBF29CE484222325))
+        sums ^= lengths.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        sums ^= sums >> np.uint64(32)
+    return sums
+
+
+def hash64_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Hash any scalar column to uint64 (strings via buffer hash, numerics
+    via splitmix64 of their int64 view)."""
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        return hash64_strings(col)
+    if pa.types.is_timestamp(t):
+        col = col.cast(pa.int64())
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype.kind == "f":
+        arr = arr.astype(np.float64).view(np.uint64)
+    return _splitmix64(np.asarray(arr, dtype=np.uint64))
+
+
+def add_hash_partition(
+    batch: pa.Table, cols: list[str], num_partitions: int, out_col: str = "__part"
+) -> pa.Table:
+    h = np.zeros(len(batch), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            h = h * np.uint64(0x100000001B3) + hash64_column(batch[c])
+        part = (_splitmix64(h) % np.uint64(num_partitions)).astype(np.int64)
+    return batch.append_column(out_col, pa.array(part, type=pa.int64()))
+
+
+def hash_partitioned_map(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    fn: Callable,
+    num_partitions: int = 64,
+    batch_format: str = "pyarrow",
+) -> ray.data.Dataset:
+    """Shuffle by hash(cols) % P and apply ``fn`` once per partition.
+
+    ``fn`` receives the whole partition (pa.Table or pd.DataFrame incl. the
+    ``__part`` column — drop not needed, it is removed after) and must
+    handle ALL groups inside vectorized. All rows with equal ``cols`` values
+    are guaranteed co-located in one call.
+    """
+    parted = ds.map_batches(
+        lambda b: add_hash_partition(b, cols, num_partitions), batch_format="pyarrow"
+    )
+
+    if batch_format == "pyarrow":
+
+        def run(t: pa.Table) -> pa.Table:
+            out = fn(t.drop_columns(["__part"]))
+            return out
+
+    else:
+
+        def run(df: pd.DataFrame) -> pd.DataFrame:
+            return fn(df.drop(columns="__part"))
+
+    return parted.groupby("__part").map_groups(run, batch_format=batch_format)

@@ -1,0 +1,277 @@
+"""Delta-of-delta timestamp + Gorilla XOR value compression (chunked).
+
+New-engine capability per the north rule (the reference has no compression
+— its intermediates are whole Parquet/CSV files, ``MetricsParser.py:139-143``);
+the algorithm follows the public Gorilla paper (Pelkonen et al., "Gorilla:
+A Fast, Scalable, In-Memory Time Series Database", VLDB 2015):
+
+- timestamps: header t0; first delta zigzag-varint; then delta-of-delta D
+  encoded '0' (D=0), '10'+7b, '110'+9b, '1110'+12b, '1111'+64b.
+- values (float64 bits): first raw 64b; then XOR with previous: '0' (same),
+  '10'+meaningful-bits-in-previous-window, '11'+5b leading+6b length+bits.
+
+Chunking: a chunk is <= chunk_points consecutive points of ONE (source)
+series, sorted by bucket — the unit of compression AND of resume (SURVEY
+§7.6: partition = unit of compression + resume). Encoders are sequential
+by nature (prev-timestamp/prev-value state), so ordering is established
+per group; Ray Data blocks carry no global order (SURVEY §2.6 O1 note).
+
+Decompression is a stateless per-chunk map → exposed as an actor-pool
+``map_batches`` stage (state = config only; each chunk row is independent).
+Exact round-trip is asserted in tests (bit-identical float64 / int64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+class BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
+
+
+class BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        remaining = bits
+        while remaining > 0:
+            byte_i, bit_i = divmod(self.pos, 8)
+            avail = 8 - bit_i
+            take = min(avail, remaining)
+            chunk = (self.data[byte_i] >> (avail - take)) & ((1 << take) - 1)
+            out = (out << take) | chunk
+            self.pos += take
+            remaining -= take
+        return out
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    w = BitWriter()
+    ts = ts.astype(np.int64)
+    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
+    if len(ts) == 1:
+        return w.getvalue()
+    first_delta = int(ts[1]) - int(ts[0])
+    w.write(_zigzag(first_delta) & ((1 << 64) - 1), 64)
+    prev_delta = first_delta
+    for i in range(2, len(ts)):
+        delta = int(ts[i]) - int(ts[i - 1])
+        dod = delta - prev_delta
+        prev_delta = delta
+        if dod == 0:
+            w.write(0, 1)
+        elif -63 <= dod <= 64:
+            w.write(0b10, 2)
+            w.write(dod + 63, 7)
+        elif -255 <= dod <= 256:
+            w.write(0b110, 3)
+            w.write(dod + 255, 9)
+        elif -2047 <= dod <= 2048:
+            w.write(0b1110, 4)
+            w.write(dod + 2047, 12)
+        else:
+            w.write(0b1111, 4)
+            w.write(_zigzag(dod) & ((1 << 64) - 1), 64)
+    return w.getvalue()
+
+
+def decode_timestamps(data: bytes, n: int) -> np.ndarray:
+    r = BitReader(data)
+    out = np.empty(n, dtype=np.int64)
+    t0 = r.read(64)
+    if t0 >= 1 << 63:
+        t0 -= 1 << 64
+    out[0] = t0
+    if n == 1:
+        return out
+    delta = _unzigzag(r.read(64))
+    out[1] = out[0] + delta
+    for i in range(2, n):
+        tag = r.read(1)
+        if tag == 0:
+            dod = 0
+        else:
+            tag = (tag << 1) | r.read(1)
+            if tag == 0b10:
+                dod = r.read(7) - 63
+            else:
+                tag = (tag << 1) | r.read(1)
+                if tag == 0b110:
+                    dod = r.read(9) - 255
+                else:
+                    tag = (tag << 1) | r.read(1)
+                    if tag == 0b1110:
+                        dod = r.read(12) - 2047
+                    else:
+                        dod = _unzigzag(r.read(64))
+        delta += dod
+        out[i] = out[i - 1] + delta
+    return out
+
+
+def encode_values(vals: np.ndarray) -> bytes:
+    bits = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
+    w = BitWriter()
+    w.write(int(bits[0]), 64)
+    prev = int(bits[0])
+    lead, tail = 65, 0  # 65 = "no previous window"
+    for i in range(1, len(bits)):
+        cur = int(bits[i])
+        xor = prev ^ cur
+        prev = cur
+        if xor == 0:
+            w.write(0, 1)
+            continue
+        cur_lead = 64 - xor.bit_length()
+        cur_tail = (xor & -xor).bit_length() - 1
+        if cur_lead > 31:  # 5-bit field
+            cur_lead = 31
+        if lead <= 64 and cur_lead >= lead and cur_tail >= tail:
+            w.write(0b10, 2)
+            w.write(xor >> tail, 64 - lead - tail)
+        else:
+            lead, tail = cur_lead, cur_tail
+            sig = 64 - lead - tail
+            w.write(0b11, 2)
+            w.write(lead, 5)
+            w.write(sig - 1, 6)  # 1..64 stored as 0..63
+            w.write(xor >> tail, sig)
+    return w.getvalue()
+
+
+def decode_values(data: bytes, n: int) -> np.ndarray:
+    r = BitReader(data)
+    out = np.empty(n, dtype=np.uint64)
+    prev = r.read(64)
+    out[0] = prev
+    lead, tail = 65, 0
+    for i in range(1, n):
+        tag = r.read(1)
+        if tag == 0:
+            out[i] = prev
+            continue
+        tag = (tag << 1) | r.read(1)
+        if tag == 0b11:
+            lead = r.read(5)
+            sig = r.read(6) + 1
+            tail = 64 - lead - sig
+        sig = 64 - lead - tail
+        xor = r.read(sig) << tail
+        prev ^= xor
+        out[i] = prev
+    return out.view(np.float64).copy()
+
+
+def encode_chunk(ts: np.ndarray, vals: np.ndarray) -> dict:
+    return {
+        "n_points": np.int64(len(ts)),
+        "t0": np.int64(ts[0]),
+        "t_last": np.int64(ts[-1]),
+        "ts_dod": encode_timestamps(ts),
+        "vals_xor": encode_values(vals),
+    }
+
+
+def compress_series(
+    rollup: ray.data.Dataset,
+    value_col: str = "sum_v",
+    key_col: str = "source",
+    ts_col: str = "bucket_us",
+    chunk_points: int = 4096,
+) -> ray.data.Dataset:
+    """rollup points → chunks(source, chunk_id, n_points, t0, t_last,
+    ts_dod: binary, vals_xor: binary). One group per key (series)."""
+
+    def compress_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        ts = g[ts_col].to_numpy(dtype=np.int64)
+        vals = g[value_col].to_numpy(dtype=np.float64)
+        rows = []
+        for ci, lo in enumerate(range(0, len(ts), chunk_points)):
+            c = encode_chunk(ts[lo : lo + chunk_points], vals[lo : lo + chunk_points])
+            c[key_col] = g[key_col].iloc[0]
+            c["chunk_id"] = np.int64(ci)
+            rows.append(c)
+        return pd.DataFrame(rows)
+
+    return rollup.groupby(key_col).map_groups(compress_group, batch_format="pandas")
+
+
+class DecompressChunks:
+    """Actor-pool decode stage: chunks → points. Stateless per chunk, so it
+    runs as ``map_batches(DecompressChunks, concurrency=N)`` (callable class
+    → actor pool; setup-once in __init__ per the actor-pool contract)."""
+
+    def __init__(self, key_col: str = "source"):
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, ts_out, val_out = [], [], []
+        kc = batch[self.key_col].to_pylist()
+        for i in range(len(batch)):
+            n = batch["n_points"][i].as_py()
+            ts = decode_timestamps(batch["ts_dod"][i].as_py(), n)
+            vals = decode_values(batch["vals_xor"][i].as_py(), n)
+            keys.extend([kc[i]] * n)
+            ts_out.append(ts)
+            val_out.append(vals)
+        return pa.table(
+            {
+                self.key_col: pa.array(keys, type=pa.string()),
+                "bucket_us": pa.array(
+                    np.concatenate(ts_out) if ts_out else np.empty(0, np.int64),
+                    type=pa.int64(),
+                ),
+                "value": pa.array(
+                    np.concatenate(val_out) if val_out else np.empty(0, np.float64),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+
+def decompress_chunks(
+    chunks: ray.data.Dataset, key_col: str = "source", concurrency: int = 4
+) -> ray.data.Dataset:
+    return chunks.map_batches(
+        DecompressChunks,
+        fn_constructor_kwargs={"key_col": key_col},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )

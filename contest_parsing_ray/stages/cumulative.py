@@ -1,0 +1,136 @@
+"""Cumulative (running) aggregates per key across time buckets.
+
+Reference analog: the cumulative-log join — for every ``(starttime,
+servicename)`` the count of logs with ``original_timestamp <= starttime``,
+split by level, plus a running DISTINCT EventId count (reference
+``Joiner.py:221-267``; the reference computes it with an O(T x S) nested
+loop of whole-frame filters, ``Joiner.py:238-252``).
+
+Scale design: two-phase. (1) per-bucket counts via the same partial
+aggregation pattern as rollup (one shuffle over partials, never raw rows);
+(2) a per-key vectorized cumsum over the bucket axis inside ``map_groups``
+— there are few keys (sources / services) and at most one row per
+(key, bucket), so groups are small and the Python-call-per-group cost is
+per KEY, not per row. Running distinct counts avoid state entirely: the
+first-occurrence bucket of each (key, value) pair is an aggregate
+(min bucket), and the running distinct count is the cumsum of
+first-occurrence counts per bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.bucketing import bucket_us
+from ._shuffle import hash_partitioned_map
+
+
+class _PartialBucketCount:
+    def __init__(self, width_us: int, key_col: str, ts_col: str):
+        self.width_us = width_us
+        self.key_col = key_col
+        self.ts_col = ts_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "key": batch[self.key_col].to_numpy(zero_copy_only=False),
+                "bucket_us": bucket_us(ts, self.width_us),
+            }
+        )
+        agg = df.groupby(["key", "bucket_us"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                self.key_col: pa.array(agg["key"].astype(str)),
+                "bucket_us": pa.array(agg["bucket_us"].to_numpy(), type=pa.int64()),
+                "cnt": pa.array(agg["cnt"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+
+def cumulative_counts(
+    ds: ray.data.Dataset,
+    width_us: int,
+    key_col: str = "source",
+    ts_col: str = "event_time_us",
+) -> ray.data.Dataset:
+    """Per (key, bucket): bucket count + running count of all rows with
+    bucket' <= bucket. Output: (key, bucket_us, cnt, running_cnt)."""
+    partials = ds.map_batches(
+        _PartialBucketCount(width_us, key_col, ts_col), batch_format="pyarrow"
+    )
+    per_bucket = hash_partitioned_map(
+        partials,
+        [key_col, "bucket_us"],
+        lambda df: df.groupby([key_col, "bucket_us"], sort=False)["cnt"]
+        .sum()
+        .reset_index(),
+        batch_format="pandas",
+    )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_us", kind="stable").reset_index(drop=True)
+        g["running_cnt"] = g["cnt"].cumsum().astype(np.int64)
+        return g
+
+    return per_bucket.groupby(key_col).map_groups(running, batch_format="pandas")
+
+
+def cumulative_distinct(
+    ds: ray.data.Dataset,
+    width_us: int,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "event_time_us",
+) -> ray.data.Dataset:
+    """Running DISTINCT count of ``value_col`` per key across buckets
+    (reference: running distinct EventId count, ``Joiner.py:246-252``).
+
+    No per-row state: distinct-until-t == number of (key, value) pairs whose
+    FIRST occurrence bucket <= t. first-occurrence is Min(bucket) per
+    (key, value) — a standard aggregate — then a tiny per-key cumsum.
+    Output: (key, bucket_us, new_distinct, running_distinct).
+    """
+
+    class _PartialFirstSeen:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            df = pd.DataFrame(
+                {
+                    "key": batch[key_col].to_numpy(zero_copy_only=False),
+                    "val": batch[value_col].to_numpy(zero_copy_only=False),
+                    "bucket_us": bucket_us(ts, width_us),
+                }
+            )
+            agg = df.groupby(["key", "val"], sort=False)["bucket_us"].min().reset_index()
+            return pa.table(
+                {
+                    key_col: pa.array(agg["key"].astype(str)),
+                    value_col: pa.array(agg["val"]),
+                    "first_bucket": pa.array(agg["bucket_us"].to_numpy(), type=pa.int64()),
+                }
+            )
+
+    partials = ds.map_batches(_PartialFirstSeen(), batch_format="pyarrow")
+    first_seen = hash_partitioned_map(
+        partials,
+        [key_col, value_col],
+        lambda df: df.groupby([key_col, value_col], sort=False)["first_bucket"]
+        .min()
+        .reset_index(),
+        batch_format="pandas",
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            g.groupby("first_bucket", sort=True).size().rename("new_distinct").reset_index()
+        )
+        counts["running_distinct"] = counts["new_distinct"].cumsum().astype(np.int64)
+        counts.insert(0, key_col, g[key_col].iloc[0])
+        return counts.rename(columns={"first_bucket": "bucket_us"})
+
+    return first_seen.groupby(key_col).map_groups(per_key, batch_format="pandas")

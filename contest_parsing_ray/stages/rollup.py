@@ -40,6 +40,7 @@ import ray.data
 
 from ..functions.bucketing import bucket_us
 from ..state.sketches import QuantileSummary
+from ._shuffle import hash_partitioned_map
 
 
 def _bucket(ts: np.ndarray, width: int, mode: str) -> np.ndarray:
@@ -110,28 +111,47 @@ class PartialRollup:
         return pa.table(out)
 
 
-def _merge_partials(
-    g: pd.DataFrame,
+def _merge_partition(
+    df: pd.DataFrame,
     key_col: str,
     bucket_col: str,
     cap: int,
     p: float,
     keep_summary: bool = False,
 ) -> pd.DataFrame:
-    summaries = [QuantileSummary.from_bytes(b) for b in g["qsum"]]
-    merged = QuantileSummary.merge_all(summaries, cap=cap)
-    out = {
-        key_col: [g[key_col].iloc[0]],
-        "bucket_us": [np.int64(g[bucket_col].iloc[0])],
-        "cnt": [np.int64(g["cnt"].sum())],
-        "sum_v": [float(g["sum_v"].sum())],
-        "min_v": [float(g["min_v"].min())],
-        "max_v": [float(g["max_v"].max())],
-        "p95_v": [merged.quantile(p)],
-    }
+    """Merge ALL (key, bucket) groups co-located in one hash partition —
+    vectorized pandas for cnt/sum/min/max, a local loop only for the
+    quantile-summary merges (one per output point, not per input row)."""
+    gb = df.groupby([key_col, bucket_col], sort=False)
+    agg = gb.agg(
+        cnt=("cnt", "sum"),
+        sum_v=("sum_v", "sum"),
+        min_v=("min_v", "min"),
+        max_v=("max_v", "max"),
+    ).reset_index()
+    p95s: list[float] = []
+    blobs: list[bytes] = []
+    for _, g in gb["qsum"]:
+        merged = QuantileSummary.merge_all(
+            [QuantileSummary.from_bytes(b) for b in g], cap=cap
+        )
+        p95s.append(merged.quantile(p))
+        if keep_summary:
+            blobs.append(merged.to_bytes())
+    out = pd.DataFrame(
+        {
+            key_col: agg[key_col],
+            "bucket_us": agg[bucket_col].astype(np.int64),
+            "cnt": agg["cnt"].astype(np.int64),
+            "sum_v": agg["sum_v"].astype(np.float64),
+            "min_v": agg["min_v"].astype(np.float64),
+            "max_v": agg["max_v"].astype(np.float64),
+            "p95_v": np.asarray(p95s, dtype=np.float64),
+        }
+    )
     if keep_summary:
-        out["qsum"] = [merged.to_bytes()]
-    return pd.DataFrame(out)
+        out["qsum"] = blobs
+    return out
 
 
 def rollup_tiers(
@@ -145,6 +165,7 @@ def rollup_tiers(
     salt: int = 1,
     p: float = 0.95,
     keep_summary: bool = False,
+    num_merge_partitions: int = 64,
 ) -> dict[str, ray.data.Dataset]:
     """events → {tier_name: rollup Dataset(source, bucket_us, cnt, sum_v,
     min_v, max_v, p95_v)}. One pass over events, one small shuffle per tier.
@@ -163,10 +184,13 @@ def rollup_tiers(
     out: dict[str, ray.data.Dataset] = {}
     for name in tiers:
         bcol = f"bucket_{name}"
-        merged = partials.groupby([key_col, bcol]).map_groups(
-            lambda g, _b=bcol: _merge_partials(
-                g, key_col, _b, quantile_cap, p, keep_summary
+        merged = hash_partitioned_map(
+            partials,
+            [key_col, bcol],
+            lambda df, _b=bcol: _merge_partition(
+                df, key_col, _b, quantile_cap, p, keep_summary
             ),
+            num_partitions=num_merge_partitions,
             batch_format="pandas",
         )
         out[name] = merged
@@ -197,27 +221,36 @@ def reaggregate(
             pa.array(coarse, type=pa.int64()),
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        gb = df.groupby([key_col, "bucket_us"], sort=False)
+        agg = gb.agg(
+            cnt=("cnt", "sum"),
+            sum_v=("sum_v", "sum"),
+            min_v=("min_v", "min"),
+            max_v=("max_v", "max"),
+        ).reset_index()
         if has_qsum:
-            merged = QuantileSummary.merge_all(
-                [QuantileSummary.from_bytes(b) for b in g["qsum"]], cap=quantile_cap
-            )
-            p95 = merged.quantile(p)
+            p95s = [
+                QuantileSummary.merge_all(
+                    [QuantileSummary.from_bytes(b) for b in g], cap=quantile_cap
+                ).quantile(p)
+                for _, g in gb["qsum"]
+            ]
         else:
-            p95 = float("nan")
+            p95s = [float("nan")] * len(agg)
         return pd.DataFrame(
             {
-                key_col: [g[key_col].iloc[0]],
-                "bucket_us": [np.int64(g["bucket_us"].iloc[0])],
-                "cnt": [np.int64(g["cnt"].sum())],
-                "sum_v": [float(g["sum_v"].sum())],
-                "min_v": [float(g["min_v"].min())],
-                "max_v": [float(g["max_v"].max())],
-                "p95_v": [p95],
+                key_col: agg[key_col],
+                "bucket_us": agg["bucket_us"].astype(np.int64),
+                "cnt": agg["cnt"].astype(np.int64),
+                "sum_v": agg["sum_v"].astype(np.float64),
+                "min_v": agg["min_v"].astype(np.float64),
+                "max_v": agg["max_v"].astype(np.float64),
+                "p95_v": np.asarray(p95s, dtype=np.float64),
             }
         )
 
     coarse = rollup_fine.map_batches(to_coarse, batch_format="pyarrow")
-    return coarse.groupby([key_col, "bucket_us"]).map_groups(
-        merge, batch_format="pandas"
+    return hash_partitioned_map(
+        coarse, [key_col, "bucket_us"], merge_partition, batch_format="pandas"
     )

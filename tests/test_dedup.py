@@ -1,0 +1,62 @@
+"""Dedup policies + token-array-equality invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from contest_parsing_ray.sources.ingest import read_sequences, token_checksum
+from contest_parsing_ray.stages.dedup import dedup
+
+
+def _pdf(sequences_dir):
+    ds = read_sequences(sequences_dir)
+    return ds.to_pandas()
+
+
+def test_keep_first_matches_oracle(sequences_dir):
+    ds = read_sequences(sequences_dir)
+    out = dedup(ds, key="doc_id", keep="first").to_pandas()
+    pdf = _pdf(sequences_dir)
+    want = pdf.drop_duplicates(subset="doc_id", keep="first")
+    assert len(out) == len(want)
+    assert set(out["doc_id"]) == set(want["doc_id"])
+    assert out["doc_id"].is_unique
+
+
+def test_keep_none_matches_oracle(sequences_dir):
+    ds = read_sequences(sequences_dir)
+    out = dedup(ds, key="doc_id", keep="none").to_pandas()
+    pdf = _pdf(sequences_dir)
+    counts = pdf["doc_id"].value_counts()
+    want_ids = set(counts[counts == 1].index)
+    assert set(out["doc_id"]) == want_ids
+    assert len(out) == len(want_ids)
+
+
+def test_duplicates_exist_in_fixture(sequences_dir):
+    # the generator must actually exercise both policies
+    pdf = _pdf(sequences_dir)
+    counts = pdf["doc_id"].value_counts()
+    assert (counts == 2).any() and (counts == 3).any()
+
+
+def test_token_arrays_survive_dedup_byte_identical(sequences_dir):
+    """The per-row token-array-equality invariant (BASELINE.json input_hint):
+    tokens pass through ingest + hash shuffle + dedup byte-identical."""
+    ds = read_sequences(sequences_dir)
+    with_ck = ds.map_batches(token_checksum, batch_format="pyarrow")
+    before = with_ck.to_pandas().drop_duplicates("doc_id")[["doc_id", "token_ck"]]
+
+    out = dedup(ds, key="doc_id", keep="first")
+    after_ck = out.map_batches(token_checksum, batch_format="pyarrow")
+    after = after_ck.to_pandas()[["doc_id", "token_ck"]]
+
+    m = before.merge(after, on="doc_id", suffixes=("_b", "_a"))
+    assert len(m) == len(after)
+    assert (m["token_ck_b"] == m["token_ck_a"]).all()
+
+    # and the token dtype survived (list<int32>, not promoted)
+    batch = next(iter(out.iter_batches(batch_size=8, batch_format="pyarrow")))
+    assert batch.schema.field("tokens").type == pa.list_(pa.int32())

@@ -1,0 +1,191 @@
+"""cumulative / gapfill / widen / tree / compress stage tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from contest_parsing_ray.functions.bucketing import bucket_us
+from contest_parsing_ray.sources.ingest import read_sequences
+from contest_parsing_ray.stages.cumulative import cumulative_counts, cumulative_distinct
+from contest_parsing_ray.stages.gapfill import gapfill
+from contest_parsing_ray.stages.rollup import rollup_tiers
+from contest_parsing_ray.stages.tree import tree_depth_stats
+from contest_parsing_ray.stages.widen import widen
+
+W1M = 60_000_000
+
+
+def test_cumulative_counts(sequences_dir):
+    ds = read_sequences(sequences_dir, with_tokens=False)
+    got = (
+        cumulative_counts(ds, W1M, key_col="source")
+        .to_pandas()
+        .sort_values(["source", "bucket_us"])
+        .reset_index(drop=True)
+    )
+    pdf = ds.to_pandas()
+    pdf["bucket_us"] = bucket_us(pdf["event_time_us"].to_numpy(), W1M)
+    want = (
+        pdf.groupby(["source", "bucket_us"]).size().rename("cnt").reset_index()
+        .sort_values(["source", "bucket_us"]).reset_index(drop=True)
+    )
+    want["running_cnt"] = want.groupby("source")["cnt"].cumsum()
+    pd.testing.assert_frame_equal(
+        got[["source", "bucket_us", "cnt", "running_cnt"]], want, check_dtype=False
+    )
+
+
+def test_cumulative_distinct(sequences_dir):
+    ds = read_sequences(sequences_dir, with_tokens=False)
+    # distinct n_tok values per source over time (any value col works)
+    got = (
+        cumulative_distinct(ds, W1M, key_col="source", value_col="n_tok")
+        .to_pandas().sort_values(["source", "bucket_us"]).reset_index(drop=True)
+    )
+    pdf = ds.to_pandas()
+    pdf["bucket_us"] = bucket_us(pdf["event_time_us"].to_numpy(), W1M)
+    first = pdf.groupby(["source", "n_tok"])["bucket_us"].min().reset_index()
+    want = (
+        first.groupby(["source", "bucket_us"]).size().rename("new_distinct").reset_index()
+        .sort_values(["source", "bucket_us"]).reset_index(drop=True)
+    )
+    want["running_distinct"] = want.groupby("source")["new_distinct"].cumsum()
+    pd.testing.assert_frame_equal(
+        got[["source", "bucket_us", "new_distinct", "running_distinct"]],
+        want,
+        check_dtype=False,
+    )
+
+
+def _small_rollup(sequences_dir):
+    ds = read_sequences(sequences_dir, with_tokens=False)
+    return rollup_tiers(ds, {"1m": W1M}, value_col="n_tok")["1m"]
+
+
+def test_gapfill_locf(sequences_dir):
+    r = _small_rollup(sequences_dir)
+    filled = gapfill(r, W1M, mode="locf").to_pandas()
+    for src, g in filled.groupby("source"):
+        g = g.sort_values("bucket_us")
+        # complete grid
+        diffs = np.diff(g["bucket_us"].to_numpy())
+        assert (diffs == W1M).all()
+        # the generator leaves gap minutes -> some rows must be filled
+        # (gap minutes 37-39 etc. are inside every source's range)
+        assert g["filled"].any()
+        # filled rows: cnt==0 and value carried from previous observed row
+        f = g[g["filled"]]
+        assert (f["cnt"] == 0).all()
+        obs = g[~g["filled"]].set_index("bucket_us")
+        for b, row in f.set_index("bucket_us").iterrows():
+            prev_obs = obs.index[obs.index < b]
+            assert len(prev_obs) > 0
+            assert row["sum_v"] == obs.loc[prev_obs.max(), "sum_v"]
+
+
+def test_gapfill_linear(sequences_dir):
+    r = _small_rollup(sequences_dir)
+    filled = gapfill(r, W1M, mode="linear").to_pandas()
+    g = filled[filled["source"] == "web-crawl"].sort_values("bucket_us").reset_index(drop=True)
+    f_idx = np.flatnonzero(g["filled"].to_numpy())
+    assert len(f_idx) > 0
+    # linear interpolation between the neighboring observed points
+    i = f_idx[0]
+    lo = i - 1
+    hi = i
+    while g["filled"].iloc[hi]:
+        hi += 1
+    frac = (g["bucket_us"].iloc[i] - g["bucket_us"].iloc[lo]) / (
+        g["bucket_us"].iloc[hi] - g["bucket_us"].iloc[lo]
+    )
+    want = g["sum_v"].iloc[lo] + frac * (g["sum_v"].iloc[hi] - g["sum_v"].iloc[lo])
+    assert abs(g["sum_v"].iloc[i] - want) < 1e-6
+
+
+def test_widen(sequences_dir):
+    r = _small_rollup(sequences_dir)
+    wide = widen(r, value_cols=("cnt", "sum_v")).to_pandas()
+    narrow = r.to_pandas()
+    # one row per bucket
+    assert wide["bucket_us"].is_unique
+    assert len(wide) == narrow["bucket_us"].nunique()
+    # spot-check a cell
+    row = narrow.iloc[17]
+    w = wide[wide["bucket_us"] == row["bucket_us"]].iloc[0]
+    assert w[f"{row['source']}-cnt"] == row["cnt"]
+    assert w[f"{row['source']}-sum_v"] == row["sum_v"]
+    # every (source x agg) column exists
+    sources = narrow["source"].unique()
+    for s in sources:
+        assert f"{s}-cnt" in wide.columns and f"{s}-sum_v" in wide.columns
+
+
+def test_tree_depth_stats():
+    #        a
+    #      /   \
+    #     b     c
+    #    / \
+    #   d   e
+    spans = pd.DataFrame(
+        {
+            "trace_id": ["t1"] * 5 + ["t2"] * 2,
+            "span_id": ["a", "b", "c", "d", "e", "x", "y"],
+            "parent_id": [None, "a", "a", "b", "b", None, "x"],
+        }
+    )
+    ds = ray.data.from_pandas(spans)
+    out = tree_depth_stats(ds).to_pandas().set_index("span_id")
+    # self depths
+    assert out.loc["a", "self_depth"] == 0
+    assert out.loc["b", "self_depth"] == 1
+    assert out.loc["d", "self_depth"] == 2
+    assert out.loc["y", "self_depth"] == 1
+    # leaf-depth stats of a's subtree: leaves c(1), d(2), e(2)
+    assert out.loc["a", "max_depth"] == 2
+    assert out.loc["a", "min_depth"] == 1
+    assert abs(out.loc["a", "mean_depth"] - 5 / 3) < 1e-9
+    # b's subtree leaves: d,e at depth 2
+    assert out.loc["b", "max_depth"] == 2 and out.loc["b", "min_depth"] == 2
+    # leaf's stats are its own depth
+    assert out.loc["c", "max_depth"] == 1 and out.loc["c", "min_depth"] == 1
+
+
+def test_compress_roundtrip(sequences_dir):
+    from contest_parsing_ray.stages.compress import compress_series, decompress_chunks
+
+    r = _small_rollup(sequences_dir)
+    chunks = compress_series(r, value_col="sum_v", chunk_points=64)
+    # concurrency=2: an actor pool sized to the whole test session (4 CPUs)
+    # starves the upstream read/sort tasks and the pipeline stalls
+    back = decompress_chunks(chunks, concurrency=2).to_pandas()
+    orig = r.to_pandas()[["source", "bucket_us", "sum_v"]].rename(
+        columns={"sum_v": "value"}
+    )
+    got = back.sort_values(["source", "bucket_us"]).reset_index(drop=True)
+    want = orig.sort_values(["source", "bucket_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_compress_bitstream_unit():
+    from contest_parsing_ray.stages.compress import (
+        decode_timestamps,
+        decode_values,
+        encode_timestamps,
+        encode_values,
+    )
+
+    rng = np.random.default_rng(3)
+    # regular grid with a few irregularities + extreme dod
+    ts = np.cumsum(
+        np.concatenate([[1_657_000_000_000_000], rng.choice([60_000_000] * 8 + [1, 10**12], size=500)])
+    ).astype(np.int64)
+    np.testing.assert_array_equal(decode_timestamps(encode_timestamps(ts), len(ts)), ts)
+
+    vals = np.concatenate(
+        [rng.normal(100, 5, 200), np.repeat(7.25, 50), [0.0, -0.0, np.inf, -np.inf], rng.pareto(1.1, 100)]
+    )
+    got = decode_values(encode_values(vals), len(vals))
+    np.testing.assert_array_equal(got.view(np.uint64), vals.view(np.uint64))
