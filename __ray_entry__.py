@@ -1,44 +1,606 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship rollup pipeline on sf0.001; ``queries()`` maps
+every implemented operator family from SURVEY.md §2 (+ the training-data
+operators) to a callable over the driver's testdata tables; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible query (same
+column names, same types — the driver hash-compares values).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in contest_parsing_ray) calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+W1M = 60_000_000
+W5M = 300_000_000
+W1H = 3_600_000_000
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --------------------------------------------------------------------------
+# shared readers
+# --------------------------------------------------------------------------
+
+def _events(sf_dir: str, columns=None):
+    """events.parquet → Dataset with event_time_us (int64 µs)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+    def add_us(b: pa.Table) -> pa.Table:
+        return b.append_column("event_time_us", b["ts"].cast(pa.int64()))
+
+    return ds.map_batches(add_us, batch_format="pyarrow")
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --------------------------------------------------------------------------
+# entry — flagship pipeline smoke (sf0.001)
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Rollup the sf0.001 events stream into the 1m tier (count/sum/min/
+    max/p95 of value per event_type) — the flagship continuous aggregate."""
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+
+    ev = _events("/root/testdata/sf0.001")
+    out = rollup_tiers(
+        ev, {"1m": W1M}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1m"]
+    return out
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _rollup_query(tier_name: str, width: int, mode: str = "nearest"):
+    def q(sf_dir: str):
+        from contest_parsing_ray.stages.rollup import rollup_tiers
+
+        ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+        out = rollup_tiers(
+            ev, {tier_name: width}, value_col="value", key_col="event_type",
+            ts_col="event_time_us", bucket_mode=mode,
+        )[tier_name]
+        return out
+
+    return q
+
+
+def _q_cumulative(sf_dir: str):
+    from contest_parsing_ray.stages.cumulative import cumulative_counts
+
+    ev = _events(sf_dir, columns=["ts", "event_type"])
+    return cumulative_counts(ev, W1M, key_col="event_type")
+
+
+def _q_cumulative_distinct(sf_dir: str):
+    from contest_parsing_ray.stages.cumulative import cumulative_distinct
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "user_id"])
+    return cumulative_distinct(ev, W1M, key_col="event_type", value_col="user_id")
+
+
+def _add_dkey(b: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    bucket = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // W1H) * W1H
+    dkey = pc.binary_join_element_wise(
+        pc.cast(b["user_id"], pa.string()),
+        b["event_type"],
+        pa.array((bucket // W1H).astype("int64")).cast(pa.string()),
+        "|",
+    )
+    return b.append_column("dkey", dkey)
+
+
+def _q_dedup(keep: str):
+    def q(sf_dir: str):
+        from contest_parsing_ray.stages.dedup import dedup
+
+        ev = _events(sf_dir).map_batches(_add_dkey, batch_format="pyarrow")
+        out = dedup(ev, key="dkey", keep=keep, tiebreak_cols=("event_id",))
+        return out.drop_columns(["event_time_us"])
+
+    return q
+
+
+def _q_gapfill(sf_dir: str):
+    from contest_parsing_ray.stages.gapfill import gapfill
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    filled = gapfill(r, W1H, mode="locf", key_col="event_type")
+    return filled.select_columns(["event_type", "bucket_us", "cnt", "sum_v", "filled"])
+
+
+def _q_widen(sf_dir: str):
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+    from contest_parsing_ray.stages.widen import widen
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    wide = widen(r, key_col="event_type", value_cols=("cnt", "sum_v"))
+
+    def fill0(df: pd.DataFrame) -> pd.DataFrame:
+        return df.fillna(0.0)
+
+    return wide.map_batches(fill0, batch_format="pandas")
+
+
+def _q_topk(sf_dir: str):
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    top = r.select_columns(["event_type", "bucket_us", "cnt"]).sort(
+        ["cnt", "bucket_us", "event_type"], descending=[True, False, False]
+    ).limit(10)
+    return top
+
+
+def _q_tree(sf_dir: str):
+    from contest_parsing_ray.stages._shuffle import hash_partitioned_map
+    from contest_parsing_ray.stages.tree import tree_depth_stats
+
+    ev = _events(sf_dir, columns=["ts", "event_id", "user_id"])
+
+    def chain(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        df["parent_id"] = df.groupby("user_id", sort=False)["event_id"].shift(1)
+        return df[["user_id", "event_id", "parent_id"]]
+
+    spans = hash_partitioned_map(ev, ["user_id"], chain, batch_format="pandas")
+    return tree_depth_stats(
+        spans, trace_col="user_id", span_col="event_id", parent_col="parent_id"
+    )
+
+
+def _q_order_priority(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from contest_parsing_ray.stages.join import hash_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    j = hash_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"], how="inner")
+    out = j.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_lines"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+    )
+    return out
+
+
+def _q_q1(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Mean, Sum
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
+        b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
+        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), b["l_tax"]))
+        b = b.append_column("disc_price", disc)
+        return b.append_column("charge", charge)
+
+    out = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return out
+
+
+def _q_token_counts(sf_dir: str):
+    from contest_parsing_ray.stages.text import TokenCount
+
+    docs = _docs(sf_dir)
+    out = docs.map_batches(TokenCount, batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "n_words", "n_ws_tokens"])
+
+
+def _q_quality(sf_dir: str):
+    from contest_parsing_ray.stages.text import QualityScore
+
+    docs = _docs(sf_dir)
+    out = docs.map_batches(QualityScore, batch_format="pandas", concurrency=2)
+    return out.select_columns(
+        ["doc_id", "n_chars_text", "alpha_ratio", "digit_ratio", "punct_ratio", "mean_word_len"]
+    )
+
+
+def _add_md5(df: pd.DataFrame) -> pd.DataFrame:
+    df["md5"] = [hashlib.md5(t.encode()).hexdigest() for t in df["text"].fillna("")]
+    return df
+
+
+def _q_dedup_docs(sf_dir: str):
+    from contest_parsing_ray.stages.dedup import dedup
+
+    docs = _docs(sf_dir).map_batches(_add_md5, batch_format="pandas")
+    out = dedup(docs, key="md5", keep="first", tiebreak_cols=("doc_id",))
+    return out.select_columns(["doc_id", "md5", "lang", "source", "n_chars"])
+
+
+def _q_langid(sf_dir: str):
+    from contest_parsing_ray.stages.text import LangId
+
+    docs = _docs(sf_dir)
+    out = docs.map_batches(LangId, batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred", "lang_score"])
+
+
+def _q_fingerprint(sf_dir: str):
+    from contest_parsing_ray.stages.text import Fingerprint
+
+    docs = _docs(sf_dir)
+    out = docs.map_batches(Fingerprint, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def _q_minhash(sf_dir: str):
+    from contest_parsing_ray.stages.neardup import minhash_lsh_pairs
+
+    docs = _docs(sf_dir)
+    return minhash_lsh_pairs(docs, id_col="doc_id", jaccard_threshold=0.5, concurrency=2)
+
+
+def _q_simhash(sf_dir: str):
+    from contest_parsing_ray.stages.neardup import simhash_docs
+
+    docs = _docs(sf_dir)
+    return simhash_docs(docs, concurrency=2).select_columns(["doc_id", "simhash"])
+
+
+def _q_ann(sf_dir: str):
+    from contest_parsing_ray.stages.ann import brute_force_topk
+
+    emb = _embeddings(sf_dir)
+    qdf = (
+        emb.filter(expr="vec_id < 5").select_columns(["vec_id", "embedding"]).to_pandas()
+    )
+    out = brute_force_topk(
+        emb,
+        queries=np.stack(qdf["embedding"].to_numpy()),
+        query_ids=qdf["vec_id"].to_numpy(),
+        k=10,
+    )
+    return out
+
+
+def _q_emb_neardup(sf_dir: str):
+    from contest_parsing_ray.stages.neardup import embedding_neardup_pairs
+
+    emb = _embeddings(sf_dir)
+    out = embedding_neardup_pairs(emb, threshold=0.35)
+    return out.select_columns(["id_a", "id_b"])
+
+
+def _q_lsh_neardup(sf_dir: str):
+    from contest_parsing_ray.stages.ann import lsh_bucket_neardup
+
+    emb = _embeddings(sf_dir)
+    out = lsh_bucket_neardup(emb, dim=64, threshold=0.35)
+    return out.select_columns(["id_a", "id_b"])
+
+
+def _q_multimodal(sf_dir: str):
+    from contest_parsing_ray.stages.multimodal import decode_features
+
+    docs = _docs(sf_dir)
+
+    def to_media(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "payload": [t.encode() for t in df["text"].fillna("")],
+                "media_type": "text/plain",
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pandas")
+    out = decode_features(media, fake=True, concurrency=2, batch_size=64)
+    return out.select_columns(["doc_id", "n_bytes"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # continuous aggregates / rollup tiers (SURVEY A1/A3/A8, M10/F3)
+        "rollup_1m": _rollup_query("1m", W1M),
+        "rollup_5m": _rollup_query("5m", W5M),
+        "rollup_1h": _rollup_query("1h", W1H),
+        "rollup_floor_1h": _rollup_query("1h", W1H, mode="floor"),
+        # cumulative aggregates (SURVEY J2/A4)
+        "cumulative_counts_1m": _q_cumulative,
+        "cumulative_distinct_users_1m": _q_cumulative_distinct,
+        # dedup (SURVEY D1/D2)
+        "dedup_keep_first_events": _q_dedup("first"),
+        "dedup_keep_none_events": _q_dedup("none"),
+        # gap-fill + widen + top-k (SURVEY ST4 / A3+M13+J8 / O-ops)
+        "gapfill_locf_1h": _q_gapfill,
+        "widen_1h": _q_widen,
+        "topk_buckets": _q_topk,
+        # tree stats (SURVEY G1/G2)
+        "tree_chain_depths": _q_tree,
+        # joins + classic aggregates (SURVEY J1/J5-shape)
+        "order_priority_rollup": _q_order_priority,
+        "q1_pricing_summary": _q_q1,
+        # text analysis (training-data ops)
+        "doc_token_counts": _q_token_counts,
+        "doc_quality": _q_quality,
+        "exact_dedup_docs": _q_dedup_docs,
+        "lang_id_docs": _q_langid,
+        "doc_fingerprints": _q_fingerprint,
+        # near-dup family
+        "minhash_lsh_pairs": _q_minhash,
+        "simhash_docs": _q_simhash,
+        "embedding_neardup_pairs": _q_emb_neardup,
+        "lsh_neardup_pairs": _q_lsh_neardup,
+        # similarity search
+        "ann_topk_cosine": _q_ann,
+        # multimodal plumbing (stubbed decode)
+        "multimodal_decode_stub": _q_multimodal,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+def _rollup_sql(width: int, mode: str = "nearest") -> str:
+    if mode == "nearest":
+        bucket = f"(((epoch_us(ts) + {width // 2}) // {width}) * {width})"
+    else:
+        bucket = f"((epoch_us(ts) // {width}) * {width})"
+    return f"""
+SELECT event_type,
+       {bucket} AS bucket_us,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(value) AS DOUBLE) AS sum_v,
+       CAST(MIN(value) AS DOUBLE) AS min_v,
+       CAST(MAX(value) AS DOUBLE) AS max_v,
+       quantile_cont(CAST(value AS DOUBLE), 0.95) AS p95_v
+FROM events GROUP BY 1, 2
+"""
+
+
+_BUCKET_1M = f"(((epoch_us(ts) + {W1M // 2}) // {W1M}) * {W1M})"
+_BUCKET_1H_NEAREST = f"(((epoch_us(ts) + {W1H // 2}) // {W1H}) * {W1H})"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    widen_cols = ",\n       ".join(
+        f'CAST(COALESCE(SUM(CASE WHEN event_type = \'{t}\' THEN {v} END), 0) AS DOUBLE)'
+        f' AS "{t}-{v}"'
+        for t in EVENT_TYPES
+        for v in ("cnt", "sum_v")
+    )
+    return {
+        "rollup_1m": _rollup_sql(W1M),
+        "rollup_5m": _rollup_sql(W5M),
+        "rollup_1h": _rollup_sql(W1H),
+        "rollup_floor_1h": _rollup_sql(W1H, mode="floor"),
+        "cumulative_counts_1m": f"""
+WITH b AS (
+  SELECT event_type, {_BUCKET_1M} AS bucket_us, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_us, cnt,
+       CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket_us) AS BIGINT)
+         AS running_cnt
+FROM b
+""",
+        "cumulative_distinct_users_1m": f"""
+WITH fs AS (
+  SELECT event_type, user_id, MIN({_BUCKET_1M}) AS bucket_us
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bucket_us, CAST(COUNT(*) AS BIGINT) AS new_distinct
+  FROM fs GROUP BY 1, 2
+)
+SELECT event_type, bucket_us, new_distinct,
+       CAST(SUM(new_distinct) OVER (PARTITION BY event_type ORDER BY bucket_us)
+            AS BIGINT) AS running_distinct
+FROM c
+""",
+        "dedup_keep_first_events": f"""
+SELECT event_id, ts, user_id, event_type, value, props,
+       CAST(user_id AS VARCHAR) || '|' || event_type || '|'
+         || CAST(epoch_us(ts) // {W1H} AS VARCHAR) AS dkey
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY dkey ORDER BY event_id) = 1
+""",
+        "dedup_keep_none_events": f"""
+SELECT event_id, ts, user_id, event_type, value, props,
+       CAST(user_id AS VARCHAR) || '|' || event_type || '|'
+         || CAST(epoch_us(ts) // {W1H} AS VARCHAR) AS dkey
+FROM events
+QUALIFY COUNT(*) OVER (PARTITION BY dkey) = 1
+""",
+        "gapfill_locf_1h": f"""
+WITH agg AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(value) AS DOUBLE) AS sum_v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM agg GROUP BY 1
+), grid AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi, {W1H})) AS bucket_us FROM bounds
+), j AS (
+  SELECT g.event_type, g.bucket_us, a.cnt, a.sum_v
+  FROM grid g LEFT JOIN agg a
+    ON g.event_type = a.event_type AND g.bucket_us = a.bucket_us
+)
+SELECT event_type, bucket_us,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+       last_value(sum_v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v,
+       (cnt IS NULL) AS filled
+FROM j
+""",
+        "widen_1h": f"""
+WITH agg AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(value) AS DOUBLE) AS sum_v
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket_us,
+       {widen_cols}
+FROM agg GROUP BY bucket_us
+""",
+        "topk_buckets": f"""
+SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+ORDER BY cnt DESC, bucket_us ASC, event_type ASC LIMIT 10
+""",
+        "tree_chain_depths": """
+WITH o AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS self_depth,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(self_depth AS BIGINT) AS self_depth,
+       CAST(n - 1 AS BIGINT) AS max_depth,
+       CAST(n - 1 AS BIGINT) AS min_depth,
+       CAST(n - 1 AS DOUBLE) AS mean_depth
+FROM o
+""",
+        "order_priority_rollup": """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l.l_extendedprice) AS DOUBLE) AS sum_price,
+       CAST(AVG(l.l_discount) AS DOUBLE) AS avg_disc
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE)
+         AS sum_charge,
+       CAST(AVG(l_quantity) AS DOUBLE) AS avg_qty,
+       CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price,
+       CAST(AVG(l_discount) AS DOUBLE) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""",
+        "doc_token_counts": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_words,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens
+FROM documents
+""",
+        "doc_quality": r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_text,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+         / GREATEST(length(text), 1) AS alpha_ratio,
+       CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+         / GREATEST(length(text), 1) AS digit_ratio,
+       CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         / GREATEST(length(text), 1) AS punct_ratio,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+         / GREATEST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')), 1)
+         AS mean_word_len
+FROM documents
+""",
+        "exact_dedup_docs": """
+SELECT doc_id, md5(text) AS md5, lang, source, n_chars
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+""",
+        "embedding_neardup_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+""",
+        "ann_topk_cosine": """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS c
+  FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+""",
+        # lang_id_docs / doc_fingerprints / minhash_lsh_pairs / simhash_docs /
+        # lsh_neardup_pairs / multimodal_decode_stub: heuristic or
+        # hash-algorithm-specific — not SQL-expressible; driver records
+        # rows-only checks.
+    }

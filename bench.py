@@ -1,0 +1,212 @@
+"""Benchmark harness.
+
+Plain run: ONE JSON line with the headline metric (flagship rollup pipeline
+wall-clock over a deterministic synthetic sequences table sized to the SF)
+plus per-query seconds over $GRAFT_SF_DIR.
+
+    GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS parallelism (default 32)
+
+--scaling: run the headline pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs
+plus scaling efficiency = (t_8 / t_32) / (32 / 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Queries benchmarked against the SF tables (a representative, non-Python-
+# bound subset of __ray_entry__.queries()).
+BENCH_QUERIES = [
+    "rollup_1m",
+    "rollup_5m",
+    "rollup_1h",
+    "cumulative_counts_1m",
+    "cumulative_distinct_users_1m",
+    "dedup_keep_first_events",
+    "gapfill_locf_1h",
+    "widen_1h",
+    "topk_buckets",
+    "tree_chain_depths",
+    "order_priority_rollup",
+    "q1_pricing_summary",
+    "doc_token_counts",
+    "doc_quality",
+    "exact_dedup_docs",
+    "ann_topk_cosine",
+    "embedding_neardup_pairs",
+]
+
+
+def _sf_of(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def _sequences_dir(sf: float) -> tuple[str, int]:
+    """Synthesize (once, cached) the input_hint-shaped sequences table sized
+    to the SF: 1M rows at sf0.1."""
+    n_rows = max(10_000, int(10_000_000 * sf))
+    d = f"/tmp/cpr_bench_seq_{n_rows}"
+    from contest_parsing_ray.sources.synthetic import write_sequences_parquet
+
+    write_sequences_parquet(d, n_rows=n_rows, seed=42, num_files=32)
+    return d, n_rows
+
+
+def _consume(ds) -> int:
+    """Stream-consume a Dataset (count rows without driver materialization)."""
+    try:
+        return ds.count()
+    except AttributeError:
+        return len(ds)
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = _sf_of(SF_DIR)
+    seq_dir, n_rows = _sequences_dir(sf)
+
+    # warm the page cache so we measure compute + shuffle, not first-touch IO
+    import pyarrow.dataset as pads
+
+    pads.dataset(seq_dir).to_table(columns=["n_tok"])
+
+    # headline: flagship pipeline (dedup + 3 tiers + gapfill + compression +
+    # manifests), resume disabled via a fresh out_dir
+    from contest_parsing_ray.config import PipelineConfig
+    from contest_parsing_ray.pipelines.rollup_pipeline import run_rollup_pipeline
+
+    out_dir = f"/tmp/cpr_bench_out_{NUM_CPUS}_{int(time.time())}"
+    cfg = PipelineConfig(out_dir=out_dir)
+    t0 = time.perf_counter()
+    metrics = run_rollup_pipeline(seq_dir, cfg, resume=False)
+    headline = time.perf_counter() - t0
+    points = sum(t["points"] for t in metrics["tiers"].values())
+
+    # per-query timings over the SF tables
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qtimes = {}
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(qs[name](SF_DIR))
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "flagship rollup pipeline seconds (1m/5m/1h tiers + gapfill + "
+        "compression over synthetic sequences table)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "seq_rows": n_rows,
+        "rollup_points": points,
+        "token_rows_per_sec": round(n_rows / headline, 1),
+        "points_per_sec": round(points / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same pipeline, fresh processes, "
+        f"num_cpus={lo} vs {hi})",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"rows_per_sec_{lo}": results[lo]["token_rows_per_sec"],
+        f"rows_per_sec_{hi}": results[hi]["token_rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": results[hi]["sf"],
+    }
+
+
+def run_headline_only() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sf = _sf_of(SF_DIR)
+    seq_dir, n_rows = _sequences_dir(sf)
+    import pyarrow.dataset as pads
+
+    pads.dataset(seq_dir).to_table(columns=["n_tok"])
+    from contest_parsing_ray.config import PipelineConfig
+    from contest_parsing_ray.pipelines.rollup_pipeline import run_rollup_pipeline
+
+    out_dir = f"/tmp/cpr_bench_out_{NUM_CPUS}_{int(time.time())}"
+    t0 = time.perf_counter()
+    metrics = run_rollup_pipeline(seq_dir, PipelineConfig(out_dir=out_dir), resume=False)
+    headline = time.perf_counter() - t0
+    points = sum(t["points"] for t in metrics["tiers"].values())
+    return {
+        "metric": "headline",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "token_rows_per_sec": round(n_rows / headline, 1),
+        "points_per_sec": round(points / headline, 1),
+    }
+
+
+if __name__ == "__main__":
+    import ray
+
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--headline-only" in sys.argv:
+        print(json.dumps(run_headline_only()))
+        ray.shutdown()
+    else:
+        print(json.dumps(run_bench()))
+        ray.shutdown()

@@ -1,0 +1,119 @@
+"""Joins: broadcast (small side) and partitioned hash join (both large).
+
+Reference analogs (SURVEY §2.4):
+- J1: traces x metric tables, LEFT on ``(podname, starttime)=(pod,
+  measure_time)`` (``Joiner.py:78-120``) — both-large → hash join.
+- J4/J5: tiny system-wide metric table joined per bucket
+  (``Joiner.py:272-311``, ``TraceInOneRowExploder.py:245-308``) — broadcast.
+- J6: depth-stats join-back on spanID (``TreeBuilder.py:58-64``).
+
+Scale rules: the small side is shipped ONCE via ``ray.put`` and merged
+inside every ``map_batches`` task (no shuffle, no per-batch reshipping);
+the large-large case uses Ray Data's native hash-partitioned
+``Dataset.join`` when available (Ray >= 2.46) with an explicit partition
+count, falling back to a union + hash-partition + per-partition pandas
+merge that co-locates both sides by key (same exchange, hand-rolled).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ._shuffle import add_hash_partition
+
+
+def broadcast_join(
+    large: ray.data.Dataset,
+    small: pd.DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> ray.data.Dataset:
+    """Join a Dataset against a driver-resident small table. The small side
+    goes to the object store once; every task reads it zero-copy."""
+    small_ref = ray.put(small)
+
+    class JoinBatch:
+        def __init__(self):
+            self.small = ray.get(small_ref)  # once per actor/task cache
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return large.map_batches(JoinBatch, batch_format="pandas", concurrency=(1, 8))
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    how: str = "inner",
+    num_partitions: int | None = None,
+    right_on: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Hash-partitioned equi-join of two Datasets.
+
+    Uses ``Dataset.join`` (native hash shuffle) when present; otherwise a
+    union + hash-partition + per-partition pandas merge. Hot join keys
+    should be pre-salted by the caller (append a salt col to both sides).
+
+    Each join partition is served by an aggregator actor; sizing them at
+    1 CPU each with partitions >> cluster CPUs deadlocks a small cluster
+    (observed on 4 CPUs), so partitions default to ~the CPU count and
+    aggregators reserve fractional CPUs.
+    """
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+        num_partitions = max(2, min(64, cpus))
+    if hasattr(left, "join"):
+        return left.join(
+            right,
+            join_type=how,
+            num_partitions=num_partitions,
+            on=tuple(on),
+            right_on=tuple(right_on) if right_on else None,
+            right_suffix="_r",
+            aggregator_ray_remote_args={"num_cpus": 0.5},
+        )
+    return _fallback_union_join(left, right, on, how, num_partitions, right_on)
+
+
+def _fallback_union_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    how: str,
+    num_partitions: int,
+    right_on: list[str] | None = None,
+) -> ray.data.Dataset:
+    right_on = right_on or on
+    lcols = left.schema().names
+    rcols = right.schema().names
+
+    def tag(side: int, key_cols: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            b = add_hash_partition(b, key_cols, num_partitions)
+            return b.append_column("__side", pa.array(np.full(len(b), side, np.int8)))
+
+        return fn
+
+    both = left.map_batches(tag(0, on), batch_format="pyarrow").union(
+        right.map_batches(tag(1, right_on), batch_format="pyarrow")
+    )
+
+    def join_partition(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][[c for c in lcols]]
+        r = df[df["__side"] == 1][[c for c in rcols]]
+        return l.merge(
+            r, left_on=on, right_on=right_on, how=how, suffixes=("", "_r")
+        )
+
+    return both.groupby("__part").map_groups(
+        lambda g: join_partition(g.drop(columns="__part")), batch_format="pandas"
+    )
