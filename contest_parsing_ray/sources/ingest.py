@@ -105,8 +105,9 @@ def token_checksum(batch: pa.Table) -> pa.Table:
     with np.errstate(over="ignore"):
         weighted = (pos + np.uint64(1)) * (flat + np.uint64(1))
     if len(flat):
-        starts = offsets[:-1].clip(0, len(flat) - 1)
-        sums = np.add.reduceat(weighted, starts)
+        # sentinel so trailing empty rows don't corrupt reduceat segments
+        weighted = np.append(weighted, np.uint64(0))
+        sums = np.add.reduceat(weighted, offsets[:-1])
         sums = np.where(lengths == 0, np.uint64(0), sums)
     else:
         sums = np.zeros(len(lengths), dtype=np.uint64)

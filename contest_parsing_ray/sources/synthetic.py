@@ -64,18 +64,13 @@ def event_time_us_of(epoch_minute: int, seq: int) -> int:
     return epoch_minute * 60_000_000 + (seq * SEQ_OFFSET_MULTIPLIER) % 60_000_000
 
 
-def make_sequences_table(
+def _scalar_columns(
     n_rows: int,
-    seed: int = 42,
-    dup_fraction: float = 0.01,
-    gap_minutes: tuple[int, ...] = (37, 38, 39, 120, 121, 200),
-) -> pa.Table:
-    """Build the sequences table deterministically.
-
-    ``gap_minutes`` are minutes (relative to BASE_EPOCH_MINUTE) that receive
-    no events — deliberate empty buckets for gap-fill tests (reference
-    analog: unjoined buckets that ``Joiner.py:117-118`` drops; we fill).
-    """
+    seed: int,
+    dup_fraction: float,
+    gap_minutes: tuple[int, ...],
+):
+    """The cheap per-row scalar columns (everything except tokens)."""
     rng = np.random.default_rng(seed)
     gaps = set(gap_minutes)
 
@@ -110,15 +105,22 @@ def make_sequences_table(
                 n_tok[i + j] = n_tok[i]
 
     sources = np.array(SOURCES)[src_idx]
-    doc_id = np.array(
-        [f"{s}/{m:012d}/{q:06d}" for s, m, q in zip(sources, epoch_minute, seq)]
-    )
+    return sources, epoch_minute.astype(np.int64), seq.astype(np.int64), n_tok, src_idx
 
-    # tokens: counter-based hash (splitmix64) of (row_seed, position) so the
-    # whole flat array is generated vectorized and duplicate doc_ids carry
-    # byte-identical token arrays.
+
+def _tokens_for_slice(
+    epoch_minute: np.ndarray,
+    seq: np.ndarray,
+    src_idx: np.ndarray,
+    n_tok: np.ndarray,
+) -> pa.ListArray:
+    """tokens for a row slice: counter-based hash (splitmix64) of
+    (row_seed, position) — fully vectorized, and duplicate doc_ids carry
+    byte-identical token arrays because the seed is a pure function of the
+    doc_id fields."""
+    n = len(n_tok)
     lengths = n_tok.astype(np.int64)
-    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     row_seed = (
         epoch_minute.astype(np.uint64) * np.uint64(1_000_003)
@@ -127,17 +129,46 @@ def make_sequences_table(
     )
     flat_seed = np.repeat(row_seed, lengths)
     pos = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], lengths)
-    flat = (_splitmix64(flat_seed * np.uint64(0x9E3779B97F4A7C15) + pos.astype(np.uint64)) % np.uint64(VOCAB)).astype(np.int32)
+    flat = (
+        _splitmix64(flat_seed * np.uint64(0x9E3779B97F4A7C15) + pos.astype(np.uint64))
+        % np.uint64(VOCAB)
+    ).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(flat))
 
-    tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(flat))
+
+def _slice_table(sources, epoch_minute, seq, n_tok, src_idx, lo: int, hi: int) -> pa.Table:
+    sl = slice(lo, hi)
+    doc_id = np.array(
+        [
+            f"{s}/{m:012d}/{q:06d}"
+            for s, m, q in zip(sources[sl], epoch_minute[sl], seq[sl])
+        ]
+    )
+    tokens = _tokens_for_slice(epoch_minute[sl], seq[sl], src_idx[sl], n_tok[sl])
     return pa.table(
         {
             "doc_id": pa.array(doc_id, type=pa.string()),
             "tokens": tokens,
-            "n_tok": pa.array(n_tok, type=pa.int32()),
-            "source": pa.array(sources, type=pa.string()),
+            "n_tok": pa.array(n_tok[sl], type=pa.int32()),
+            "source": pa.array(sources[sl], type=pa.string()),
         }
     )
+
+
+def make_sequences_table(
+    n_rows: int,
+    seed: int = 42,
+    dup_fraction: float = 0.01,
+    gap_minutes: tuple[int, ...] = (37, 38, 39, 120, 121, 200),
+) -> pa.Table:
+    """Build the sequences table deterministically (whole-table variant).
+
+    ``gap_minutes`` are minutes (relative to BASE_EPOCH_MINUTE) that receive
+    no events — deliberate empty buckets for gap-fill tests (reference
+    analog: unjoined buckets that ``Joiner.py:117-118`` drops; we fill).
+    """
+    cols = _scalar_columns(n_rows, seed, dup_fraction, gap_minutes)
+    return _slice_table(*cols, 0, n_rows)
 
 
 def write_sequences_parquet(
@@ -155,10 +186,21 @@ def write_sequences_parquet(
     """
     os.makedirs(out_dir, exist_ok=True)
     expected = [os.path.join(out_dir, f"part-{i:04d}.parquet") for i in range(num_files)]
-    if all(os.path.exists(p) for p in expected):
+    done_marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done_marker) and all(os.path.exists(p) for p in expected):
         return out_dir
-    table = make_sequences_table(n_rows, seed=seed, **kwargs)
-    per = (table.num_rows + num_files - 1) // num_files
+    # scalar columns for the whole table (cheap), token payload generated
+    # and written shard-by-shard to bound peak memory
+    cols = _scalar_columns(
+        n_rows,
+        seed,
+        kwargs.get("dup_fraction", 0.01),
+        kwargs.get("gap_minutes", (37, 38, 39, 120, 121, 200)),
+    )
+    per = (n_rows + num_files - 1) // num_files
     for i in range(num_files):
-        pq.write_table(table.slice(i * per, per), expected[i])
+        lo, hi = i * per, min((i + 1) * per, n_rows)
+        pq.write_table(_slice_table(*cols, lo, hi), expected[i])
+    with open(done_marker, "w") as f:
+        f.write(str(n_rows))
     return out_dir

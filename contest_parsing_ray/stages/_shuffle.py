@@ -61,7 +61,11 @@ def hash64_strings(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
         mixed ^= mixed >> np.uint64(29)
         mixed *= np.uint64(0xBF58476D1CE4E5B9)
         if total:
-            sums = np.add.reduceat(mixed, seg_off[:-1].clip(0, total - 1))
+            # sentinel element so reduceat indices == total stay in range;
+            # clipping indices instead CORRUPTS the last non-empty segment
+            # when trailing null/empty strings exist
+            mixed = np.append(mixed, np.uint64(0))
+            sums = np.add.reduceat(mixed, seg_off[:-1])
             sums = np.where(lengths == 0, np.uint64(0xCBF29CE484222325), sums)
         else:
             sums = np.full(len(lengths), np.uint64(0xCBF29CE484222325))

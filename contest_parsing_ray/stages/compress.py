@@ -273,5 +273,5 @@ def decompress_chunks(
         fn_constructor_kwargs={"key_col": key_col},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )

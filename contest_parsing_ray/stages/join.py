@@ -70,7 +70,11 @@ def hash_join(
             cpus = int(ray.cluster_resources().get("CPU", 4))
         except Exception:
             cpus = 4
-        num_partitions = max(2, min(64, cpus))
+        # every join operator in a DAG instantiates its aggregator actors
+        # UP FRONT; a pipeline chaining two joins therefore needs
+        # 2 x num_partitions x num_cpus_per_aggregator < cluster CPUs or it
+        # deadlocks (observed on 4 CPUs). Keep the footprint small.
+        num_partitions = max(2, min(64, cpus // 2))
     if hasattr(left, "join"):
         return left.join(
             right,
@@ -79,7 +83,7 @@ def hash_join(
             on=tuple(on),
             right_on=tuple(right_on) if right_on else None,
             right_suffix="_r",
-            aggregator_ray_remote_args={"num_cpus": 0.5},
+            aggregator_ray_remote_args={"num_cpus": 0.25},
         )
     return _fallback_union_join(left, right, on, how, num_partitions, right_on)
 

@@ -88,5 +88,5 @@ def decode_features(
         fn_constructor_kwargs={"payload_col": payload_col, "fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )

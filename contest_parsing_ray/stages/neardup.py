@@ -118,7 +118,7 @@ def minhash_lsh_pairs(
             bands=bands, shingle_n=shingle_n,
         ),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -192,7 +192,7 @@ def simhash_docs(
 ) -> ray.data.Dataset:
     return docs.map_batches(
         SimHash, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", concurrency=concurrency,
+        batch_format="pandas", concurrency=(1, concurrency),
     )
 
 

@@ -121,18 +121,18 @@ def analyze_text(
     fingerprint in one actor-pool pipeline."""
     out = docs.map_batches(
         TokenCount, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", concurrency=concurrency,
+        batch_format="pandas", concurrency=(1, concurrency),
     )
     out = out.map_batches(
         QualityScore, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", concurrency=concurrency,
+        batch_format="pandas", concurrency=(1, concurrency),
     )
     out = out.map_batches(
         LangId, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", concurrency=concurrency,
+        batch_format="pandas", concurrency=(1, concurrency),
     )
     out = out.map_batches(
         Fingerprint, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=(1, concurrency),
     )
     return out

@@ -49,9 +49,12 @@ def widen(
         p = df.pivot_table(
             index=index_col, columns=key_col, values=list(value_cols), aggfunc="first"
         )
-        # flatten MultiIndex to "{key}-{value}" and align to the global set
+        # flatten MultiIndex to "{key}-{value}" and align to the global set;
+        # float64 so all-NaN partition columns don't become Arrow null type
+        import numpy as np
+
         p.columns = [f"{k}-{v}" for v, k in p.columns]
-        p = p.reindex(columns=wide_cols)
+        p = p.reindex(columns=wide_cols).astype(np.float64)
         return p.reset_index()
 
     return hash_partitioned_map(rollup, [index_col], pivot_partition, batch_format="pandas")
