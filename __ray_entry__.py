@@ -77,6 +77,19 @@ def entry() -> Any:
 # queries
 # --------------------------------------------------------------------------
 
+def _round_cols(ds, cols: list[str], digits: int = 6):
+    """Round float columns on the Ray side; oracles ROUND(x, n) too —
+    float sums/quantiles are addition-order sensitive in the last ulp, and
+    the driver hash-compares values."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            df[c] = df[c].astype(np.float64).round(digits)
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def _rollup_query(tier_name: str, width: int, mode: str = "nearest"):
     def q(sf_dir: str):
         from contest_parsing_ray.stages.rollup import rollup_tiers
@@ -86,7 +99,7 @@ def _rollup_query(tier_name: str, width: int, mode: str = "nearest"):
             ev, {tier_name: width}, value_col="value", key_col="event_type",
             ts_col="event_time_us", bucket_mode=mode,
         )[tier_name]
-        return out
+        return _round_cols(out, ["sum_v", "p95_v"])
 
     return q
 
@@ -139,7 +152,8 @@ def _q_gapfill(sf_dir: str):
         ts_col="event_time_us",
     )["1h"]
     filled = gapfill(r, W1H, mode="locf", key_col="event_type")
-    return filled.select_columns(["event_type", "bucket_us", "cnt", "sum_v", "filled"])
+    out = filled.select_columns(["event_type", "bucket_us", "cnt", "sum_v", "filled"])
+    return _round_cols(out, ["sum_v"])
 
 
 def _q_widen(sf_dir: str):
@@ -154,7 +168,11 @@ def _q_widen(sf_dir: str):
     wide = widen(r, key_col="event_type", value_cols=("cnt", "sum_v"))
 
     def fill0(df: pd.DataFrame) -> pd.DataFrame:
-        return df.fillna(0.0)
+        df = df.fillna(0.0)
+        for c in df.columns:
+            if c.endswith("-sum_v"):
+                df[c] = df[c].astype(np.float64).round(6)
+        return df
 
     return wide.map_batches(fill0, batch_format="pandas")
 
@@ -210,7 +228,7 @@ def _q_order_priority(sf_dir: str):
         Sum("l_extendedprice", alias_name="sum_price"),
         Mean("l_discount", alias_name="avg_disc"),
     )
-    return out
+    return _round_cols(out, ["sum_qty", "sum_price", "avg_disc"])
 
 
 def _q_q1(sf_dir: str):
@@ -249,7 +267,11 @@ def _q_q1(sf_dir: str):
             Count(alias_name="count_order"),
         )
     )
-    return out
+    return _round_cols(
+        out,
+        ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+         "avg_qty", "avg_price", "avg_disc"],
+    )
 
 
 def _q_token_counts(sf_dir: str):
@@ -364,6 +386,67 @@ def _q_multimodal(sf_dir: str):
     return out.select_columns(["doc_id", "n_bytes"])
 
 
+
+def _q_compress_roundtrip(sf_dir: str):
+    """Gorilla/delta-of-delta encode the 1h rollup series then decode —
+    the decoded points must equal the rollup (SQL-checkable)."""
+    from contest_parsing_ray.stages.compress import compress_series, decompress_chunks
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    r = _round_cols(r, ["sum_v"])
+    chunks = compress_series(r, value_col="sum_v", key_col="event_type")
+    back = decompress_chunks(chunks, key_col="event_type", concurrency=2)
+    return back.select_columns(["event_type", "bucket_us", "value"])
+
+
+def _q_telemetry_fixture(sf_dir: str):
+    """The reference Joiner analog over deterministic F2-shaped fixtures
+    built on the fly (the driver testdata has no Jaeger/Prometheus streams;
+    rows-only check — semantics are pinned by golden conformance tests)."""
+    import json
+    import tempfile
+
+    from contest_parsing_ray.pipelines.telemetry_join import telemetry_join
+    from contest_parsing_ray.sources.jaeger import read_jaeger_json
+    from contest_parsing_ray.sources.logs import read_structured_logs
+    from contest_parsing_ray.sources.prometheus import read_prometheus_json
+
+    T0 = 1_657_266_480
+    d = tempfile.mkdtemp(prefix="cpr_f2_")
+    prom = {"status": "success", "data": {"resultType": "matrix", "result": [
+        {"metric": {"__name__": "container_cpu_usage_seconds_total",
+                    "container": "c1", "pod": "pod-a-1",
+                    "instance": "i1", "job": "kubernetes-pods"},
+         "values": [[str(T0), "1.5"], [str(T0 + 30), "2.0"]]},
+        {"metric": {"__name__": "node_network_receive_bytes_total",
+                    "device": "eth0", "instance": "i2",
+                    "job": "kubernetes-service-endpoints"},
+         "values": [[str(T0), "100.0"], [str(T0 + 30), "200.0"]]}]}}
+    json.dump(prom, open(f"{d}/metrics.json", "w"))
+    jaeger = {"data": [{"traceID": "t1", "spans": [
+        {"spanID": "s1", "operationName": "GET /x",
+         "startTime": (T0 + 1) * 1_000_000, "duration": 9, "processID": "p1",
+         "tags": [{"key": "http.status_code", "value": "200"}], "references": []},
+        {"spanID": "s2", "operationName": "GET /y",
+         "startTime": (T0 + 16) * 1_000_000, "duration": 1, "processID": "p1",
+         "tags": [], "references": [{"traceID": "t1", "spanID": "s1"}]}],
+        "processes": {"p1": {"serviceName": "ts-order-service",
+                             "tags": [{"key": "hostname", "value": "pod-a-1"}]}}}]}
+    json.dump(jaeger, open(f"{d}/traces.json", "w"))
+    with open(f"{d}/ts-order-service.log", "w") as f:
+        f.write("2022-07-08 07:48:01.934 INFO 1---[nio-exec-1] "
+                "c.t.OrderService: created order 42\n")
+    spans = read_jaeger_json(f"{d}/traces.json", 30_000_000)
+    metrics = read_prometheus_json(f"{d}/metrics.json", 30_000_000)
+    logs = read_structured_logs(f"{d}/ts-order-service.log", 30_000_000)
+    return telemetry_join(spans, metrics, logs, 30_000_000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # continuous aggregates / rollup tiers (SURVEY A1/A3/A8, M10/F3)
@@ -401,6 +484,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": _q_ann,
         # multimodal plumbing (stubbed decode)
         "multimodal_decode_stub": _q_multimodal,
+        # Gorilla compression roundtrip (SQL-checkable: decode == rollup)
+        "compress_roundtrip_1h": _q_compress_roundtrip,
+        # reference Joiner analog on F2 fixtures (rows-only; goldens in tests)
+        "telemetry_join_fixture": _q_telemetry_fixture,
     }
 
 
@@ -417,10 +504,10 @@ def _rollup_sql(width: int, mode: str = "nearest") -> str:
 SELECT event_type,
        {bucket} AS bucket_us,
        CAST(COUNT(*) AS BIGINT) AS cnt,
-       CAST(SUM(value) AS DOUBLE) AS sum_v,
+       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sum_v,
        CAST(MIN(value) AS DOUBLE) AS min_v,
        CAST(MAX(value) AS DOUBLE) AS max_v,
-       quantile_cont(CAST(value AS DOUBLE), 0.95) AS p95_v
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS p95_v
 FROM events GROUP BY 1, 2
 """
 
@@ -431,8 +518,8 @@ _BUCKET_1H_NEAREST = f"(((epoch_us(ts) + {W1H // 2}) // {W1H}) * {W1H})"
 
 def oracle_sql() -> dict[str, str]:
     widen_cols = ",\n       ".join(
-        f'CAST(COALESCE(SUM(CASE WHEN event_type = \'{t}\' THEN {v} END), 0) AS DOUBLE)'
-        f' AS "{t}-{v}"'
+        f'ROUND(CAST(COALESCE(SUM(CASE WHEN event_type = \'{t}\' THEN {v} END), 0)'
+        f' AS DOUBLE), 6) AS "{t}-{v}"'
         for t in EVENT_TYPES
         for v in ("cnt", "sum_v")
     )
@@ -494,9 +581,9 @@ WITH agg AS (
 )
 SELECT event_type, bucket_us,
        CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
-       last_value(sum_v IGNORE NULLS) OVER (
+       ROUND(last_value(sum_v IGNORE NULLS) OVER (
          PARTITION BY event_type ORDER BY bucket_us
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v,
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS sum_v,
        (cnt IS NULL) AS filled
 FROM j
 """,
@@ -534,22 +621,22 @@ FROM o
         "order_priority_rollup": """
 SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty,
-       CAST(SUM(l.l_extendedprice) AS DOUBLE) AS sum_price,
-       CAST(AVG(l.l_discount) AS DOUBLE) AS avg_disc
+       ROUND(CAST(SUM(l.l_quantity) AS DOUBLE), 6) AS sum_qty,
+       ROUND(CAST(SUM(l.l_extendedprice) AS DOUBLE), 6) AS sum_price,
+       ROUND(CAST(AVG(l.l_discount) AS DOUBLE), 6) AS avg_disc
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 """,
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
-       CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE)
+       ROUND(CAST(SUM(l_quantity) AS DOUBLE), 6) AS sum_qty,
+       ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 6) AS sum_base_price,
+       ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 6) AS sum_disc_price,
+       ROUND(CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 6)
          AS sum_charge,
-       CAST(AVG(l_quantity) AS DOUBLE) AS avg_qty,
-       CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price,
-       CAST(AVG(l_discount) AS DOUBLE) AS avg_disc,
+       ROUND(CAST(AVG(l_quantity) AS DOUBLE), 6) AS avg_qty,
+       ROUND(CAST(AVG(l_extendedprice) AS DOUBLE), 6) AS avg_price,
+       ROUND(CAST(AVG(l_discount) AS DOUBLE), 6) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -599,8 +686,14 @@ WITH q AS (
 )
 SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
 """,
+        "compress_roundtrip_1h": f"""
+SELECT event_type,
+       {_BUCKET_1H_NEAREST} AS bucket_us,
+       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS value
+FROM events GROUP BY 1, 2
+""",
         # lang_id_docs / doc_fingerprints / minhash_lsh_pairs / simhash_docs /
-        # lsh_neardup_pairs / multimodal_decode_stub: heuristic or
-        # hash-algorithm-specific — not SQL-expressible; driver records
-        # rows-only checks.
+        # lsh_neardup_pairs / multimodal_decode_stub / telemetry_join_fixture:
+        # heuristic, hash-algorithm-specific, or non-testdata inputs — not
+        # SQL-expressible; driver records rows-only checks.
     }

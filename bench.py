@@ -82,6 +82,7 @@ def run_bench() -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            log_to_driver=False,  # keep stdout to the single JSON line
         )
     from ray.data import DataContext
 
@@ -135,30 +136,45 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Same job, fresh ray.init processes at 8 and 32 CPUs.
+
+    The sandbox host's CPU performance is highly erratic (identical numpy
+    work measured at 0.07s-6s across minutes), so each level is run
+    BENCH_SCALING_REPEATS times (default 3) interleaved, and the MINIMUM
+    wall-clock per level is reported — the standard noisy-host benchmarking
+    practice; the min approximates the uncontended machine."""
     lo, hi = 8, 32
-    results = {}
-    for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        results[n] = json.loads(out.strip().splitlines()[-1])
-    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+    times: dict[int, list] = {lo: [], hi: []}
+    rows_per_sec: dict[int, list] = {lo: [], hi: []}
+    for _ in range(repeats):
+        for n in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            times[n].append(r["value"])
+            rows_per_sec[n].append(r["token_rows_per_sec"])
+            sf = r["sf"]
+    t_lo, t_hi = min(times[lo]), min(times[hi])
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling efficiency (same pipeline, fresh processes, "
-        f"num_cpus={lo} vs {hi})",
+        f"num_cpus={lo} vs {hi}, min of {repeats} runs per level)",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
-        f"rows_per_sec_{lo}": results[lo]["token_rows_per_sec"],
-        f"rows_per_sec_{hi}": results[hi]["token_rows_per_sec"],
+        f"rows_per_sec_{lo}": max(rows_per_sec[lo]),
+        f"rows_per_sec_{hi}": max(rows_per_sec[hi]),
+        f"all_sec_{lo}": times[lo],
+        f"all_sec_{hi}": times[hi],
         "scaling_efficiency": round(eff, 3),
-        "sf": results[hi]["sf"],
+        "sf": sf,
     }
 
 
@@ -171,6 +187,7 @@ def run_headline_only() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,
     )
     from ray.data import DataContext
 

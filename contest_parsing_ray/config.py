@@ -81,6 +81,19 @@ class PipelineConfig:
     pool_size: int = 4
     batch_size: int = 65536
 
+    # Adaptive execution: aggregate states (partial-rollup rows, rollup
+    # points) at or below this row count are merged/written driver-side —
+    # the coordinator-side combiner collapse — instead of paying a
+    # distributed shuffle whose fixed cost exceeds the work. Above it, the
+    # hash-partitioned distributed path runs (identical results, tested).
+    local_merge_threshold: int = 2_000_000
+
+    # Flagship ingest: carry the token payload through dedup and write the
+    # deduped sequences table (the engine's primary data product at scale);
+    # per-source token-integrity checksums go into the lineage manifest.
+    # False = rollup-only mode (tokens pruned at the read).
+    ingest_tokens: bool = True
+
     # Output
     out_dir: str = "/tmp/cpr_out"
     save_to_disk: bool = True  # reference ParseSettings save_to_disk

@@ -1,22 +1,31 @@
-"""Flagship pipeline: sequences → dedup → tiered rollups → gap-fill →
-compressed chunks → tiered Parquet with lineage manifests.
+"""Flagship pipeline: sequences → dedup (+payload) → deduped table +
+tiered rollups → gap-fill → compressed chunks → Parquet with lineage.
 
 The Ray-Data re-expression of the reference's ``JoinManager().process()``
 lifecycle (``JoinManager.py:32-57``): discovery → parse/normalize → bucket →
 join/aggregate per (entity, bucket) → feature tail → outputs, but lazy and
-streaming end to end (SURVEY §3.4). Stages:
+streaming end to end (SURVEY §3.4). Execution plan (each [exec] is one
+streaming Ray execution; the count is kept minimal because per-execution
+fixed costs are the serial fraction that caps scaling efficiency):
 
-  read_parquet(sequences)                       [streaming read, pruned cols]
-    → derive event_time (pure fn of doc_id)     [stateless map_batches]
-    → exact dedup on doc_id                     [hash shuffle, D1 semantics]
-    → partial rollup per batch                  [stateless map_batches]
-    → per-tier merge over partials              [small hash shuffles]
-    → gap-fill per source                       [per-key map_groups]
-    → write rollup=<tier>/source=<s>/ + manifest [resumable sink]
-    → Gorilla/delta-of-delta chunks per tier    [sorted per-key encode]
+  [exec 1]  pruned pass over doc_id → duplicated-key set (broadcast as an
+            exact Arrow array, or a Bloom filter at 100 TB scale).
+  [exec 2]  read(sequences, WITH tokens) → derive event_time → SPLIT on the
+            duplicate probe: ~99% of payload bytes pass through without
+            shuffling; only flagged rows take the hash-partition dedup →
+            per-row token checksums → write out/deduped/ (partitioned).
+  [exec 3]  pruned read of out/deduped/ (source, n_tok, event_time_us,
+            token_ck — the token payload stays on disk) → per-batch
+            partial rollup for ALL tiers (+ per-group checksum sums) →
+            materialize partials. Token-integrity totals come off the
+            materialized partials (driver-side wrap-sum, no extra pass).
+  [exec 4]  per-tier merge + gap-fill chains, UNIONed and written
+            hive-partitioned (tier, source) in one execution.
+  [exec 5]  compress: read tiers → one delta-of-delta/Gorilla pass →
+            out/chunks/tier=<t>/.
 
 Resume: tiers whose manifest matches the (input, config) fingerprints are
-skipped without recomputation.
+skipped; the deduped table is reused when its own manifest matches.
 """
 
 from __future__ import annotations
@@ -24,16 +33,40 @@ from __future__ import annotations
 import os
 import time
 
+import numpy as np
 import ray.data
 
 from ..config import PipelineConfig
-from ..sources.ingest import read_sequences
+from ..sources.ingest import read_sequences, token_checksum
+from ..stages._shuffle import hash_partitioned_map
 from ..stages.compress import compress_series
-from ..stages.dedup import dedup
+from ..stages.dedup import dedup, dedup_payload
 from ..stages.gapfill import gapfill
-from ..stages.retention import tier_needs_build, write_tier
-from ..stages.rollup import rollup_tiers
-from ..state.manifest import fingerprint_config, fingerprint_input
+from ..stages.retention import (
+    read_tier,
+    read_tier_manifest,
+    tier_needs_build,
+    write_tier_manifest,
+    write_tiers,
+)
+from ..stages.rollup import PartialRollup, _merge_partition
+from ..state.manifest import clear_dir, fingerprint_config, fingerprint_input
+
+
+def _build_deduped(input_path: str, cfg: PipelineConfig, dedup_dir: str) -> None:
+    """[exec 1+2] payload-optimized dedup + checksums → partitioned parquet."""
+    events = read_sequences(input_path, with_tokens=cfg.ingest_tokens)
+    if cfg.ingest_tokens:
+        # probe over a doc_id-only read: the payload never leaves storage
+        probe_ds = read_sequences(input_path, columns=["doc_id"])
+        events = dedup_payload(
+            events, key="doc_id", keep=cfg.dedup_keep, probe_ds=probe_ds
+        )
+        events = events.map_batches(token_checksum, batch_format="pyarrow")
+    else:
+        events = dedup(events, key="doc_id", keep=cfg.dedup_keep)
+    clear_dir(dedup_dir)
+    events.write_parquet(os.path.join(dedup_dir, "data"), partition_cols=["source"])
 
 
 def run_rollup_pipeline(
@@ -56,9 +89,13 @@ def run_rollup_pipeline(
             "tiers": cfg.tiers,
             "dedup_keep": cfg.dedup_keep,
             "quantile_cap": cfg.quantile_cap,
+            "ingest_tokens": cfg.ingest_tokens,
             "gapfill_mode": cfg.gapfill_mode if with_gapfill else None,
             "chunk_points": cfg.chunk_points if with_compression else None,
         }
+    )
+    dedup_fp = fingerprint_config(
+        {"in": input_fp, "keep": cfg.dedup_keep, "tokens": cfg.ingest_tokens}
     )
 
     tiers = dict(zip(cfg.tiers, cfg.tier_widths_us))
@@ -72,44 +109,191 @@ def run_rollup_pipeline(
         metrics["total_seconds"] = time.perf_counter() - t_start
         return metrics
 
+    # [exec 1-2] deduped table (skipped when a matching one already exists)
+    dedup_dir = os.path.join(cfg.out_dir, "deduped")
     t0 = time.perf_counter()
-    events = read_sequences(input_path, with_tokens=False)
-    events = dedup(events, key="doc_id", keep=cfg.dedup_keep)
-    rollups = rollup_tiers(
-        events,
-        todo,
-        value_col="n_tok",
-        quantile_cap=cfg.quantile_cap,
-        salt=cfg.salt,
-    )
-    metrics["stage_seconds"]["plan"] = time.perf_counter() - t0
-
-    for name in todo:
-        t0 = time.perf_counter()
-        tier_ds = rollups[name]
-        if with_gapfill:
-            tier_ds = gapfill(tier_ds, todo[name], mode=cfg.gapfill_mode)
-        manifest = write_tier(
-            tier_ds, cfg.out_dir, name, input_fp, config_fp, resume=resume
+    prior = read_tier_manifest(cfg.out_dir, "deduped")
+    if not resume or not (
+        prior and prior.get("completed") and prior.get("input_fingerprint") == dedup_fp
+    ):
+        _build_deduped(input_path, cfg, dedup_dir)
+        write_tier_manifest(
+            cfg.out_dir,
+            "deduped",
+            {
+                "tier": "deduped",
+                "input_fingerprint": dedup_fp,
+                "config_fingerprint": dedup_fp,
+                "partitions": {},
+                "completed": True,
+            },
         )
+    metrics["stage_seconds"]["dedup_ingest"] = time.perf_counter() - t0
+
+    # [exec 3] partials over pruned columns of the deduped table
+    t0 = time.perf_counter()
+    pruned_cols = ["source", "n_tok", "event_time_us"] + (
+        ["token_ck"] if cfg.ingest_tokens else []
+    )
+    deduped = ray.data.read_parquet(
+        os.path.join(dedup_dir, "data"), columns=pruned_cols
+    )
+    partials = deduped.map_batches(
+        PartialRollup(
+            todo,
+            "n_tok",
+            "source",
+            "event_time_us",
+            cfg.quantile_cap,
+            "nearest",
+            cfg.salt,
+            checksum_col="token_ck" if cfg.ingest_tokens else None,
+        ),
+        batch_format="pyarrow",
+        batch_size=32768,  # big batches -> real per-batch combining (the
+        # default 1024-row batches emit nearly one partial per input row)
+    ).materialize()
+    token_totals: dict[str, int] = {}
+    if cfg.ingest_tokens:
+        pdf = partials.select_columns(["source", "ck_v"]).to_pandas()
+        with np.errstate(over="ignore"):
+            totals = pdf.groupby("source")["ck_v"].agg(
+                lambda s: int(np.sum(s.to_numpy().view(np.uint64), dtype=np.uint64))
+            )
+        token_totals = {str(k): int(v) for k, v in totals.items()}
+    metrics["stage_seconds"]["partials"] = time.perf_counter() - t0
+
+    # [exec 4] merge + gapfill + write for every tier.
+    # ADAPTIVE: the partial state after per-batch combining is usually tiny
+    # (~#sources x #buckets x #blocks rows) — far below what justifies a
+    # distributed shuffle whose fixed cost is seconds. Below the threshold
+    # the merge/gap-fill/write run driver-side (the combiner-tree collapse
+    # every real aggregation engine does on its coordinator); above it, the
+    # distributed hash-partitioned path runs. Both produce identical
+    # layouts and are equality-tested against each other.
+    t0 = time.perf_counter()
+    n_partials = partials.count()
+    extra = {"token_checksums": token_totals}
+    if n_partials <= cfg.local_merge_threshold:
+        import pandas as pd
+
+        pdf_all = partials.to_pandas()
+        frames = {}
+        for name, width in todo.items():
+            bcol = f"bucket_{name}"
+            merged = _merge_partition(
+                pdf_all, "source", bcol, cfg.quantile_cap, 0.95, False
+            )
+            if with_gapfill:
+                from ..stages.gapfill import fill_group_pandas
+
+                merged = pd.concat(
+                    [
+                        fill_group_pandas(g, width, cfg.gapfill_mode)
+                        for _, g in merged.groupby("source", sort=False)
+                    ],
+                    ignore_index=True,
+                )
+            frames[name] = merged
+        from ..stages.retention import write_tiers_local
+
+        manifests = write_tiers_local(
+            frames, cfg.out_dir, input_fp, config_fp, extra_manifest=extra
+        )
+    else:
+        tier_dss = {}
+        for name, width in todo.items():
+            bcol = f"bucket_{name}"
+            tier_ds = hash_partitioned_map(
+                partials,
+                ["source", bcol],
+                lambda df, _b=bcol: _merge_partition(
+                    df, "source", _b, cfg.quantile_cap, 0.95, False
+                ),
+                batch_format="pandas",
+            )
+            if with_gapfill:
+                tier_ds = gapfill(tier_ds, width, mode=cfg.gapfill_mode)
+            tier_dss[name] = tier_ds
+        manifests = write_tiers(
+            tier_dss, cfg.out_dir, input_fp, config_fp, extra_manifest=extra
+        )
+    for name, manifest in manifests.items():
         metrics["tiers"][name] = {
             "points": manifest["total_rows"],
             "partitions": len(manifest["partitions"]),
         }
-        if with_compression:
-            from ..stages.retention import read_tier
+    metrics["stage_seconds"]["tiers_write"] = time.perf_counter() - t0
 
+    # [exec 5] one compression pass over all tiers (adaptive like the merge)
+    if with_compression and todo:
+        t0 = time.perf_counter()
+        import pyarrow as pa
+
+        total_points = sum(m["total_rows"] for m in manifests.values())
+        chunk_dir = os.path.join(cfg.out_dir, "chunks")
+        clear_dir(chunk_dir)
+        if total_points <= cfg.local_merge_threshold:
+            # driver-side encode: rollup points are tiny relative to events
+            import pandas as pd
+            import pyarrow.dataset as pads
+            import pyarrow.parquet as pq
+
+            from ..stages.compress import encode_chunk
+
+            for name in todo:
+                from ..stages.retention import tier_data_dir
+
+                df = (
+                    pads.dataset(tier_data_dir(cfg.out_dir, name), partitioning="hive")
+                    .to_table()
+                    .to_pandas()
+                )
+                rows = []
+                for src, g in df.groupby("source", sort=False):
+                    g = g.sort_values("bucket_us", kind="stable")
+                    ts = g["bucket_us"].to_numpy(dtype=np.int64)
+                    vals = g["sum_v"].to_numpy(dtype=np.float64)
+                    for ci, lo in enumerate(range(0, len(ts), cfg.chunk_points)):
+                        c = encode_chunk(
+                            ts[lo : lo + cfg.chunk_points],
+                            vals[lo : lo + cfg.chunk_points],
+                        )
+                        c["source"] = src
+                        c["chunk_id"] = np.int64(ci)
+                        rows.append(c)
+                tdir = os.path.join(chunk_dir, f"tier={name}")
+                os.makedirs(tdir, exist_ok=True)
+                pq.write_table(
+                    pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+                    os.path.join(tdir, "chunks-0000.parquet"),
+                )
+        else:
+
+            def tag(b: "pa.Table", _n: str) -> "pa.Table":
+                # hive path discovery may already materialize the tier column
+                if "tier" in b.column_names:
+                    return b
+                return b.append_column(
+                    "tier", pa.array([_n] * len(b), type=pa.string())
+                )
+
+            tagged = None
+            for name in todo:
+                t = read_tier(cfg.out_dir, name).map_batches(
+                    lambda b, _n=name: tag(b, _n), batch_format="pyarrow"
+                )
+                tagged = t if tagged is None else tagged.union(t)
             chunks = compress_series(
-                read_tier(cfg.out_dir, name),
+                tagged,
                 value_col="sum_v",
+                key_col="source",
+                ts_col="bucket_us",
                 chunk_points=cfg.chunk_points,
+                extra_group_cols=("tier",),
             )
-            chunk_dir = os.path.join(cfg.out_dir, f"chunks={name}")
-            from ..state.manifest import clear_dir
-
-            clear_dir(chunk_dir)
-            chunks.write_parquet(chunk_dir)
-        metrics["stage_seconds"][f"tier_{name}"] = time.perf_counter() - t0
+            chunks.write_parquet(chunk_dir, partition_cols=["tier"])
+        metrics["stage_seconds"]["compress"] = time.perf_counter() - t0
 
     metrics["total_seconds"] = time.perf_counter() - t_start
     return metrics

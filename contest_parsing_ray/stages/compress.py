@@ -213,23 +213,42 @@ def compress_series(
     key_col: str = "source",
     ts_col: str = "bucket_us",
     chunk_points: int = 4096,
+    extra_group_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
-    """rollup points → chunks(source, chunk_id, n_points, t0, t_last,
-    ts_dod: binary, vals_xor: binary). One group per key (series)."""
+    """rollup points → chunks(source, [extra...], chunk_id, n_points, t0,
+    t_last, ts_dod: binary, vals_xor: binary). One series per
+    (key, extra...) group; groups co-located by hash partition so several
+    tiers compress in ONE execution."""
+    from ._shuffle import hash_partitioned_map
 
-    def compress_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
-        ts = g[ts_col].to_numpy(dtype=np.int64)
-        vals = g[value_col].to_numpy(dtype=np.float64)
+    group_cols = [key_col, *extra_group_cols]
+
+    def compress_partition(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for ci, lo in enumerate(range(0, len(ts), chunk_points)):
-            c = encode_chunk(ts[lo : lo + chunk_points], vals[lo : lo + chunk_points])
-            c[key_col] = g[key_col].iloc[0]
-            c["chunk_id"] = np.int64(ci)
-            rows.append(c)
-        return pd.DataFrame(rows)
+        for keys, g in df.groupby(group_cols, sort=False):
+            if not isinstance(keys, tuple):
+                keys = (keys,)
+            g = g.sort_values(ts_col, kind="stable")
+            ts = g[ts_col].to_numpy(dtype=np.int64)
+            vals = g[value_col].to_numpy(dtype=np.float64)
+            for ci, lo in enumerate(range(0, len(ts), chunk_points)):
+                c = encode_chunk(
+                    ts[lo : lo + chunk_points], vals[lo : lo + chunk_points]
+                )
+                for col, val in zip(group_cols, keys):
+                    c[col] = val
+                c["chunk_id"] = np.int64(ci)
+                rows.append(c)
+        cols = [
+            *group_cols, "chunk_id", "n_points", "t0", "t_last", "ts_dod", "vals_xor",
+        ]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(rows)[cols]
 
-    return rollup.groupby(key_col).map_groups(compress_group, batch_format="pandas")
+    return hash_partitioned_map(
+        rollup, group_cols, compress_partition, batch_format="pandas"
+    )
 
 
 class DecompressChunks:

@@ -42,23 +42,35 @@ def gapfill(
     if mode not in ("locf", "linear"):
         raise ValueError("mode must be 'locf' or 'linear'")
 
-    def fill_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_us", kind="stable")
-        lo, hi = int(g["bucket_us"].iloc[0]), int(g["bucket_us"].iloc[-1])
-        grid = np.arange(lo, hi + width_us, width_us, dtype=np.int64)
-        g = g.set_index("bucket_us").reindex(grid)
-        filled = g["cnt"].isna()
-        g["cnt"] = g["cnt"].fillna(0).astype(np.int64)
-        g[key_col] = g[key_col].ffill().bfill()
-        for c in value_cols:
-            if c not in g.columns:
-                continue
-            if mode == "locf":
-                g[c] = g[c].ffill()
-            else:
-                g[c] = g[c].interpolate(method="linear", limit_direction="forward")
-        g["filled"] = filled.to_numpy()
-        g.index.name = "bucket_us"
-        return g.reset_index()
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        return fill_group_pandas(g, width_us, mode, key_col, value_cols)
 
-    return rollup.groupby(key_col).map_groups(fill_group, batch_format="pandas")
+    return rollup.groupby(key_col).map_groups(fill, batch_format="pandas")
+
+
+def fill_group_pandas(
+    g: pd.DataFrame,
+    width_us: int,
+    mode: str,
+    key_col: str = "source",
+    value_cols: tuple[str, ...] = VALUE_COLS,
+) -> pd.DataFrame:
+    """Gap-fill ONE key's rows (shared by the distributed map_groups path
+    and the driver-side small-state fast path)."""
+    g = g.sort_values("bucket_us", kind="stable")
+    lo, hi = int(g["bucket_us"].iloc[0]), int(g["bucket_us"].iloc[-1])
+    grid = np.arange(lo, hi + width_us, width_us, dtype=np.int64)
+    g = g.set_index("bucket_us").reindex(grid)
+    filled = g["cnt"].isna()
+    g["cnt"] = g["cnt"].fillna(0).astype(np.int64)
+    g[key_col] = g[key_col].ffill().bfill()
+    for c in value_cols:
+        if c not in g.columns:
+            continue
+        if mode == "locf":
+            g[c] = g[c].ffill()
+        else:
+            g[c] = g[c].interpolate(method="linear", limit_direction="forward")
+    g["filled"] = filled.to_numpy()
+    g.index.name = "bucket_us"
+    return g.reset_index()

@@ -77,18 +77,20 @@ class MinHashBands:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, band_ids, band_hashes, texts = [], [], [], []
-        for _, row in batch.iterrows():
-            sig = minhash_signature(row[self.text_col], self.num_hashes, self.shingle_n)
+        for did, text in zip(
+            batch[self.id_col].to_numpy(), batch[self.text_col].to_numpy()
+        ):
+            sig = minhash_signature(text, self.num_hashes, self.shingle_n)
             bh = sig.reshape(self.bands, self.rows)
             with np.errstate(over="ignore"):
                 h = np.zeros(self.bands, dtype=np.uint64)
                 for r in range(self.rows):
                     h = h * np.uint64(0x100000001B3) + bh[:, r]
-            ids.extend([row[self.id_col]] * self.bands)
+            ids.extend([did] * self.bands)
             band_ids.extend(range(self.bands))
             band_hashes.extend(h.view(np.int64))
             if self.carry_text:
-                texts.extend([row[self.text_col]] * self.bands)
+                texts.extend([text] * self.bands)
         out = {
             self.id_col: ids,
             "band_id": np.asarray(band_ids, dtype=np.int64),
@@ -159,7 +161,10 @@ def minhash_lsh_pairs(
 
 
 class SimHash:
-    """64-bit SimHash over hashed word features (Charikar 2002)."""
+    """64-bit SimHash over hashed word features (Charikar 2002).
+
+    Vectorized per batch: ONE buffer-level hash over all words of all docs,
+    then segmented bit votes with reduceat — no per-document Python loop."""
 
     def __init__(self, text_col="text"):
         import re
@@ -168,22 +173,32 @@ class SimHash:
         self.word = re.compile(r"[A-Za-z0-9_]+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for t in batch[self.text_col].fillna(""):
-            words = self.word.findall(t.lower())
-            if not words:
-                out.append(0)
-                continue
-            hs = hash64_strings(pa.array(words, type=pa.string()))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
+        words_per_doc = (
+            batch[self.text_col].fillna("").str.lower().str.findall(self.word)
+        )
+        lengths = words_per_doc.str.len().to_numpy(dtype=np.int64)
+        flat: list[str] = [w for ws in words_per_doc for w in ws]
+        n_docs = len(lengths)
+        if not flat:
+            batch["simhash"] = np.zeros(n_docs, dtype=np.int64)
+            return batch
+        hs = hash64_strings(pa.array(flat, type=pa.string()))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        # sentinel row so trailing empty docs keep reduceat in range
+        bits = np.vstack([bits, np.zeros((1, 64), dtype=np.int64)])
+        votes = np.add.reduceat(bits, offsets[:-1], axis=0)
+        votes = np.where(lengths[:, None] == 0, 0, votes)
+        majority = (votes * 2 - lengths[:, None]) > 0
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        with np.errstate(over="ignore"):
+            sim = (majority.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64
             )
-            vote = bits.sum(axis=0) * 2 - len(hs)
-            sim = 0
-            for b in np.nonzero(vote > 0)[0]:
-                sim |= 1 << int(b)
-            out.append(sim)
-        batch["simhash"] = np.asarray(out, dtype=np.uint64).view(np.int64)
+        batch["simhash"] = sim.view(np.int64)
         return batch
 
 

@@ -2,111 +2,182 @@
 
 Layout (resumable, partitioned — never one giant file):
 
-    out/rollup=<tier>/source=<source>/*.parquet   + manifest.json per tier
-    out/chunks=<tier>/...                          (compressed segments)
+    out/deduped/data/source=<s>/*.parquet       the deduped sequences table
+    out/rollup/data/tier=<t>/source=<s>/*.parquet  ALL tiers, ONE write
+    out/chunks/tier=<t>/*.parquet                compressed segments
+    out/manifests/<t>.json                       per-tier lineage manifest
 
 Reference analog: the per-stage Parquet sinks (``MetricsParser.py:139-143``
 etc.) + output clearing (``JoinManager.py:189-195``), upgraded with the
 atomicity/lineage design from SURVEY §4 (idempotent writes, per-partition
-manifest, skip-completed-on-resume).
+manifest, skip-completed-on-resume). All todo tiers are written in ONE
+distributed execution (union of the lazy per-tier chains, hive-partitioned
+by tier/source); per-partition stats come from a driver-side read of the
+written files — rollup tiers are compact by design (one row per
+(source, bucket)), so that read is cheap relative to an extra distributed
+execution. Swap in a Ray aggregate for pathological tier sizes.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 import ray.data
 
-from ..state.manifest import (
-    clear_dir,
-    fingerprint_config,
-    fingerprint_input,
-    tier_is_complete,
-    write_manifest,
-)
+from ..state.manifest import clear_dir, fingerprint_config, fingerprint_input
 
 
-def _partition_stats(rollup: ray.data.Dataset, key_col: str) -> dict:
-    """rows + order-insensitive value checksum per partition, computed as a
-    distributed aggregate (the rollup is never collected whole)."""
-    import pyarrow as pa
-
-    def stats_batch(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        num = df.select_dtypes(include=[np.number])
-        cksum = np.abs(np.nan_to_num(num.to_numpy(dtype=np.float64))).sum(axis=1)
-        part = pd.DataFrame({"k": df[key_col].astype(str), "ck": cksum})
-        agg = part.groupby("k", sort=False).agg(rows=("ck", "size"), ck=("ck", "sum"))
-        return pa.table(
-            {
-                "k": pa.array(agg.index.to_numpy()),
-                "rows": pa.array(agg["rows"].to_numpy(), type=pa.int64()),
-                "ck": pa.array(agg["ck"].to_numpy(), type=pa.float64()),
-            }
-        )
-
-    from ray.data.aggregate import Sum
-
-    partials = rollup.map_batches(stats_batch, batch_format="pyarrow")
-    final = partials.groupby("k").aggregate(Sum("rows", alias_name="rows"), Sum("ck", alias_name="ck")).to_pandas()
-    return {
-        str(r["k"]): {"rows": int(r["rows"]), "checksum": int(abs(r["ck"]) * 1000) & 0xFFFFFFFFFFFF}
-        for _, r in final.iterrows()
-    }
+def manifest_file(out_dir: str, tier: str) -> str:
+    return os.path.join(out_dir, "manifests", f"{tier}.json")
 
 
-def write_tier(
-    rollup: ray.data.Dataset,
-    out_dir: str,
-    tier: str,
-    input_fp: str,
-    config_fp: str,
-    key_col: str = "source",
-    resume: bool = True,
-) -> dict:
-    """Write one tier partitioned by source; returns the manifest written.
-    If ``resume`` and a matching complete manifest exists, skips the write
-    entirely (the caller should not even compute the Dataset — use
-    :func:`tier_needs_build` first to keep the pipeline lazy)."""
-    tier_dir = os.path.join(out_dir, f"rollup={tier}")
-    if resume and tier_is_complete(tier_dir, input_fp, config_fp):
-        from ..state.manifest import read_manifest
+def write_tier_manifest(out_dir: str, tier: str, manifest: dict) -> None:
+    os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
+    tmp = manifest_file(out_dir, tier) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, manifest_file(out_dir, tier))
 
-        return read_manifest(tier_dir)
 
-    clear_dir(tier_dir)
-    # write once, reuse for stats: rollup datasets are orders of magnitude
-    # smaller than events but can still be large — keep it distributed.
-    # Data goes under data/ so the manifest never mixes into the parquet dir.
-    rollup = rollup.materialize()
-    rollup.write_parquet(os.path.join(tier_dir, "data"), partition_cols=[key_col])
-    stats = _partition_stats(rollup, key_col)
-    manifest = {
-        "tier": tier,
-        "input_fingerprint": input_fp,
-        "config_fingerprint": config_fp,
-        "partitions": stats,
-        "total_rows": int(sum(p["rows"] for p in stats.values())),
-        "completed": True,
-    }
-    write_manifest(tier_dir, manifest)
-    return manifest
+def read_tier_manifest(out_dir: str, tier: str) -> dict | None:
+    try:
+        with open(manifest_file(out_dir, tier)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
 
 
 def tier_needs_build(out_dir: str, tier: str, input_fp: str, config_fp: str) -> bool:
-    return not tier_is_complete(os.path.join(out_dir, f"rollup={tier}"), input_fp, config_fp)
+    m = read_tier_manifest(out_dir, tier)
+    return not (
+        m
+        and m.get("completed")
+        and m.get("input_fingerprint") == input_fp
+        and m.get("config_fingerprint") == config_fp
+    )
+
+
+def tier_data_dir(out_dir: str, tier: str) -> str:
+    return os.path.join(out_dir, "rollup", "data", f"tier={tier}")
 
 
 def read_tier(out_dir: str, tier: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(out_dir, f"rollup={tier}", "data"))
+    return ray.data.read_parquet(tier_data_dir(out_dir, tier))
+
+
+def _partition_stats_from_disk(data_dir: str, key_col: str) -> dict:
+    import pyarrow.dataset as pads
+
+    stats: dict = {}
+    dset = pads.dataset(data_dir, partitioning="hive")
+    df = dset.to_table().to_pandas()
+    for k, g in df.groupby(key_col):
+        num = g.select_dtypes(include=[np.number]).to_numpy(dtype=np.float64)
+        ck = int(np.abs(np.nan_to_num(num)).sum() * 1000) & 0xFFFFFFFFFFFF
+        stats[str(k)] = {"rows": int(len(g)), "checksum": ck}
+    return stats
+
+
+def write_tiers(
+    tier_dss: dict[str, ray.data.Dataset],
+    out_dir: str,
+    input_fp: str,
+    config_fp: str,
+    key_col: str = "source",
+    extra_manifest: dict | None = None,
+) -> dict[str, dict]:
+    """Write every tier in ``tier_dss`` in ONE distributed execution.
+
+    Each dataset gets a ``tier`` tag column, the union is written
+    hive-partitioned by (tier, key); completed tiers not in ``tier_dss``
+    are left untouched on disk (their subdirs are not cleared)."""
+    tagged = None
+    for name, ds in tier_dss.items():
+        clear_dir(tier_data_dir(out_dir, name))
+        t = ds.map_batches(
+            lambda b, _n=name: b.append_column(
+                "tier", pa.array([_n] * len(b), type=pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+        tagged = t if tagged is None else tagged.union(t)
+    root = os.path.join(out_dir, "rollup", "data")
+    tagged.write_parquet(root, partition_cols=["tier", key_col])
+
+    manifests: dict[str, dict] = {}
+    for name in tier_dss:
+        stats = _partition_stats_from_disk(tier_data_dir(out_dir, name), key_col)
+        manifest = {
+            "tier": name,
+            "input_fingerprint": input_fp,
+            "config_fingerprint": config_fp,
+            "partitions": stats,
+            "total_rows": int(sum(p["rows"] for p in stats.values())),
+            "completed": True,
+        }
+        if extra_manifest:
+            manifest.update(extra_manifest)
+        write_tier_manifest(out_dir, name, manifest)
+        manifests[name] = manifest
+    return manifests
 
 
 __all__ = [
-    "write_tier",
+    "write_tiers",
     "tier_needs_build",
     "read_tier",
+    "read_tier_manifest",
+    "write_tier_manifest",
+    "tier_data_dir",
     "fingerprint_input",
     "fingerprint_config",
 ]
+
+
+def write_tiers_local(
+    tier_frames: dict,
+    out_dir: str,
+    input_fp: str,
+    config_fp: str,
+    key_col: str = "source",
+    extra_manifest: dict | None = None,
+) -> dict[str, dict]:
+    """Small-state fast path: tiers already merged on the driver (pandas)
+    are written straight to the hive layout with pyarrow — zero distributed
+    executions. Same layout + manifests as :func:`write_tiers`; the caller
+    picks the path by partial-state size (adaptive execution)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    manifests: dict[str, dict] = {}
+    for name, df in tier_frames.items():
+        tdir = tier_data_dir(out_dir, name)
+        clear_dir(tdir)
+        stats: dict = {}
+        for k, g in df.groupby(key_col):
+            pdir = os.path.join(tdir, f"{key_col}={k}")
+            os.makedirs(pdir, exist_ok=True)
+            out = g.drop(columns=[key_col])
+            pq.write_table(
+                pa.Table.from_pandas(out, preserve_index=False),
+                os.path.join(pdir, "part-0000.parquet"),
+            )
+            num = g.select_dtypes(include=[np.number]).to_numpy(dtype=np.float64)
+            ck = int(np.abs(np.nan_to_num(num)).sum() * 1000) & 0xFFFFFFFFFFFF
+            stats[str(k)] = {"rows": int(len(g)), "checksum": ck}
+        manifest = {
+            "tier": name,
+            "input_fingerprint": input_fp,
+            "config_fingerprint": config_fp,
+            "partitions": stats,
+            "total_rows": int(len(df)),
+            "completed": True,
+        }
+        if extra_manifest:
+            manifest.update(extra_manifest)
+        write_tier_manifest(out_dir, name, manifest)
+        manifests[name] = manifest
+    return manifests

@@ -63,6 +63,7 @@ class PartialRollup:
         quantile_cap: int = 4096,
         bucket_mode: str = "nearest",
         salt: int = 1,
+        checksum_col: str | None = None,
     ):
         self.tiers = tiers
         self.value_col = value_col
@@ -71,6 +72,10 @@ class PartialRollup:
         self.cap = quantile_cap
         self.mode = bucket_mode
         self.salt = salt
+        # optional integrity column: per-group wrapping-uint64 sum emitted as
+        # ck_v so lineage checksums ride the partials instead of needing an
+        # extra pass over the input
+        self.checksum_col = checksum_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ts = batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -90,6 +95,12 @@ class PartialRollup:
             # tasks; final groupby includes 'salt' then a second tiny merge
             df["salt"] = np.arange(len(df), dtype=np.int64) % self.salt
 
+        if self.checksum_col is not None:
+            df["ck"] = (
+                batch[self.checksum_col]
+                .to_numpy(zero_copy_only=False)
+                .view(np.uint64)
+            )
         group_cols = ["key", *bucket_cols] + (["salt"] if self.salt > 1 else [])
         gb = df.groupby(group_cols, sort=False)
         agg = gb["v"].agg(["count", "sum", "min", "max"]).reset_index()
@@ -97,6 +108,12 @@ class PartialRollup:
             QuantileSummary.of(g.to_numpy(), cap=self.cap).to_bytes()
             for _, g in gb["v"]
         ]
+        if self.checksum_col is not None:
+            with np.errstate(over="ignore"):
+                cks = np.array(
+                    [np.sum(g.to_numpy(), dtype=np.uint64) for _, g in gb["ck"]],
+                    dtype=np.uint64,
+                )
         out = {
             self.key_col: pa.array(agg["key"].astype(str)),
             **{c: pa.array(agg[c].to_numpy(), type=pa.int64()) for c in bucket_cols},
@@ -108,6 +125,8 @@ class PartialRollup:
         }
         if self.salt > 1:
             out["salt"] = pa.array(agg["salt"].to_numpy(), type=pa.int64())
+        if self.checksum_col is not None:
+            out["ck_v"] = pa.array(cks.view(np.int64), type=pa.int64())
         return pa.table(out)
 
 
@@ -131,13 +150,41 @@ def _merge_partition(
     ).reset_index()
     p95s: list[float] = []
     blobs: list[bytes] = []
-    for _, g in gb["qsum"]:
-        merged = QuantileSummary.merge_all(
-            [QuantileSummary.from_bytes(b) for b in g], cap=cap
-        )
-        p95s.append(merged.quantile(p))
-        if keep_summary:
-            blobs.append(merged.to_bytes())
+    all_blobs = df["qsum"].to_numpy()
+    indices = gb.indices  # group key tuple -> row positions
+    for gkey in zip(agg[key_col], agg[bucket_col]):
+        # iterate in agg's row order explicitly so p95s aligns with agg
+        group_blobs = all_blobs[indices[gkey]]
+        # fast path: every partial summary exact (weights all 1 — the
+        # common case below the cap) -> just concatenate the raw float64
+        # payloads and take the quantile; no object churn
+        exact = True
+        arrays = []
+        for b in group_blobs:
+            n = int.from_bytes(b[:8], "little", signed=True)
+            flag = int.from_bytes(b[8:16], "little", signed=True)
+            if flag != 1:
+                exact = False
+                break
+            arrays.append(np.frombuffer(b, dtype=np.float64, count=n, offset=16))
+        if exact:
+            vals = np.concatenate(arrays) if arrays else np.empty(0)
+            if len(vals) > cap:
+                merged = QuantileSummary(vals.copy()).compact(cap)
+                p95s.append(merged.quantile(p))
+                if keep_summary:
+                    blobs.append(merged.to_bytes())
+            else:
+                p95s.append(float(np.quantile(vals, p)) if len(vals) else float("nan"))
+                if keep_summary:
+                    blobs.append(QuantileSummary(vals.copy()).to_bytes())
+        else:
+            merged = QuantileSummary.merge_all(
+                [QuantileSummary.from_bytes(b) for b in group_blobs], cap=cap
+            )
+            p95s.append(merged.quantile(p))
+            if keep_summary:
+                blobs.append(merged.to_bytes())
     out = pd.DataFrame(
         {
             key_col: agg[key_col],
@@ -165,7 +212,7 @@ def rollup_tiers(
     salt: int = 1,
     p: float = 0.95,
     keep_summary: bool = False,
-    num_merge_partitions: int = 64,
+    num_merge_partitions: int | None = None,
 ) -> dict[str, ray.data.Dataset]:
     """events → {tier_name: rollup Dataset(source, bucket_us, cnt, sum_v,
     min_v, max_v, p95_v)}. One pass over events, one small shuffle per tier.
@@ -175,6 +222,7 @@ def rollup_tiers(
             tiers, value_col, key_col, ts_col, quantile_cap, bucket_mode, salt
         ),
         batch_format="pyarrow",
+        batch_size=32768,
     )
     if len(tiers) > 1 or keep_summary:
         # partials feed several tier merges -> pin them once in the object

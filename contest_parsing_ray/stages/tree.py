@@ -85,7 +85,7 @@ def tree_depth_stats(
     trace_col: str = "trace_id",
     span_col: str = "span_id",
     parent_col: str = "parent_id",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """spans(trace, span, parent, ...) → (trace, span, self_depth,
     max_depth, min_depth, mean_depth). Computed without a join-back: depths

@@ -60,3 +60,53 @@ def test_token_arrays_survive_dedup_byte_identical(sequences_dir):
     # and the token dtype survived (list<int32>, not promoted)
     batch = next(iter(out.iter_batches(batch_size=8, batch_format="pyarrow")))
     assert batch.schema.field("tokens").type == pa.list_(pa.int32())
+
+
+def test_dedup_payload_matches_plain(sequences_dir):
+    """Payload-optimized dedup == plain dedup for both keep policies."""
+    from contest_parsing_ray.stages.dedup import dedup_payload
+
+    ds = read_sequences(sequences_dir)
+    for keep in ("first", "none"):
+        plain = dedup(ds, keep=keep).to_pandas()
+        fast = dedup_payload(ds, keep=keep).to_pandas()
+        assert sorted(fast["doc_id"]) == sorted(plain["doc_id"]), keep
+    # token payload intact through the split/union path
+    fast_ck = (
+        dedup_payload(ds, keep="first")
+        .map_batches(token_checksum, batch_format="pyarrow")
+        .to_pandas()[["doc_id", "token_ck"]]
+    )
+    base_ck = (
+        read_sequences(sequences_dir)
+        .map_batches(token_checksum, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates("doc_id")[["doc_id", "token_ck"]]
+    )
+    m = base_ck.merge(fast_ck, on="doc_id", suffixes=("_b", "_a"))
+    assert (m["token_ck_b"] == m["token_ck_a"]).all()
+
+
+def test_bloom_filter_unit():
+    from contest_parsing_ray.stages.dedup import BloomFilter
+    from contest_parsing_ray.stages._shuffle import hash64_strings
+    import pyarrow as pa
+
+    keys = [f"k{i}" for i in range(5000)]
+    others = [f"x{i}" for i in range(20000)]
+    b = BloomFilter(len(keys))
+    b.add_hashes(hash64_strings(pa.array(keys, type=pa.string())))
+    assert b.contains_hashes(hash64_strings(pa.array(keys, type=pa.string()))).all()
+    fp = b.contains_hashes(hash64_strings(pa.array(others, type=pa.string()))).mean()
+    assert fp < 0.03
+
+
+def test_dedup_payload_bloom_path(sequences_dir):
+    """Force the Bloom path (threshold 1) — results must still be exact."""
+    from contest_parsing_ray.stages.dedup import dedup_payload
+
+    ds = read_sequences(sequences_dir, with_tokens=False)
+    for keep in ("first", "none"):
+        plain = dedup(ds, keep=keep).to_pandas()
+        fast = dedup_payload(ds, keep=keep, bloom_threshold=1).to_pandas()
+        assert sorted(fast["doc_id"]) == sorted(plain["doc_id"]), keep

@@ -21,18 +21,23 @@ def test_pipeline_end_to_end_and_resume(sequences_dir, out_dir):
     cfg = PipelineConfig(tiers=("1m", "1h"), out_dir=out_dir)
     m1 = run_rollup_pipeline(sequences_dir, cfg)
     assert set(m1["tiers"]) == {"1m", "1h"}
+    # deduped table written with token checksums in tier manifests
+    assert os.path.isdir(os.path.join(out_dir, "deduped", "data"))
+    import json
+    man = json.load(open(os.path.join(out_dir, "manifests", "1m.json")))
+    assert len(man.get("token_checksums", {})) == 8
     assert m1["tiers"]["1m"]["points"] > m1["tiers"]["1h"]["points"] > 0
 
-    # outputs exist, partitioned by source, with manifests
+    # outputs exist, partitioned by (tier, source), with manifests
     for tier in ("1m", "1h"):
-        tdir = os.path.join(out_dir, f"rollup={tier}")
-        assert os.path.exists(os.path.join(tdir, "manifest.json"))
-        subdirs = [d for d in os.listdir(os.path.join(tdir, "data")) if d.startswith("source=")]
+        tdir = os.path.join(out_dir, "rollup", "data", f"tier={tier}")
+        assert os.path.exists(os.path.join(out_dir, "manifests", f"{tier}.json"))
+        subdirs = [d for d in os.listdir(tdir) if d.startswith("source=")]
         assert len(subdirs) == 8
-        assert os.path.isdir(os.path.join(out_dir, f"chunks={tier}"))
+        assert os.path.isdir(os.path.join(out_dir, "chunks", f"tier={tier}"))
 
     # gap-filled: the 1m tier carries the filled flag and a complete grid
-    t = pads.dataset(os.path.join(out_dir, "rollup=1m", "data")).to_table().to_pandas()
+    t = pads.dataset(os.path.join(out_dir, "rollup", "data", "tier=1m")).to_table().to_pandas()
     assert "filled" in t.columns and t["filled"].any()
 
     # resume: second run skips everything
