@@ -121,3 +121,44 @@ def _fallback_union_join(
     return both.groupby("__part").map_groups(
         lambda g: join_partition(g.drop(columns="__part")), batch_format="pandas"
     )
+
+
+def align_concat(
+    datasets: list[ray.data.Dataset],
+    key_cols: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """J7: align-concat — full-outer merge-by-key with first-non-null
+    coalesce per column (the reference's ``pl.concat(how='align')``,
+    ``Joiner.py:331-333``).
+
+    Union all shards, co-locate by key hash, then one vectorized
+    groupby-first-non-null per partition."""
+    import pyarrow as pa
+
+    from ._shuffle import hash_partitioned_map
+
+    all_cols: list[str] = []
+    for ds in datasets:
+        for c in ds.schema().names:
+            if c not in all_cols:
+                all_cols.append(c)
+
+    def pad(b: pa.Table) -> pa.Table:
+        for c in all_cols:
+            if c not in b.column_names:
+                b = b.append_column(c, pa.nulls(len(b), type=pa.float64()))
+        return b.select(all_cols)
+
+    unioned = None
+    for ds in datasets:
+        t = ds.map_batches(pad, batch_format="pyarrow")
+        unioned = t if unioned is None else unioned.union(t)
+
+    def coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key_cols, sort=False).first().reset_index()
+
+    return hash_partitioned_map(
+        unioned, key_cols, coalesce, num_partitions=num_partitions,
+        batch_format="pandas",
+    )
