@@ -447,6 +447,54 @@ def _q_telemetry_fixture(sf_dir: str):
     return telemetry_join(spans, metrics, logs, 30_000_000)
 
 
+
+def _q_asof(sf_dir: str):
+    """Backward as-of join: each event picks the latest 1h rollup point at
+    or before its timestamp for its event_type."""
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+    from contest_parsing_ray.stages.window import asof_join
+
+    ev = _events(sf_dir, columns=["ts", "event_id", "event_type"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="event_id", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    joined = asof_join(
+        ev.select_columns(["event_id", "event_type", "event_time_us"]),
+        r.select_columns(["event_type", "bucket_us", "cnt"]),
+        key_col="event_type",
+        left_ts_col="event_time_us",
+        right_ts_col="bucket_us",
+        right_value_cols=["cnt"],
+    )
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"bucket_us": "asof_bucket_us", "cnt": "asof_cnt"})
+        df["event_id"] = df["event_id"].astype(np.int64)
+        df["asof_bucket_us"] = df["asof_bucket_us"].astype(np.float64)
+        df["asof_cnt"] = df["asof_cnt"].astype(np.float64)
+        return df[["event_id", "event_type", "asof_bucket_us", "asof_cnt"]]
+
+    return joined.map_batches(rename, batch_format="pandas")
+
+
+def _q_sliding(sf_dir: str):
+    """3-bucket sliding sum of per-hour counts per event_type."""
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+    from contest_parsing_ray.stages.window import sliding_window
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    out = sliding_window(
+        r.select_columns(["event_type", "bucket_us", "cnt"]),
+        key_col="event_type", ts_col="bucket_us", value_cols=["cnt"], window=3,
+    )
+    return _round_cols(out, ["cnt_w3_sum"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # continuous aggregates / rollup tiers (SURVEY A1/A3/A8, M10/F3)
@@ -488,6 +536,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_roundtrip_1h": _q_compress_roundtrip,
         # reference Joiner analog on F2 fixtures (rows-only; goldens in tests)
         "telemetry_join_fixture": _q_telemetry_fixture,
+        # time-series operators Ray Data lacks natively
+        "asof_join_rollup": _q_asof,
+        "sliding_window_3h": _q_sliding,
     }
 
 
@@ -685,6 +736,30 @@ WITH q AS (
   FROM s
 )
 SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+""",
+        "asof_join_rollup": f"""
+WITH r AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type,
+       CAST(r.bucket_us AS DOUBLE) AS asof_bucket_us,
+       CAST(r.cnt AS DOUBLE) AS asof_cnt
+FROM events e ASOF LEFT JOIN r
+  ON e.event_type = r.event_type AND epoch_us(e.ts) >= r.bucket_us
+""",
+        "sliding_window_3h": f"""
+WITH r AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_us, cnt,
+       ROUND(CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket_us
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS cnt_w3_sum
+FROM r
 """,
         "compress_roundtrip_1h": f"""
 SELECT event_type,

@@ -1,0 +1,115 @@
+"""Time-series operators Ray Data lacks natively: as-of join and sliding
+windows (build-brief "custom operators" — composition of hash-partitioned
+co-location + per-key vectorized pandas, per the (a)-path in the brief).
+
+Partitioning assumption (documented per the brief): all rows of one key
+co-locate via the key hash; each key's series fits one task's memory
+(series = rollup points / right-side lookups, orders of magnitude smaller
+than events). For larger series, range-partition time within key and carry
+boundary rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ._shuffle import hash_partitioned_map
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    left_ts_col: str,
+    right_ts_col: str,
+    right_value_cols: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """For every left row: attach the latest right row of the same key with
+    right_ts <= left_ts (backward as-of; ``pd.merge_asof`` semantics).
+
+    Both sides are tagged, unioned, co-located by key hash, and merged
+    per-partition with ``pd.merge_asof`` per key — one shuffle total.
+    """
+    l_schema = left.schema()
+    r_schema = right.schema()
+    lcols = l_schema.names
+    rcols = [key_col, right_ts_col, *right_value_cols]
+    types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    types.update({n: t for n, t in zip(l_schema.names, l_schema.types)})
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def tag(side: int, cols: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.select([c for c in cols if c in b.column_names])
+            # pad to the union schema with typed nulls so both branches match
+            for c in all_cols:
+                if c not in b.column_names:
+                    b = b.append_column(c, pa.nulls(len(b), type=types[c]))
+            b = b.select(all_cols)
+            return b.append_column(
+                "__side", pa.array(np.full(len(b), side, dtype=np.int8))
+            )
+
+        return fn
+
+    both = left.map_batches(tag(0, lcols), batch_format="pyarrow").union(
+        right.map_batches(tag(1, rcols), batch_format="pyarrow")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][lcols].sort_values(left_ts_col, kind="stable")
+        # the union pads each side with nulls -> pandas promotes int64
+        # columns to float64; restore int dtypes on the null-free side
+        l = l.copy()
+        l[left_ts_col] = l[left_ts_col].astype(np.int64)
+        r = (
+            df[df["__side"] == 1][rcols]
+            .dropna(subset=[right_ts_col])
+            .sort_values(right_ts_col, kind="stable")
+        )
+        r[right_ts_col] = r[right_ts_col].astype(np.int64)
+        out = pd.merge_asof(
+            l,
+            r,
+            left_on=left_ts_col,
+            right_on=right_ts_col,
+            by=key_col,
+            direction="backward",
+        )
+        return out
+
+    return hash_partitioned_map(
+        both, [key_col], merge, num_partitions=num_partitions, batch_format="pandas"
+    )
+
+
+def sliding_window(
+    series: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    window: int,
+    agg: str = "sum",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per key, ordered by ``ts_col``: rolling aggregate over the previous
+    ``window`` rows (inclusive) — ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW. Output adds ``{col}_w{window}_{agg}`` columns."""
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby(key_col, sort=False):
+            g = g.sort_values(ts_col, kind="stable").copy()
+            for c in value_cols:
+                r = g[c].rolling(window, min_periods=1)
+                g[f"{c}_w{window}_{agg}"] = getattr(r, agg)()
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_partitioned_map(
+        series, [key_col], roll, num_partitions=num_partitions, batch_format="pandas"
+    )
