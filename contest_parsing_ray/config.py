@@ -74,6 +74,11 @@ class PipelineConfig:
     # Gap-fill mode: 'locf' (last observation carried forward) or 'linear'.
     gapfill_mode: str = "locf"
 
+    # Retention policy per tier (same order as `tiers`): keep-duration spec
+    # or None = keep forever. Applied by the pipeline only when an explicit
+    # `retention_now_us` is passed (no wall clock — deterministic).
+    retention_keep: tuple[str | None, ...] | None = None
+
     # Compression chunk size (points per Gorilla chunk).
     chunk_points: int = 4096
 

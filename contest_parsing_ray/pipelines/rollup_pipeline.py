@@ -75,6 +75,7 @@ def run_rollup_pipeline(
     with_gapfill: bool = True,
     with_compression: bool = True,
     resume: bool = True,
+    retention_now_us: int | None = None,
 ) -> dict:
     """Run the flagship pipeline; returns a metrics dict (rows ingested,
     points per tier, wall-clock per stage — the engine's analog of the
@@ -294,6 +295,21 @@ def run_rollup_pipeline(
             )
             chunks.write_parquet(chunk_dir, partition_cols=["tier"])
         metrics["stage_seconds"]["compress"] = time.perf_counter() - t0
+
+    # retention expiry (only with an explicit clock — deterministic)
+    if retention_now_us is not None and cfg.retention_keep:
+        from ..config import parse_duration_us
+        from ..stages.retention import apply_retention
+
+        t0 = time.perf_counter()
+        for name, keep_spec in zip(cfg.tiers, cfg.retention_keep):
+            if keep_spec is None or name not in metrics["tiers"]:
+                continue
+            res = apply_retention(
+                cfg.out_dir, name, parse_duration_us(keep_spec), retention_now_us
+            )
+            metrics["tiers"][name]["retention_dropped"] = res["dropped"]
+        metrics["stage_seconds"]["retention"] = time.perf_counter() - t0
 
     metrics["total_seconds"] = time.perf_counter() - t_start
     return metrics

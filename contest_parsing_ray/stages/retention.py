@@ -181,3 +181,54 @@ def write_tiers_local(
         write_tier_manifest(out_dir, name, manifest)
         manifests[name] = manifest
     return manifests
+
+
+def apply_retention(
+    out_dir: str,
+    tier: str,
+    keep_us: int,
+    now_us: int,
+    key_col: str = "source",
+) -> dict:
+    """Retention expiry for one tier: drop rollup points with
+    ``bucket_us < now_us - keep_us`` and record the expiry in the manifest.
+
+    ``now_us`` is an explicit argument (no wall clock — deterministic,
+    reproducible runs). Rewrite is per source-partition file and atomic
+    (tmp + replace); untouched partitions are not rewritten.
+    """
+    import pyarrow.parquet as pq
+
+    cutoff = now_us - keep_us
+    tdir = tier_data_dir(out_dir, tier)
+    dropped = 0
+    kept = 0
+    if not os.path.isdir(tdir):
+        return {"dropped": 0, "kept": 0}
+    for sub in sorted(os.listdir(tdir)):
+        pdir = os.path.join(tdir, sub)
+        if not os.path.isdir(pdir):
+            continue
+        for f in sorted(os.listdir(pdir)):
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(pdir, f)
+            t = pq.read_table(path)
+            mask = pa.compute.greater_equal(t["bucket_us"], pa.scalar(cutoff))
+            n_keep = pa.compute.sum(mask.cast(pa.int8())).as_py() or 0
+            if n_keep == len(t):
+                kept += len(t)
+                continue
+            filtered = t.filter(mask)
+            dropped += len(t) - len(filtered)
+            kept += len(filtered)
+            tmp = path + ".tmp"
+            pq.write_table(filtered, tmp)
+            os.replace(tmp, path)
+    m = read_tier_manifest(out_dir, tier) or {}
+    m.setdefault("retention", []).append(
+        {"cutoff_us": cutoff, "dropped": dropped, "kept": kept}
+    )
+    m["total_rows"] = kept
+    write_tier_manifest(out_dir, tier, m)
+    return {"dropped": dropped, "kept": kept}

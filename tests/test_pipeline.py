@@ -61,3 +61,47 @@ def test_pipeline_partial_resume(sequences_dir, out_dir):
     # 5m was built under a different config fingerprint -> rebuilt; the point
     # is that resume decisions are per tier
     assert "1h" in m["tiers"]
+
+
+def test_retention_expiry(sequences_dir, out_dir):
+    """Retention policy: old buckets dropped per tier, manifest updated."""
+    from contest_parsing_ray.stages.retention import (
+        apply_retention,
+        read_tier_manifest,
+        tier_data_dir,
+    )
+    import pyarrow.dataset as pads
+
+    cfg = PipelineConfig(tiers=("1m",), out_dir=out_dir)
+    run_rollup_pipeline(sequences_dir, cfg, with_compression=False)
+    tdir = tier_data_dir(out_dir, "1m")
+    before = pads.dataset(tdir, partitioning="hive").to_table()
+    buckets = sorted(set(before.column("bucket_us").to_pylist()))
+    # keep only the last hour of buckets relative to the max bucket
+    now = buckets[-1] + 60_000_000
+    res = apply_retention(out_dir, "1m", keep_us=3_600_000_000, now_us=now)
+    after = pads.dataset(tdir, partitioning="hive").to_table()
+    assert res["dropped"] > 0
+    assert res["kept"] == after.num_rows
+    assert min(after.column("bucket_us").to_pylist()) >= now - 3_600_000_000
+    man = read_tier_manifest(out_dir, "1m")
+    assert man["retention"][0]["dropped"] == res["dropped"]
+    assert man["total_rows"] == res["kept"]
+
+
+def test_skew_histogram_and_salt(sequences_dir):
+    from contest_parsing_ray.sources.ingest import read_sequences
+    from contest_parsing_ray.stages._shuffle import choose_salt, key_histogram
+
+    ds = read_sequences(sequences_dir, with_tokens=False)
+    hist = key_histogram(ds, "source")
+    # the generator makes web-crawl ~80% of rows (FIXTURES F1)
+    assert hist.iloc[0]["source"] == "web-crawl"
+    assert 0.7 < hist.iloc[0]["share"] < 0.9
+    salt = choose_salt(hist, num_partitions=16)
+    assert salt >= 12  # hot key split across most partitions
+    # uniform histogram -> no salting
+    import pandas as pd
+
+    uni = pd.DataFrame({"source": ["a", "b"], "cnt": [5, 5], "share": [0.5, 0.5]})
+    assert choose_salt(uni, num_partitions=2) == 1
