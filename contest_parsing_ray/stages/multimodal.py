@@ -23,7 +23,6 @@ worker heap (see the memory-aware sizing note in the build brief);
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 

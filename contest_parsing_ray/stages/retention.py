@@ -149,7 +149,7 @@ def write_tiers_local(
     are written straight to the hive layout with pyarrow — zero distributed
     executions. Same layout + manifests as :func:`write_tiers`; the caller
     picks the path by partial-state size (adaptive execution)."""
-    import pandas as pd
+
     import pyarrow.parquet as pq
 
     manifests: dict[str, dict] = {}
