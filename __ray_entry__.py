@@ -208,9 +208,24 @@ def _q_tree(sf_dir: str):
     )
 
 
+def _scaled_cents(b: pa.Table, col: str, scale: int = 100) -> "np.ndarray":
+    """Exact int64 view of a fixed-decimal double column (2 decimals → cents).
+
+    Float sums are addition-order sensitive in the last ulp, which breaks the
+    driver's value-hash compare under distributed (nondeterministic-order)
+    aggregation; scaled-int64 sums are exact and order-free, and the final
+    int→double conversion + division is correctly rounded on both sides.
+    """
+    import pyarrow.compute as pc
+
+    return pc.round(pc.multiply(b[col], pa.scalar(float(scale)))).cast(
+        pa.int64()
+    ).to_numpy(zero_copy_only=False)
+
+
 def _q_order_priority(sf_dir: str):
     import ray.data
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
     from contest_parsing_ray.stages.join import hash_join
 
@@ -218,22 +233,48 @@ def _q_order_priority(sf_dir: str):
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
     )
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qty_i = pc.round(b["l_quantity"]).cast(pa.int64())
+        b = b.append_column("qty_i", qty_i)
+        b = b.append_column("price_c", pa.array(_scaled_cents(b, "l_extendedprice")))
+        b = b.append_column("disc_c", pa.array(_scaled_cents(b, "l_discount")))
+        return b.select(["l_orderkey", "qty_i", "price_c", "disc_c"])
+
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
     )
-    j = hash_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"], how="inner")
-    out = j.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_lines"),
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_price"),
-        Mean("l_discount", alias_name="avg_disc"),
+    j = hash_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        orders, on=["l_orderkey"], right_on=["o_orderkey"], how="inner",
     )
-    return _round_cols(out, ["sum_qty", "sum_price", "avg_disc"])
+    agg = j.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_lines"),
+        Sum("qty_i", alias_name="sum_qty_i"),
+        Sum("price_c", alias_name="sum_price_c"),
+        Sum("disc_c", alias_name="sum_disc_c"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "n_lines": df["n_lines"].astype(np.int64),
+                "sum_qty": df["sum_qty_i"].astype(np.float64),
+                "sum_price": df["sum_price_c"].astype(np.float64) / 100.0,
+                "avg_disc": df["sum_disc_c"].astype(np.float64)
+                / (100.0 * df["n_lines"].astype(np.float64)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 def _q_q1(sf_dir: str):
     import ray.data
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -248,30 +289,56 @@ def _q_q1(sf_dir: str):
 
         cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
         b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
-        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), b["l_tax"]))
-        b = b.append_column("disc_price", disc)
-        return b.append_column("charge", charge)
+        qty_i = pc.round(b["l_quantity"]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        price_c = _scaled_cents(b, "l_extendedprice")
+        disc_c = _scaled_cents(b, "l_discount")
+        tax_c = _scaled_cents(b, "l_tax")
+        # disc_price scaled 1e4, charge scaled 1e6 — exact int64 products
+        disc_price_s = price_c * (100 - disc_c)
+        charge_s = disc_price_s * (100 + tax_c)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_i": qty_i,
+                "price_c": price_c,
+                "disc_c": disc_c,
+                "disc_price_s": disc_price_s,
+                "charge_s": charge_s,
+            }
+        )
 
-    out = (
+    agg = (
         li.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Sum("charge", alias_name="sum_charge"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Mean("l_discount", alias_name="avg_disc"),
+            Sum("qty_i", alias_name="sum_qty_i"),
+            Sum("price_c", alias_name="sum_price_c"),
+            Sum("disc_c", alias_name="sum_disc_c"),
+            Sum("disc_price_s", alias_name="sum_disc_price_s"),
+            Sum("charge_s", alias_name="sum_charge_s"),
             Count(alias_name="count_order"),
         )
     )
-    return _round_cols(
-        out,
-        ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
-         "avg_qty", "avg_price", "avg_disc"],
-    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["count_order"].astype(np.float64)
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["sum_qty_i"].astype(np.float64),
+                "sum_base_price": df["sum_price_c"].astype(np.float64) / 100.0,
+                "sum_disc_price": df["sum_disc_price_s"].astype(np.float64) / 1e4,
+                "sum_charge": df["sum_charge_s"].astype(np.float64) / 1e6,
+                "avg_qty": df["sum_qty_i"].astype(np.float64) / n,
+                "avg_price": df["sum_price_c"].astype(np.float64) / (100.0 * n),
+                "avg_disc": df["sum_disc_c"].astype(np.float64) / (100.0 * n),
+                "count_order": df["count_order"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 def _q_token_counts(sf_dir: str):
@@ -333,6 +400,13 @@ def _q_simhash(sf_dir: str):
 
     docs = _docs(sf_dir)
     return simhash_docs(docs, concurrency=2).select_columns(["doc_id", "simhash"])
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from contest_parsing_ray.stages.neardup import simhash_neardup_pairs
+
+    docs = _docs(sf_dir)
+    return simhash_neardup_pairs(docs, max_hamming=6, concurrency=2)
 
 
 def _q_ann(sf_dir: str):
@@ -526,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup family
         "minhash_lsh_pairs": _q_minhash,
         "simhash_docs": _q_simhash,
+        "simhash_neardup_pairs": _q_simhash_pairs,
         "embedding_neardup_pairs": _q_emb_neardup,
         "lsh_neardup_pairs": _q_lsh_neardup,
         # similarity search
@@ -669,28 +744,46 @@ SELECT user_id, event_id,
        CAST(n - 1 AS DOUBLE) AS mean_depth
 FROM o
 """,
+        # exact scaled-int64 sums (quantities integral, prices/discount/tax
+        # 2-decimal) — bit-identical doubles on both sides regardless of
+        # distributed summation order
         "order_priority_rollup": """
-SELECT o.o_orderpriority,
+WITH s AS (
+  SELECT o.o_orderpriority,
+         CAST(ROUND(l.l_quantity) AS BIGINT) AS qty_i,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(ROUND(l.l_discount * 100) AS BIGINT) AS disc_c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       ROUND(CAST(SUM(l.l_quantity) AS DOUBLE), 6) AS sum_qty,
-       ROUND(CAST(SUM(l.l_extendedprice) AS DOUBLE), 6) AS sum_price,
-       ROUND(CAST(AVG(l.l_discount) AS DOUBLE), 6) AS avg_disc
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-GROUP BY 1
+       CAST(SUM(qty_i) AS DOUBLE) AS sum_qty,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_price,
+       CAST(SUM(disc_c) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_disc
+FROM s GROUP BY 1
 """,
         "q1_pricing_summary": """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty_i,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_c,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_c,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS disc_price_s
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
 SELECT l_returnflag, l_linestatus,
-       ROUND(CAST(SUM(l_quantity) AS DOUBLE), 6) AS sum_qty,
-       ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 6) AS sum_base_price,
-       ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 6) AS sum_disc_price,
-       ROUND(CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 6)
-         AS sum_charge,
-       ROUND(CAST(AVG(l_quantity) AS DOUBLE), 6) AS avg_qty,
-       ROUND(CAST(AVG(l_extendedprice) AS DOUBLE), 6) AS avg_price,
-       ROUND(CAST(AVG(l_discount) AS DOUBLE), 6) AS avg_disc,
+       CAST(SUM(qty_i) AS DOUBLE) AS sum_qty,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(disc_price_s) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(disc_price_s * (100 + tax_c)) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM(qty_i) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(price_c) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_price,
+       CAST(SUM(disc_c) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+FROM s
 GROUP BY 1, 2
 """,
         "doc_token_counts": r"""

@@ -22,4 +22,12 @@ Nothing in this package calls ``ray.init()``; sessions are owned by the
 caller (driver harness, ``bench.py``, or the pytest fixture).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from .compat import patch_hash_shuffle_schema_broadcast as _patch
+
+# Ray 2.49 hash-shuffle drops the schema broadcast when the first shuffled
+# block of a join input is empty (see compat.py) — install the fix before
+# any native Dataset.join plan is built.
+_patch()
+

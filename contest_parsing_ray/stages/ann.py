@@ -81,19 +81,55 @@ def brute_force_topk(
     )
 
 
+def plan_lsh(
+    threshold: float, recall_target: float = 0.8, max_tables: int = 32
+) -> tuple[int, int]:
+    """Pick (num_planes, num_tables) for random-hyperplane LSH.
+
+    Per-plane collision prob for cosine >= τ is p = 1 - arccos(τ)/π
+    (Charikar 2002). Planes are chosen so one table keeps ~10-20% of true
+    pairs (bucket selectivity), then tables are stacked until the target
+    recall 1-(1-p^k)^T is met. Low thresholds (τ < ~0.5) force few planes
+    + many tables — LSH gets cheap only for high-similarity dedup."""
+    import math
+
+    p = max(1e-6, min(1 - 1e-6, 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi))
+    k = max(2, int(round(math.log(0.15) / math.log(p))))
+    per_table = p**k
+    if per_table >= 1.0:
+        return k, 1
+    t = math.ceil(math.log(max(1e-9, 1.0 - recall_target)) / math.log(1.0 - per_table))
+    return k, max(1, min(max_tables, t))
+
+
 def lsh_bucket_neardup(
     embeddings: ray.data.Dataset,
     dim: int,
-    num_planes: int = 12,
+    num_planes: int | None = None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    num_tables: int = 4,
+    num_tables: int | None = None,
+    max_bucket: int = 1024,
+    recall_target: float = 0.8,
 ) -> ray.data.Dataset:
     """Near-dup pairs via random-hyperplane LSH buckets (scale path).
     Only pairs sharing a bucket in ANY of ``num_tables`` tables are
-    verified with exact cosine. Output (id_a, id_b, cosine)."""
+    verified with exact cosine. Output (id_a, id_b, cosine).
+
+    Scale shape: the bucket shuffle moves only ``(id, table, bucket)``
+    (24 B/row x tables, never the vectors); candidate pairs come from a
+    vectorized within-bucket self-merge, capped at ``max_bucket`` docs per
+    bucket (an over-full bucket = a dense near-dup cluster; its members
+    still pair through surviving rows and other tables); vectors are
+    joined back ONLY for candidate pairs to compute the exact cosine.
+    Recall < 1 by construction; measured vs the exact path in tests.
+    ``num_planes``/``num_tables`` default to :func:`plan_lsh` for the given
+    threshold and ``recall_target``."""
+    auto_k, auto_t = plan_lsh(threshold, recall_target)
+    num_planes = num_planes if num_planes is not None else auto_k
+    num_tables = num_tables if num_tables is not None else auto_t
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables, num_planes, dim))
     planes_ref = ray.put(planes)
@@ -105,53 +141,105 @@ def lsh_bucket_neardup(
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             mat = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
             ids = batch[id_col].to_numpy()
-            outs = []
-            for t in range(len(self.planes)):
-                signs = (mat @ self.planes[t].T) > 0  # (n, planes)
-                bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            id_col: ids,
-                            "table": np.int64(t),
-                            "bucket": bucket.astype(np.int64),
-                            vec_col: list(mat),
-                        }
-                    )
-                )
-            return pd.concat(outs, ignore_index=True)
+            n, t = len(ids), len(self.planes)
+            signs = (np.einsum("nd,tpd->tnp", mat, self.planes) > 0)
+            weights = 1 << np.arange(signs.shape[2], dtype=np.int64)
+            buckets = signs @ weights  # (tables, n)
+            return pd.DataFrame(
+                {
+                    id_col: np.tile(ids, t),
+                    "table": np.repeat(np.arange(t, dtype=np.int64), n),
+                    "bucket": buckets.reshape(-1).astype(np.int64),
+                }
+            )
 
     bucketed = embeddings.map_batches(
         Bucketize, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
     )
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for (_, _), g in df.groupby(["table", "bucket"], sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates(subset=id_col).sort_values(id_col)
-            m = np.stack(g[vec_col].to_numpy())
-            ids = g[id_col].to_numpy()
-            sims = m @ m.T
-            ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-            for a, b in zip(ia, ib):
-                rows.append((ids[a], ids[b], sims[a, b]))
-        if not rows:
-            return pd.DataFrame(columns=["id_a", "id_b", "cosine"]).astype(
-                {"cosine": np.float64}
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
             )
-        out = pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
-        return out
+        df = df.drop_duplicates(subset=["table", "bucket", id_col])
+        df = df.groupby(["table", "bucket"], sort=False).head(max_bucket)
+        m = df.merge(df, on=["table", "bucket"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
+        return out[["id_a", "id_b"]].drop_duplicates()
 
     cand = hash_partitioned_map(
-        bucketed, ["table", "bucket"], pairs, batch_format="pandas"
+        bucketed, ["table", "bucket"], bucket_pairs, batch_format="pandas"
     )
     # dedup pairs found in several tables
-    return hash_partitioned_map(
+    cand = hash_partitioned_map(
         cand,
         ["id_a", "id_b"],
         lambda df: df.drop_duplicates(subset=["id_a", "id_b"]),
         num_partitions=16,
         batch_format="pandas",
     )
+
+    # join normalized vectors back only for candidate pairs
+    import pyarrow as pa
+
+    from .join import hash_join
+
+    def pack(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            mat = _normalize(
+                np.stack(
+                    b[vec_col].combine_chunks().to_numpy(zero_copy_only=False)
+                ).astype(np.float64)
+            )
+            # acero joins reject nested payload types — ship raw float64
+            # bytes as a binary column instead (decoded zero-copy in verify)
+            n, d = mat.shape
+            offsets = pa.array(
+                np.arange(n + 1, dtype=np.int32) * (d * 8), type=pa.int32()
+            )
+            vec = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, offsets.buffers()[1], pa.py_buffer(mat.tobytes())],
+            )
+            return pa.table({f"id_{side}": b[id_col], f"vec_{side}": vec})
+
+        return f
+
+    vecs = embeddings.select_columns([id_col, vec_col])
+    withv = hash_join(cand, vecs.map_batches(pack("a"), batch_format="pyarrow"),
+                      on=["id_a"], how="inner")
+    withv = hash_join(withv, vecs.map_batches(pack("b"), batch_format="pyarrow"),
+                      on=["id_b"], how="inner")
+
+    def _bin_to_mat(col: pa.ChunkedArray) -> np.ndarray:
+        arr = col.combine_chunks().cast(pa.large_binary())
+        buf = np.frombuffer(arr.buffers()[2] or b"", dtype=np.float64)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        d = (offs[1] - offs[0]) // 8 if len(arr) else 1
+        start = offs[0] // 8
+        return buf[start : start + len(arr) * d].reshape(len(arr), d)
+
+    out_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        va = _bin_to_mat(t["vec_a"])
+        vb = _bin_to_mat(t["vec_b"])
+        cos = np.einsum("nd,nd->n", va, vb)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),
+                "id_b": t["id_b"].combine_chunks().filter(pa.array(keep)),
+                "cosine": pa.array(cos[keep]),
+            }
+        )
+
+    return withv.map_batches(verify, batch_format="pyarrow")

@@ -5,14 +5,18 @@ the reference only has exact dedup, ``FileConcat.py:22``).
 Pipeline shapes (all deterministic, no RNG at query time — hash seeds are
 fixed constants):
 
-- MinHash+LSH: shingle (char n-grams) → K minhashes per doc (vectorized
-  per batch) → B bands of R rows → explode to (band, band_hash, doc_id) →
-  hash-shuffle on band_hash → candidate pairs within buckets → verify
-  exact n-gram Jaccard on the pair (docs carried through the bucket rows).
+- MinHash+LSH: shingle (char n-grams, vectorized over the batch's raw
+  Arrow buffers) → K minhashes per doc → B bands of R rows → explode to
+  ``(band_id, band_hash, doc_id)`` — 24 bytes/row, the ONLY thing the band
+  shuffle moves (never the text) → candidate pairs within buckets (capped)
+  → join the text back for surviving candidates only → exact n-gram
+  Jaccard verify per pair.
 - SimHash: 64-bit weighted-feature hash; near-dups share all but a few
-  bits; bucket on rotated prefixes.
-- Embedding cosine: blocked matmul against a broadcast matrix (exact,
-  the baseline) — the LSH-bucketed variant lives in ``ann.py``.
+  bits; ``simhash_neardup_pairs`` buckets on byte-masked rotations for
+  hamming-neighbor candidate pairs.
+- Embedding cosine: exact all-pairs via a block-pair cartesian of Ray
+  tasks (no driver materialization) — the LSH-bucketed scale variant lives
+  in ``ann.py``.
 """
 
 from __future__ import annotations
@@ -26,33 +30,133 @@ import ray.data
 from ._shuffle import _splitmix64, hash64_strings
 
 _SEEDS = np.arange(1, 129, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+_SHINGLE_PRIME = np.uint64(1099511628211)
+_BAND_PRIME = np.uint64(0x100000001B3)
+_SIG_OFFSET = np.uint64(0xDEADBEEFCAFE)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount of a uint64 array → int64 counts."""
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
 def _char_shingles(text: str, n: int = 5) -> np.ndarray:
-    """Hashed char n-gram shingle set of one document (uint64, unique)."""
-    if len(text) < n:
-        data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
-        if len(data) == 0:
-            return np.array([np.uint64(0)], dtype=np.uint64)
-        return _splitmix64(data.astype(np.uint64)).astype(np.uint64)
-    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+    """Hashed char n-gram shingle set of one document (uint64, unique).
+
+    Scalar reference path — the batch path (:func:`_batch_shingles`) computes
+    the SAME hashes over the whole batch's buffers at once."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) == 0:
+        return np.array([np.uint64(0)], dtype=np.uint64)
     if len(b) < n:
-        return _splitmix64(b)
-    # rolling polynomial over windows, vectorized via stride tricks
-    win = np.lib.stride_tricks.sliding_window_view(b, n)
+        return np.unique(_splitmix64(b.astype(np.uint64)))
+    win = np.lib.stride_tricks.sliding_window_view(b.astype(np.uint64), n)
     with np.errstate(over="ignore"):
         h = np.zeros(len(win), dtype=np.uint64)
         for i in range(n):
-            h = h * np.uint64(1099511628211) + win[:, i]
+            h = h * _SHINGLE_PRIME + win[:, i]
         h = _splitmix64(h)
     return np.unique(h)
+
+
+def _batch_shingles(
+    texts: pa.ChunkedArray | pa.Array, n: int = 5
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized shingle hashes for a whole string column.
+
+    Returns ``(flat, offsets)``: ``flat`` is every doc's shingle hashes
+    back-to-back (NOT uniqued — min-hash is duplicate-insensitive),
+    ``offsets[i]:offsets[i+1]`` is doc i's slice. Every doc contributes at
+    least one element (short/empty docs use the scalar fallback hashes).
+    One rolling-polynomial pass over the concatenated byte buffer; windows
+    crossing doc boundaries are masked out."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = texts.cast(pa.large_binary())
+    buf = np.frombuffer(texts.buffers()[2] or b"", dtype=np.uint8)
+    doc_off = np.frombuffer(texts.buffers()[1], dtype=np.int64)[
+        texts.offset : texts.offset + len(texts) + 1
+    ]
+    lengths = np.diff(doc_off)
+    n_docs = len(lengths)
+    n_windows = np.maximum(lengths - (n - 1), 0)
+    # docs shorter than n (incl. empty/null) get their per-byte fallback
+    short = n_windows == 0
+    counts = np.where(short, np.maximum(lengths, 1), n_windows)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    flat = np.zeros(int(offsets[-1]), dtype=np.uint64)
+
+    if len(buf) >= n and (~short).any():
+        b64 = buf.astype(np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(b64, n)
+        with np.errstate(over="ignore"):
+            h = np.zeros(len(win), dtype=np.uint64)
+            for i in range(n):
+                h = h * _SHINGLE_PRIME + win[:, i]
+            h = _splitmix64(h)
+        # scatter each doc's window hashes into its slice
+        starts = doc_off[:-1][~short]
+        wcounts = n_windows[~short]
+        dst0 = offsets[:-1][~short]
+        src_idx = np.repeat(starts, wcounts) + (
+            np.arange(int(wcounts.sum())) - np.repeat(np.cumsum(wcounts) - wcounts, wcounts)
+        )
+        dst_idx = np.repeat(dst0, wcounts) + (
+            np.arange(int(wcounts.sum())) - np.repeat(np.cumsum(wcounts) - wcounts, wcounts)
+        )
+        flat[dst_idx] = h[src_idx]
+
+    if short.any():
+        for i in np.nonzero(short)[0]:
+            seg = buf[doc_off[i] : doc_off[i + 1]]
+            if len(seg) == 0:
+                flat[offsets[i]] = np.uint64(0)
+            else:
+                flat[offsets[i] : offsets[i + 1]] = _splitmix64(
+                    seg.astype(np.uint64)
+                )
+    return flat, offsets
+
+
+def batch_minhash_signatures(
+    texts: pa.ChunkedArray | pa.Array,
+    num_hashes: int = 128,
+    shingle_n: int = 5,
+    seed_chunk: int = 16,
+) -> np.ndarray:
+    """(n_docs, num_hashes) uint64 signatures, fully vectorized.
+
+    Seeds are processed in chunks so peak memory is
+    ``seed_chunk x total_shingles x 8B`` regardless of num_hashes."""
+    flat, offsets = _batch_shingles(texts, shingle_n)
+    n_docs = len(offsets) - 1
+    sig = np.empty((n_docs, num_hashes), dtype=np.uint64)
+    if n_docs == 0:
+        return sig
+    # every doc contributes >= 1 shingle, so segments are never empty and
+    # all reduceat start indices are < len(flat)
+    starts = offsets[:-1]
+    with np.errstate(over="ignore"):
+        for s0 in range(0, num_hashes, seed_chunk):
+            seeds = _SEEDS[s0 : min(s0 + seed_chunk, num_hashes)]
+            m = flat[None, :] * seeds[:, None] + _SIG_OFFSET
+            m ^= m >> np.uint64(31)
+            sig[:, s0 : s0 + len(seeds)] = np.minimum.reduceat(m, starts, axis=1).T
+    return sig
 
 
 def minhash_signature(text: str, num_hashes: int = 128, shingle_n: int = 5) -> np.ndarray:
     sh = _char_shingles(text, shingle_n)
     with np.errstate(over="ignore"):
         # affine rehash per seed; min over shingles
-        m = sh[None, :] * _SEEDS[:num_hashes, None] + np.uint64(0xDEADBEEFCAFE)
+        m = sh[None, :] * _SEEDS[:num_hashes, None] + _SIG_OFFSET
         m ^= m >> np.uint64(31)
     return m.min(axis=1)
 
@@ -64,41 +168,47 @@ def jaccard_ngrams(a: str, b: str, n: int = 5) -> float:
     return inter / union if union else 1.0
 
 
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) int64 band hashes from (n_docs, K) signatures."""
+    n_docs, k = sig.shape
+    rows = k // bands
+    bh = sig.reshape(n_docs, bands, rows)
+    with np.errstate(over="ignore"):
+        h = np.zeros((n_docs, bands), dtype=np.uint64)
+        for r in range(rows):
+            h = h * _BAND_PRIME + bh[:, :, r]
+    return h.view(np.int64)
+
+
 class MinHashBands:
-    """Per-batch: signature + band hashes, exploded to one row per band."""
+    """Per-batch: vectorized signatures + band hashes, exploded to one
+    ``(doc_id, band_id, band_hash)`` row per band — the text NEVER enters
+    the band shuffle (24 B/row vs the corpus bytes x bands)."""
 
     def __init__(self, text_col="text", id_col="doc_id", num_hashes=128, bands=32,
-                 shingle_n=5, carry_text=True):
+                 shingle_n=5):
         assert num_hashes % bands == 0
         self.text_col, self.id_col = text_col, id_col
         self.num_hashes, self.bands, self.shingle_n = num_hashes, bands, shingle_n
-        self.rows = num_hashes // bands
-        self.carry_text = carry_text
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes, texts = [], [], [], []
-        for did, text in zip(
-            batch[self.id_col].to_numpy(), batch[self.text_col].to_numpy()
-        ):
-            sig = minhash_signature(text, self.num_hashes, self.shingle_n)
-            bh = sig.reshape(self.bands, self.rows)
-            with np.errstate(over="ignore"):
-                h = np.zeros(self.bands, dtype=np.uint64)
-                for r in range(self.rows):
-                    h = h * np.uint64(0x100000001B3) + bh[:, r]
-            ids.extend([did] * self.bands)
-            band_ids.extend(range(self.bands))
-            band_hashes.extend(h.view(np.int64))
-            if self.carry_text:
-                texts.extend([text] * self.bands)
-        out = {
-            self.id_col: ids,
-            "band_id": np.asarray(band_ids, dtype=np.int64),
-            "band_hash": np.asarray(band_hashes, dtype=np.int64),
-        }
-        if self.carry_text:
-            out[self.text_col] = texts
-        return pd.DataFrame(out)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_docs = len(batch)
+        sig = batch_minhash_signatures(
+            batch[self.text_col], self.num_hashes, self.shingle_n
+        )
+        bh = band_hashes(sig, self.bands)
+        ids = batch[self.id_col].combine_chunks()
+        return pa.table(
+            {
+                self.id_col: ids.take(
+                    pa.array(np.repeat(np.arange(n_docs), self.bands))
+                ),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int64), n_docs)
+                ),
+                "band_hash": pa.array(bh.reshape(-1)),
+            }
+        )
 
 
 def minhash_lsh_pairs(
@@ -110,33 +220,38 @@ def minhash_lsh_pairs(
     shingle_n: int = 5,
     jaccard_threshold: float = 0.8,
     concurrency: int = 4,
+    max_bucket: int = 256,
 ) -> ray.data.Dataset:
     """→ (id_a, id_b, jaccard) pairs with verified n-gram Jaccard >= τ.
-    id_a < id_b; deduplicated across bands."""
+    id_a < id_b; deduplicated across bands.
+
+    Scale shape: the band shuffle moves only (doc_id, band_id, band_hash);
+    candidate pairs are generated per bucket with a vectorized self-merge
+    (buckets over ``max_bucket`` docs are truncated — an over-full bucket
+    means those docs are near-identical and will pair through other bands);
+    the doc text is joined back ONLY for surviving candidate pairs."""
     banded = docs.map_batches(
         MinHashBands,
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, num_hashes=num_hashes,
             bands=bands, shingle_n=shingle_n,
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for (_, _), g in df.groupby(["band_id", "band_hash"], sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates(subset=id_col).sort_values(id_col)
-            recs = list(g[[id_col, text_col]].itertuples(index=False))
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    a, b = recs[i], recs[j]
-                    rows.append((a[0], b[0], a[1], b[1]))
-        if not rows:
-            return pd.DataFrame(columns=["id_a", "id_b", "text_a", "text_b"])
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "text_a", "text_b"])
+        if len(df) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype=object),
+                                 "id_b": pd.Series(dtype=object)})
+        df = df.drop_duplicates(subset=["band_id", "band_hash", id_col])
+        # cap pathological buckets (all-identical docs): keep first N per
+        # bucket — members still pair via the survivors
+        df = df.groupby(["band_id", "band_hash"], sort=False).head(max_bucket)
+        m = df.merge(df, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
+        return out[["id_a", "id_b"]].drop_duplicates()
 
     from ._shuffle import hash_partitioned_map
 
@@ -144,9 +259,36 @@ def minhash_lsh_pairs(
         banded, ["band_id", "band_hash"], bucket_pairs, batch_format="pandas"
     )
 
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])
+
+    candidates = hash_partitioned_map(
+        candidates, ["id_a", "id_b"], dedup_pairs, batch_format="pandas"
+    )
+
+    # text joined back only for surviving candidates (two small hash joins
+    # against the doc table — candidate count << corpus size)
+    from .join import hash_join
+
+    def rename_to(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns([f"id_{side}", f"text_{side}"])
+
+        return f
+
+    texts = docs.select_columns([id_col, text_col])
+    withs = hash_join(
+        candidates,
+        texts.map_batches(rename_to("a"), batch_format="pyarrow"),
+        on=["id_a"], how="inner",
+    )
+    withs = hash_join(
+        withs,
+        texts.map_batches(rename_to("b"), batch_format="pyarrow"),
+        on=["id_b"], how="inner",
+    )
+
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        # dedup candidate pairs found in multiple bands, then exact verify
-        df = df.drop_duplicates(subset=["id_a", "id_b"])
         jac = [
             jaccard_ngrams(a, b, shingle_n)
             for a, b in zip(df["text_a"], df["text_b"])
@@ -155,9 +297,7 @@ def minhash_lsh_pairs(
         df = df[df["jaccard"] >= jaccard_threshold]
         return df[["id_a", "id_b", "jaccard"]]
 
-    return hash_partitioned_map(
-        candidates, ["id_a", "id_b"], verify, batch_format="pandas"
-    )
+    return withs.map_batches(verify, batch_format="pandas")
 
 
 class SimHash:
@@ -211,41 +351,162 @@ def simhash_docs(
     )
 
 
+def simhash_neardup_pairs(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    concurrency: int = 4,
+    max_bucket: int = 256,
+) -> ray.data.Dataset:
+    """SimHash hamming-neighbor pairs (id_a < id_b, hamming <= max_hamming).
+
+    Pigeonhole bucketing: split the 64-bit simhash into ``max_hamming + 1``
+    segments — two hashes within hamming distance d agree on at least one
+    segment — bucket on ``(segment_id, segment_value)``, pair within
+    buckets (capped), then verify exact hamming distance via popcount.
+    Shuffle payload per doc: (max_hamming+1) x 24 B."""
+    n_seg = max_hamming + 1
+    seg_bits = 64 // n_seg
+    with_hash = simhash_docs(docs, text_col=text_col, concurrency=concurrency)
+
+    def explode(b: pa.Table) -> pa.Table:
+        h = b["simhash"].combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(h)
+        segs = np.empty((n, n_seg), dtype=np.int64)
+        for s in range(n_seg):
+            lo = s * seg_bits
+            width = seg_bits if s < n_seg - 1 else 64 - lo
+            mask = (np.uint64(1) << np.uint64(width)) - np.uint64(1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+            segs[:, s] = ((h >> np.uint64(lo)) & mask).view(np.int64)
+        ids = b[id_col].combine_chunks()
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(np.repeat(np.arange(n), n_seg))),
+                "simhash": pa.array(np.repeat(h.view(np.int64), n_seg)),
+                "seg_id": pa.array(np.tile(np.arange(n_seg, dtype=np.int64), n)),
+                "seg_val": pa.array(segs.reshape(-1)),
+            }
+        )
+
+    exploded = with_hash.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id_a", "id_b", "hamming"]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=object), "id_b": pd.Series(dtype=object),
+                 "hamming": pd.Series(dtype=np.int64)}
+            )
+        df = df.drop_duplicates(subset=["seg_id", "seg_val", id_col])
+        df = df.groupby(["seg_id", "seg_val"], sort=False).head(max_bucket)
+        m = df.merge(df, on=["seg_id", "seg_val"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=object), "id_b": pd.Series(dtype=object),
+                 "hamming": pd.Series(dtype=np.int64)}
+            )
+        xor = (
+            m["simhash_a"].to_numpy().astype(np.int64).view(np.uint64)
+            ^ m["simhash_b"].to_numpy().astype(np.int64).view(np.uint64)
+        )
+        m = m.assign(hamming=_popcount64(xor))
+        m = m[m["hamming"] <= max_hamming]
+        out = m.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
+        return out[cols].drop_duplicates(subset=["id_a", "id_b"])
+
+    from ._shuffle import hash_partitioned_map
+
+    pairs = hash_partitioned_map(
+        exploded, ["seg_id", "seg_val"], bucket_pairs, batch_format="pandas"
+    )
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])
+
+    return hash_partitioned_map(
+        pairs, ["id_a", "id_b"], dedup_pairs, batch_format="pandas"
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: ray.data.Dataset,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    target_block_rows: int = 65536,
 ) -> ray.data.Dataset:
-    """Exact all-pairs cosine >= τ via blocked matmul against a broadcast
-    normalized matrix (the brute-force baseline; the LSH-bucketed scale
-    path is ``ann.lsh_bucket_neardup``). Output (id_a, id_b) with a < b."""
-    all_pdf = embeddings.select_columns([id_col, vec_col]).to_pandas()
-    ids = all_pdf[id_col].to_numpy()
-    mat = np.stack(all_pdf[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    mat_ref = ray.put((ids, mat))
+    """Exact all-pairs cosine >= τ — block-pair cartesian of Ray tasks.
 
-    class Block:
-        def __init__(self):
-            self.ids, self.mat = ray.get(mat_ref)
+    Each task compares one (block_i, block_j) pair with one matmul; the
+    driver only holds block refs, never the vectors. O(B^2) tasks over B
+    blocks: the exact baseline (O(n^2) inherently) — use
+    ``ann.lsh_bucket_neardup`` as the sub-quadratic scale path.
+    Output (id_a, id_b, cosine) with id_a < id_b."""
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            q = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-            sims = q @ self.mat.T
-            qa, qb = np.nonzero(sims >= threshold)
-            a_ids = batch[id_col].to_numpy()[qa]
-            b_ids = self.ids[qb]
-            keep = a_ids < b_ids
-            return pd.DataFrame(
-                {
-                    "id_a": a_ids[keep],
-                    "id_b": b_ids[keep],
-                    "cosine": sims[qa, qb][keep].astype(np.float64),
-                }
-            )
+    def pack(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        mat = np.stack(
+            b[vec_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1)), mat.shape[1]
+        )
+        return pa.table({id_col: pa.array(ids), "__vec": vec})
 
-    return embeddings.map_batches(
-        Block, batch_format="pandas", batch_size=1024, concurrency=(1, 4)
+    packed = (
+        embeddings.select_columns([id_col, vec_col])
+        .map_batches(pack, batch_format="pyarrow", batch_size=target_block_rows)
+        .materialize()
+    )
+    refs = list(packed.get_internal_block_refs())
+
+    def _unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        col = t["__vec"].combine_chunks()
+        dim = col.type.list_size
+        return (
+            t[id_col].to_numpy(zero_copy_only=False),
+            col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim),
+        )
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        ia, ma = _unpack(ta)
+        ib, mb = _unpack(tb)
+        sims = ma @ mb.T
+        qa, qb = np.nonzero(sims >= threshold)
+        a_ids, b_ids = ia[qa], ib[qb]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        valid = lo < hi  # drops self-pairs; mirrored dups removed downstream
+        return pa.table(
+            {
+                "id_a": pa.array(lo[valid]),
+                "id_b": pa.array(hi[valid]),
+                "cosine": pa.array(sims[qa, qb][valid].astype(np.float64)),
+            }
+        )
+
+    outs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            outs.append(block_pair.remote(refs[i], refs[j]))
+    if not outs:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+        )
+    pairs = ray.data.from_arrow_refs(outs)
+
+    # cross-block comparisons see each unordered pair twice — dedup
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])
+
+    from ._shuffle import hash_partitioned_map
+
+    return hash_partitioned_map(
+        pairs, ["id_a", "id_b"], dedup_pairs, batch_format="pandas"
     )

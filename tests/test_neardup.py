@@ -1,0 +1,116 @@
+"""Near-dup family: vectorized-batch == scalar reference signatures, LSH
+pair recovery, SimHash hamming pairs, exact embedding pairs vs numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from contest_parsing_ray.stages.neardup import (
+    _popcount64,
+    band_hashes,
+    batch_minhash_signatures,
+    embedding_neardup_pairs,
+    jaccard_ngrams,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash_neardup_pairs,
+)
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog " * 8,
+    "the quick brown fox jumps over the lazy dog " * 8 + "tail change.",
+    "completely different content about ray data pipelines and arrow " * 6,
+    "yet another unrelated document talking about parquet files " * 6,
+    "",
+    "ab",  # shorter than shingle_n
+    "the quick brown fox jumps over the lazy dog " * 8 + "other tail!!",
+]
+
+
+def test_batch_signatures_match_scalar():
+    arr = pa.array(DOCS, type=pa.string())
+    batch_sigs = batch_minhash_signatures(arr, num_hashes=64, shingle_n=5)
+    for i, d in enumerate(DOCS):
+        scalar = minhash_signature(d, num_hashes=64, shingle_n=5)
+        np.testing.assert_array_equal(batch_sigs[i], scalar, err_msg=f"doc {i}")
+
+
+def test_band_hashes_shape_and_determinism():
+    arr = pa.array(DOCS, type=pa.string())
+    sig = batch_minhash_signatures(arr, num_hashes=64, shingle_n=5)
+    bh = band_hashes(sig, bands=16)
+    assert bh.shape == (len(DOCS), 16)
+    np.testing.assert_array_equal(bh, band_hashes(sig, bands=16))
+
+
+def test_popcount64():
+    xs = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 1 << 63], dtype=np.uint64)
+    np.testing.assert_array_equal(_popcount64(xs), [0, 1, 2, 64, 1])
+
+
+def test_minhash_lsh_pairs_finds_neardups():
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(DOCS))], "text": DOCS})
+    )
+    out = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, concurrency=2, num_hashes=64, bands=16
+    ).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+    # docs 0/1/6 are near-identical; 2,3 unrelated
+    assert ("d0", "d1") in pairs
+    assert ("d0", "d6") in pairs
+    assert ("d1", "d6") in pairs
+    assert all(a.startswith("d") and b.startswith("d") for a, b in pairs)
+    assert ("d2", "d3") not in pairs
+    # verified jaccard actually exceeds threshold
+    assert (out["jaccard"] >= 0.5).all()
+    assert jaccard_ngrams(DOCS[0], DOCS[1]) >= 0.5
+
+
+def test_simhash_neardup_pairs():
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(DOCS))], "text": DOCS})
+    )
+    out = simhash_neardup_pairs(docs, max_hamming=6, concurrency=2).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+    assert ("d0", "d1") in pairs
+    assert ("d2", "d3") not in pairs
+    assert (out["hamming"] <= 6).all()
+
+
+@pytest.fixture(scope="module")
+def emb_df():
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    # plant near-dups: rows 0/1 and 2/3 nearly identical
+    base[1] = base[0] + rng.normal(scale=1e-3, size=16)
+    base[3] = base[2] + rng.normal(scale=1e-3, size=16)
+    return pd.DataFrame(
+        {"vec_id": np.arange(40, dtype=np.int64), "embedding": list(base)}
+    )
+
+
+def test_embedding_neardup_exact(emb_df):
+    ds = ray.data.from_pandas(emb_df).repartition(4)
+    got = embedding_neardup_pairs(
+        ds, threshold=0.9, target_block_rows=16
+    ).to_pandas()
+    got_pairs = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    # numpy oracle
+    m = np.stack(emb_df["embedding"].to_numpy())
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    want = {
+        (i, j)
+        for i in range(len(m))
+        for j in range(i + 1, len(m))
+        if sims[i, j] >= 0.9
+    }
+    assert got_pairs == want
+    assert {(0, 1), (2, 3)} <= got_pairs
+    # no duplicated unordered pairs
+    assert len(got) == len(got_pairs)
