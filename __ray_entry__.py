@@ -142,18 +142,26 @@ def _q_dedup(keep: str):
     return q
 
 
-def _q_gapfill(sf_dir: str):
-    from contest_parsing_ray.stages.gapfill import gapfill
-    from contest_parsing_ray.stages.rollup import rollup_tiers
+def _q_gapfill_mode(mode: str):
+    def q(sf_dir: str):
+        from contest_parsing_ray.stages.gapfill import gapfill
+        from contest_parsing_ray.stages.rollup import rollup_tiers
 
-    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
-    r = rollup_tiers(
-        ev, {"1h": W1H}, value_col="value", key_col="event_type",
-        ts_col="event_time_us",
-    )["1h"]
-    filled = gapfill(r, W1H, mode="locf", key_col="event_type")
-    out = filled.select_columns(["event_type", "bucket_us", "cnt", "sum_v", "filled"])
-    return _round_cols(out, ["sum_v"])
+        ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+        r = rollup_tiers(
+            ev, {"1h": W1H}, value_col="value", key_col="event_type",
+            ts_col="event_time_us",
+        )["1h"]
+        filled = gapfill(r, W1H, mode=mode, key_col="event_type")
+        out = filled.select_columns(
+            ["event_type", "bucket_us", "cnt", "sum_v", "filled"]
+        )
+        return _round_cols(out, ["sum_v"])
+
+    return q
+
+
+_q_gapfill = _q_gapfill_mode("locf")
 
 
 def _q_widen(sf_dir: str):
@@ -478,11 +486,86 @@ def _q_compress_roundtrip(sf_dir: str):
     return back.select_columns(["event_type", "bucket_us", "value"])
 
 
+def _fixture_partitions() -> int:
+    """Join partition count for the fixture-scale telemetry queries: the
+    data is a handful of rows, so partitions only buy actor spin-up time —
+    but each chained join's aggregators reserve CPU for the whole plan, so
+    on a small cluster (4-CPU pytest mirror) more than 2 deadlocks."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return 2 if cpus < 16 else 4
+
+
+def _write_f2_service(d: str, svc: str, pod: str, t0: int) -> None:
+    """One F2-shaped service fixture: metrics + 2-span trace + one log line."""
+    import json
+
+    prom = {"status": "success", "data": {"resultType": "matrix", "result": [
+        {"metric": {"__name__": "container_cpu_usage_seconds_total",
+                    "container": "c1", "pod": pod,
+                    "instance": "i1", "job": "kubernetes-pods"},
+         "values": [[str(t0), "1.5"], [str(t0 + 30), "2.0"]]},
+        {"metric": {"__name__": "node_network_receive_bytes_total",
+                    "device": "eth0", "instance": "i2",
+                    "job": "kubernetes-service-endpoints"},
+         "values": [[str(t0), "100.0"], [str(t0 + 30), "200.0"]]}]}}
+    json.dump(prom, open(f"{d}/metrics.json", "w"))
+    jaeger = {"data": [{"traceID": f"t-{svc}", "spans": [
+        {"spanID": "s1", "operationName": "GET /x",
+         "startTime": (t0 + 1) * 1_000_000, "duration": 9, "processID": "p1",
+         "tags": [{"key": "http.status_code", "value": "200"}], "references": []},
+        {"spanID": "s2", "operationName": "GET /y",
+         "startTime": (t0 + 16) * 1_000_000, "duration": 1, "processID": "p1",
+         "tags": [], "references": [{"traceID": f"t-{svc}", "spanID": "s1"}]}],
+        "processes": {"p1": {"serviceName": svc,
+                             "tags": [{"key": "hostname", "value": pod}]}}}]}
+    json.dump(jaeger, open(f"{d}/traces.json", "w"))
+    with open(f"{d}/{svc}.log", "w") as f:
+        # 3 lines -> > 100 bytes, so S1 discovery keeps the stream
+        f.write("2022-07-08 07:48:01.934 INFO 1---[nio-exec-1] "
+                "c.t.OrderService: created order 42\n")
+        f.write("2022-07-08 07:48:02.100 WARN 1---[nio-exec-1] "
+                "c.t.OrderService: retrying payment 42\n")
+        f.write("2022-07-08 07:48:16.500 ERROR 1---[nio-exec-2] "
+                "c.t.OrderService: failed order 43\n")
+
+
+def write_f2_corpus(root: str, services: tuple[str, ...] = ("ts-order-service",
+                                                           "ts-pay-service")) -> str:
+    """FilepathFinder-shaped corpus: per-service dirs with monitoring/ ts-*/
+    logs/ streams, plus a decoy service missing traces (must be dropped) and
+    an undersized (<100 B) export (must be skipped)."""
+    import os
+
+    T0 = 1_657_266_480
+    for k, svc in enumerate(services):
+        sdir = os.path.join(root, svc)
+        for sub in ("monitoring", "ts-traces", "logs"):
+            os.makedirs(os.path.join(sdir, sub), exist_ok=True)
+        flat = os.path.join(sdir, "_flat")
+        os.makedirs(flat, exist_ok=True)
+        _write_f2_service(flat, svc, f"pod-{svc}-1", T0 + 60 * k)
+        os.replace(f"{flat}/metrics.json", f"{sdir}/monitoring/metrics.json")
+        os.replace(f"{flat}/traces.json", f"{sdir}/ts-traces/traces.json")
+        os.replace(f"{flat}/{svc}.log", f"{sdir}/logs/{svc}.log")
+        os.rmdir(flat)
+        with open(f"{sdir}/monitoring/tiny.json", "w") as f:
+            f.write("{}")  # < 100 bytes — discovery must skip it
+    decoy = os.path.join(root, "no-traces-service", "monitoring")
+    os.makedirs(decoy, exist_ok=True)
+    with open(f"{decoy}/metrics.json", "w") as f:
+        f.write('{"status": "success", "data": {"result": []}}' + " " * 100)
+    return root
+
+
 def _q_telemetry_fixture(sf_dir: str):
     """The reference Joiner analog over deterministic F2-shaped fixtures
     built on the fly (the driver testdata has no Jaeger/Prometheus streams;
     rows-only check — semantics are pinned by golden conformance tests)."""
-    import json
     import tempfile
 
     from contest_parsing_ray.pipelines.telemetry_join import telemetry_join
@@ -490,35 +573,39 @@ def _q_telemetry_fixture(sf_dir: str):
     from contest_parsing_ray.sources.logs import read_structured_logs
     from contest_parsing_ray.sources.prometheus import read_prometheus_json
 
-    T0 = 1_657_266_480
     d = tempfile.mkdtemp(prefix="cpr_f2_")
-    prom = {"status": "success", "data": {"resultType": "matrix", "result": [
-        {"metric": {"__name__": "container_cpu_usage_seconds_total",
-                    "container": "c1", "pod": "pod-a-1",
-                    "instance": "i1", "job": "kubernetes-pods"},
-         "values": [[str(T0), "1.5"], [str(T0 + 30), "2.0"]]},
-        {"metric": {"__name__": "node_network_receive_bytes_total",
-                    "device": "eth0", "instance": "i2",
-                    "job": "kubernetes-service-endpoints"},
-         "values": [[str(T0), "100.0"], [str(T0 + 30), "200.0"]]}]}}
-    json.dump(prom, open(f"{d}/metrics.json", "w"))
-    jaeger = {"data": [{"traceID": "t1", "spans": [
-        {"spanID": "s1", "operationName": "GET /x",
-         "startTime": (T0 + 1) * 1_000_000, "duration": 9, "processID": "p1",
-         "tags": [{"key": "http.status_code", "value": "200"}], "references": []},
-        {"spanID": "s2", "operationName": "GET /y",
-         "startTime": (T0 + 16) * 1_000_000, "duration": 1, "processID": "p1",
-         "tags": [], "references": [{"traceID": "t1", "spanID": "s1"}]}],
-        "processes": {"p1": {"serviceName": "ts-order-service",
-                             "tags": [{"key": "hostname", "value": "pod-a-1"}]}}}]}
-    json.dump(jaeger, open(f"{d}/traces.json", "w"))
-    with open(f"{d}/ts-order-service.log", "w") as f:
-        f.write("2022-07-08 07:48:01.934 INFO 1---[nio-exec-1] "
-                "c.t.OrderService: created order 42\n")
+    _write_f2_service(d, "ts-order-service", "pod-a-1", 1_657_266_480)
     spans = read_jaeger_json(f"{d}/traces.json", 30_000_000)
     metrics = read_prometheus_json(f"{d}/metrics.json", 30_000_000)
     logs = read_structured_logs(f"{d}/ts-order-service.log", 30_000_000)
-    return telemetry_join(spans, metrics, logs, 30_000_000)
+    return telemetry_join(
+        spans, metrics, logs, 30_000_000, num_partitions=_fixture_partitions()
+    )
+
+
+def _q_corpus_end_to_end(sf_dir: str):
+    """S1 + JoinManager.process() analog: discover a FilepathFinder-shaped
+    corpus, run the per-service parse→join→tree→explode chain, write tiered
+    Parquet, and return the per-service row manifest (rows-only check)."""
+    import tempfile
+
+    from contest_parsing_ray.pipelines.telemetry_join import process_corpus
+
+    root = tempfile.mkdtemp(prefix="cpr_corpus_")
+    out = tempfile.mkdtemp(prefix="cpr_corpus_out_")
+    write_f2_corpus(root)
+    manifest = process_corpus(
+        root, out, 30_000_000, num_partitions=_fixture_partitions()
+    )
+    rows = [
+        {
+            "service": svc,
+            "joined_rows": int(m["joined_rows"]),
+            "exploded_rows": int(m["exploded_rows"]),
+        }
+        for svc, m in sorted(manifest.items())
+    ]
+    return pd.DataFrame(rows)
 
 
 
@@ -550,6 +637,42 @@ def _q_asof(sf_dir: str):
         return df[["event_id", "event_type", "asof_bucket_us", "asof_cnt"]]
 
     return joined.map_batches(rename, batch_format="pandas")
+
+
+def _q_trace_one_row(sf_dir: str):
+    """A3 exploder tail: one wide row per user (trace analog) with per-
+    event_type (service analog) aggregates — mean/min/max, span count,
+    " - "-joined event ids, sorted tied modes — plus trace totals."""
+    from contest_parsing_ray.stages.exploder import trace_one_row
+
+    ev = _events(sf_dir, columns=["ts", "event_id", "user_id", "event_type", "value"])
+
+    def add_vband(b: pa.Table) -> pa.Table:
+        v = np.floor(b["value"].to_numpy(zero_copy_only=False)).astype(np.int64) % 5
+        return b.append_column("vband", pa.array(v))
+
+    wide = trace_one_row(
+        ev.map_batches(add_vband, batch_format="pyarrow"),
+        trace_col="user_id",
+        service_col="event_type",
+        minmax_cols=("value",),
+        join_cols=("event_id",),
+        mode_cols=("vband",),
+        duration_col="value",
+        sort_cols=("ts", "event_id"),
+    )
+    float_cols = [f"{t}-mean_value" for t in EVENT_TYPES] + ["trace_duration"]
+    str_cols = [f"{t}-{a}" for t in EVENT_TYPES for a in ("join_event_id", "mode_vband")]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in float_cols:
+            df[c] = df[c].astype(np.float64).round(6)
+        for c in str_cols:
+            # missing (trace, service) cells: None (SQL NULL), not float NaN
+            df[c] = df[c].where(df[c].notna(), None)
+        return df
+
+    return wide.map_batches(finish, batch_format="pandas")
 
 
 def _q_sliding(sf_dir: str):
@@ -584,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_none_events": _q_dedup("none"),
         # gap-fill + widen + top-k (SURVEY ST4 / A3+M13+J8 / O-ops)
         "gapfill_locf_1h": _q_gapfill,
+        "gapfill_linear_1h": _q_gapfill_mode("linear"),
         "widen_1h": _q_widen,
         "topk_buckets": _q_topk,
         # tree stats (SURVEY G1/G2)
@@ -611,9 +735,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_roundtrip_1h": _q_compress_roundtrip,
         # reference Joiner analog on F2 fixtures (rows-only; goldens in tests)
         "telemetry_join_fixture": _q_telemetry_fixture,
+        # S1 discovery + end-to-end JoinManager.process analog (rows-only)
+        "corpus_end_to_end": _q_corpus_end_to_end,
         # time-series operators Ray Data lacks natively
         "asof_join_rollup": _q_asof,
         "sliding_window_3h": _q_sliding,
+        # A3 exploder tail: mode + list-join + per-service prefix pivot
+        "trace_one_row": _q_trace_one_row,
     }
 
 
@@ -640,6 +768,64 @@ FROM events GROUP BY 1, 2
 
 _BUCKET_1M = f"(((epoch_us(ts) + {W1M // 2}) // {W1M}) * {W1M})"
 _BUCKET_1H_NEAREST = f"(((epoch_us(ts) + {W1H // 2}) // {W1H}) * {W1H})"
+
+
+def _trace_one_row_sql() -> str:
+    """Oracle for the A3 exploder: per-(user, event_type) aggregates pivoted
+    to one wide row per user (CASE-pivot over the fixed event_type set)."""
+    per_type = []
+    for t in EVENT_TYPES:
+        per_type += [
+            f"ROUND(MAX(CASE WHEN event_type = '{t}' THEN mean_value END), 6)"
+            f' AS "{t}-mean_value"',
+            f"MAX(CASE WHEN event_type = '{t}' THEN min_value END)"
+            f' AS "{t}-min_value"',
+            f"MAX(CASE WHEN event_type = '{t}' THEN max_value END)"
+            f' AS "{t}-max_value"',
+            f"MAX(CASE WHEN event_type = '{t}' THEN spans END)"
+            f' AS "{t}-spans_in_service"',
+            f"MAX(CASE WHEN event_type = '{t}' THEN join_ids END)"
+            f' AS "{t}-join_event_id"',
+            f"MAX(CASE WHEN event_type = '{t}' THEN mode_vband END)"
+            f' AS "{t}-mode_vband"',
+        ]
+    cols = ",\n       ".join(per_type)
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         CAST(FLOOR(value) AS BIGINT) % 5 AS vband
+  FROM events
+), agg AS (
+  SELECT user_id, event_type,
+         AVG(value) AS mean_value, MIN(value) AS min_value,
+         MAX(value) AS max_value,
+         CAST(COUNT(*) AS DOUBLE) AS spans,
+         STRING_AGG(CAST(event_id AS VARCHAR), ' - ' ORDER BY ts, event_id)
+           AS join_ids
+  FROM e GROUP BY 1, 2
+), vc AS (
+  SELECT user_id, event_type, vband, COUNT(*) AS n FROM e GROUP BY 1, 2, 3
+), vmax AS (
+  SELECT *, MAX(n) OVER (PARTITION BY user_id, event_type) AS mx FROM vc
+), md AS (
+  SELECT user_id, event_type,
+         STRING_AGG(CAST(vband AS VARCHAR), ' - ' ORDER BY vband) AS mode_vband
+  FROM vmax WHERE n = mx GROUP BY 1, 2
+), j AS (
+  SELECT a.*, m.mode_vband FROM agg a JOIN md m
+    ON a.user_id = m.user_id AND a.event_type = m.event_type
+), tot AS (
+  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS trace_span_length,
+         ROUND(SUM(value), 6) AS trace_duration
+  FROM e GROUP BY 1
+)
+SELECT j.user_id,
+       MAX(tot.trace_span_length) AS trace_span_length,
+       MAX(tot.trace_duration) AS trace_duration,
+       {cols}
+FROM j JOIN tot ON j.user_id = tot.user_id
+GROUP BY j.user_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -712,6 +898,46 @@ SELECT event_type, bucket_us,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS sum_v,
        (cnt IS NULL) AS filled
 FROM j
+""",
+        "gapfill_linear_1h": f"""
+WITH agg AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(value) AS DOUBLE) AS sum_v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM agg GROUP BY 1
+), grid AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi, {W1H})) AS bucket_us FROM bounds
+), j AS (
+  SELECT g.event_type, g.bucket_us, a.cnt, a.sum_v
+  FROM grid g LEFT JOIN agg a
+    ON g.event_type = a.event_type AND g.bucket_us = a.bucket_us
+), w AS (
+  SELECT event_type, bucket_us, cnt, sum_v,
+         last_value(sum_v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN sum_v IS NOT NULL THEN bucket_us END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+         first_value(sum_v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN sum_v IS NOT NULL THEN bucket_us END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+  FROM j
+)
+SELECT event_type, bucket_us,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+       ROUND(CASE
+         WHEN sum_v IS NOT NULL THEN sum_v
+         WHEN next_v IS NULL THEN prev_v
+         ELSE prev_v + (CAST(bucket_us - prev_b AS DOUBLE) / (next_b - prev_b))
+                       * (next_v - prev_v)
+       END, 6) AS sum_v,
+       (cnt IS NULL) AS filled
+FROM w
 """,
         "widen_1h": f"""
 WITH agg AS (
@@ -860,6 +1086,7 @@ SELECT event_type,
        ROUND(CAST(SUM(value) AS DOUBLE), 6) AS value
 FROM events GROUP BY 1, 2
 """,
+        "trace_one_row": _trace_one_row_sql(),
         # lang_id_docs / doc_fingerprints / minhash_lsh_pairs / simhash_docs /
         # lsh_neardup_pairs / multimodal_decode_stub / telemetry_join_fixture:
         # heuristic, hash-algorithm-specific, or non-testdata inputs — not

@@ -55,8 +55,12 @@ def _sf_of(path: str) -> float:
 
 def _sequences_dir(sf: float) -> tuple[str, int]:
     """Synthesize (once, cached) the input_hint-shaped sequences table sized
-    to the SF: 1M rows at sf0.1."""
-    n_rows = max(10_000, int(10_000_000 * sf))
+    to the SF: 1M rows at sf0.1. BENCH_SEQ_ROWS overrides the row count —
+    the scaling criterion is measured at 10M rows, where per-execution fixed
+    costs stop dominating (BASELINE.md Amdahl analysis)."""
+    n_rows = int(
+        os.environ.get("BENCH_SEQ_ROWS", 0)
+    ) or max(10_000, int(10_000_000 * sf))
     d = f"/tmp/cpr_bench_seq_{n_rows}"
     from contest_parsing_ray.sources.synthetic import write_sequences_parquet
 

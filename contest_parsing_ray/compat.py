@@ -65,18 +65,29 @@ def patch_hash_shuffle_schema_broadcast() -> bool:
             block = TableBlockAccessor.try_convert_block_type(
                 block, block_type=BlockType.ARROW
             )
-            if block.num_rows == 0 and send_empty_blocks:
-                # the upstream early-return drops this broadcast entirely
-                shard = _create_empty_table(block.schema)
-                pending = []
-                for pid in range(pool.num_partitions):
-                    aggregator = pool.get_aggregator_for_partition(pid)
-                    ref = ray.put(shard)
-                    pending.append(aggregator.submit.remote(input_index, pid, ref))
-                while pending:
-                    _, pending = ray.wait(
-                        pending, num_returns=len(pending), timeout=1
-                    )
+            # Upstream broadcasts schemas only from the FIRST submitted task
+            # of each input; if that block is empty the broadcast is silently
+            # dropped, and some producers (sort-based groupby/map_groups)
+            # even emit ZERO-COLUMN empty blocks that carry no schema at all.
+            # Make every task broadcast-capable instead: fan schema-only
+            # shards to partitions that would otherwise receive nothing.
+            # For dense blocks every partition is non-empty, so this adds no
+            # traffic in the hot path.
+            has_schema = len(block.schema) > 0
+            if block.num_rows == 0:
+                if has_schema:
+                    shard = _create_empty_table(block.schema)
+                    pending = []
+                    for pid in range(pool.num_partitions):
+                        aggregator = pool.get_aggregator_for_partition(pid)
+                        ref = ray.put(shard)
+                        pending.append(
+                            aggregator.submit.remote(input_index, pid, ref)
+                        )
+                    while pending:
+                        _, pending = ray.wait(
+                            pending, num_returns=len(pending), timeout=1
+                        )
                 meta = BlockAccessor.for_block(block).get_metadata(
                     exec_stats=stats.build()
                 )
@@ -87,7 +98,7 @@ def patch_hash_shuffle_schema_broadcast() -> bool:
                 key_columns,
                 pool,
                 block_transformer=None,  # already applied above
-                send_empty_blocks=send_empty_blocks,
+                send_empty_blocks=True,  # always disseminate schemas
                 override_partition_id=override_partition_id,
             )
 

@@ -33,6 +33,8 @@ def join_traces_metrics(
     spans: ray.data.Dataset,
     metrics_long: ray.data.Dataset,
     drop_unmatched: bool = True,
+    metric_names: list[str] | None = None,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """J1: spans x pivoted metrics on (podname, starttime)=(pod, bucket).
 
@@ -43,19 +45,23 @@ def join_traces_metrics(
     """
     from ..sources.prometheus import pivot_metrics_wide
 
-    wide = pivot_metrics_wide(metrics_long, index_cols=("pod", "measure_time_us"))
+    wide = pivot_metrics_wide(
+        metrics_long, index_cols=("pod", "measure_time_us"),
+        metric_names=metric_names,
+    )
     joined = hash_join(
         spans,
         wide,
         on=["podname", "starttime_us"],
         right_on=["pod", "measure_time_us"],
         how="inner" if drop_unmatched else "left_outer",
+        num_partitions=num_partitions,
     )
     return joined
 
 
 def cumulative_log_features(
-    logs: ray.data.Dataset, width_us: int
+    logs: ray.data.Dataset, width_us: int, num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """J2/A4: per (service, bucket): cumulative log counts until t split by
     level + running distinct event_id count. Output one row per
@@ -129,12 +135,14 @@ def cumulative_log_features(
 
     # all rows of one service must co-locate (running sums are per service)
     return hash_partitioned_map(
-        logs, ["service"], per_partition_pa, num_partitions=16, batch_format="pyarrow"
+        logs, ["service"], per_partition_pa,
+        num_partitions=num_partitions or 16, batch_format="pyarrow"
     )
 
 
 def join_spans_logs(
-    joined: ray.data.Dataset, log_features: ray.data.Dataset
+    joined: ray.data.Dataset, log_features: ray.data.Dataset,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Attach the cumulative log features to spans on (service, bucket)."""
     schema = log_features.schema(fetch_if_missing=True)
@@ -147,6 +155,7 @@ def join_spans_logs(
         on=["servicename", "starttime_us"],
         right_on=["service", "bucket_us"],
         how="left_outer",
+        num_partitions=num_partitions,
     )
 
 
@@ -188,16 +197,40 @@ def systemwide_means(
 def telemetry_join(
     spans: ray.data.Dataset,
     metrics_long: ray.data.Dataset,
-    logs: ray.data.Dataset,
+    logs: ray.data.Dataset | None,
     width_us: int = 30_000_000,
     drop_unmatched: bool = True,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """The full Joiner.start analog: traces x metrics x cumulative logs +
-    system-wide means broadcast onto each bucket."""
-    joined = join_traces_metrics(spans, metrics_long, drop_unmatched)
-    feats = cumulative_log_features(logs, width_us)
-    joined = join_spans_logs(joined, feats)
+    system-wide means broadcast onto each bucket. ``logs=None`` (a service
+    with no log stream — legal per FilepathFinder) skips the log join.
+
+    The output schema is PINNED: spans schema + one float64 column per
+    metric + the log-feature columns + the systemWide-* columns — computed
+    up front, so every block (including empty join partitions) is
+    type-stable for downstream joins/unions."""
+    import pyarrow as pa
+
+    from ..sources.jaeger import SPAN_SCHEMA
+    from ..stages.join import pin_schema
+
+    metric_names = sorted(metrics_long.unique("metric"))
+    joined = join_traces_metrics(
+        spans, metrics_long, drop_unmatched, metric_names=metric_names,
+        num_partitions=num_partitions,
+    )
+    log_fields = []
+    if logs is not None:
+        feats = cumulative_log_features(logs, width_us, num_partitions)
+        joined = join_spans_logs(joined, feats, num_partitions)
+        log_fields = [
+            (c, pa.int64())
+            for c in ("running_all", "running_warn", "running_error",
+                      "running_info", "running_distinct_events")
+        ]
     sysw = systemwide_means(metrics_long)
+    sysw_fields = []
     if len(sysw) > 1 or len(sysw.columns) > 1:
         joined = broadcast_join(
             joined,
@@ -205,4 +238,115 @@ def telemetry_join(
             on=["starttime_us"],
             how="left",
         )
-    return joined
+        sysw_fields = [
+            (c, pa.float64()) for c in sysw.columns if c != "measure_time_us"
+        ]
+    out_schema = pa.schema(
+        list(SPAN_SCHEMA)
+        + [pa.field(m, pa.float64()) for m in metric_names]
+        + [pa.field(n, t) for n, t in log_fields + sysw_fields]
+    )
+    return pin_schema(joined, out_schema)
+
+
+def process_corpus(
+    source_dir: str,
+    out_dir: str,
+    width_us: int = 30_000_000,
+    test_mode: bool = False,
+    clear_output: bool = True,
+    drop_unmatched: bool = True,
+    explode: bool = True,
+    num_partitions: int | None = None,
+) -> dict:
+    """The ``JoinManager.process()`` analog — the end-to-end entry a user of
+    the reference hits first (``JoinManager.py:32-57``):
+
+    discover (S1) → per service: parse traces/metrics/logs → telemetry join
+    (J1/J2/A1) → tree depth stats (G1/G2) → trace-in-one-row explode (A3)
+    → partitioned Parquet per service (resumable layout: one directory per
+    service per artifact).
+
+    Returns {service: {"joined_rows", "exploded_rows", "stats", paths...}}.
+    """
+    import os
+
+    from ..sources.discovery import corpus_stats, find_files
+    from ..sources.jaeger import read_jaeger_json
+    from ..sources.logs import read_structured_logs
+    from ..sources.prometheus import read_prometheus_json
+    from ..stages.exploder import trace_one_row
+    from ..stages.join import hash_join
+    from ..stages.tree import tree_depth_stats
+    from ..state.manifest import clear_dir
+
+    path_list = find_files(source_dir, test_mode=test_mode)
+    stats = corpus_stats(path_list)
+    if clear_output:
+        clear_dir(out_dir)
+
+    manifest: dict = {}
+    for service, streams in path_list.items():
+        spans = read_jaeger_json(streams.traces, width_us)
+        metrics = read_prometheus_json(streams.monitoring, width_us)
+        logs = (
+            read_structured_logs(streams.logs, width_us) if streams.logs else None
+        )
+        joined = telemetry_join(
+            spans, metrics, logs, width_us, drop_unmatched=drop_unmatched,
+            num_partitions=num_partitions,
+        )
+
+        # G1/G2: depth stats per span, joined back on (trace, span) — J6
+        depths = tree_depth_stats(
+            spans.select_columns(["trace_id", "span_id", "parent_span_id"]),
+            trace_col="trace_id", span_col="span_id",
+            parent_col="parent_span_id",
+        )
+        joined = hash_join(
+            joined, depths, on=["trace_id", "span_id"], how="left_outer",
+            num_partitions=num_partitions,
+        )
+
+        joined_path = os.path.join(out_dir, service, "joined")
+        joined.write_parquet(joined_path)
+
+        entry = {"stats": stats[service], "joined_path": joined_path}
+        import pyarrow.dataset as pads
+
+        entry["joined_rows"] = pads.dataset(joined_path).count_rows()
+
+        if explode:
+            import ray.data
+
+            back = ray.data.read_parquet(joined_path)
+            metric_cols = [
+                c for c in back.schema().names
+                if c not in {
+                    "trace_id", "span_id", "parent_span_id", "operation",
+                    "process_id", "servicename", "podname", "http_status_code",
+                    "start_time_us", "duration_us", "starttime_us",
+                    "self_depth", "max_depth", "min_depth", "mean_depth",
+                }
+            ]
+            wide = trace_one_row(
+                back,
+                trace_col="trace_id",
+                service_col="servicename",
+                mean_cols=tuple(
+                    c for c in ("self_depth", "max_depth", "min_depth", "mean_depth")
+                    if c in back.schema().names
+                ),
+                minmax_cols=tuple(metric_cols),
+                join_cols=("span_id", "operation"),
+                mode_cols=("http_status_code",),
+                duration_col="duration_us",
+                sort_cols=("starttime_us", "span_id"),
+                num_partitions=num_partitions,
+            )
+            exploded_path = os.path.join(out_dir, service, "exploded")
+            wide.write_parquet(exploded_path)
+            entry["exploded_path"] = exploded_path
+            entry["exploded_rows"] = pads.dataset(exploded_path).count_rows()
+        manifest[service] = entry
+    return manifest

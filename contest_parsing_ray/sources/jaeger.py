@@ -28,6 +28,27 @@ from ..functions.bucketing import bucket_us
 
 STATUS_KEYS = ("http.status_code", "otel.status_code")
 
+import pyarrow as pa
+
+# Explicit span schema: a file whose spans all lack a tag (status, parent,
+# pod) must NOT emit an Arrow null-typed column — downstream joins reject
+# null-typed fields and unify schemas per block otherwise.
+SPAN_SCHEMA = pa.schema(
+    [
+        ("trace_id", pa.string()),
+        ("span_id", pa.string()),
+        ("parent_span_id", pa.string()),
+        ("operation", pa.string()),
+        ("process_id", pa.string()),
+        ("servicename", pa.string()),
+        ("podname", pa.string()),
+        ("http_status_code", pa.string()),
+        ("start_time_us", pa.int64()),
+        ("duration_us", pa.int64()),
+        ("starttime_us", pa.int64()),
+    ]
+)
+
 
 def _parse_trace_file(raw: bytes, rounding_us: int) -> pd.DataFrame:
     doc = json.loads(raw)
@@ -81,11 +102,12 @@ class JaegerParser:
     def __init__(self, rounding_us: int = 30_000_000):
         self.rounding_us = rounding_us
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.concat(
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        df = pd.concat(
             [_parse_trace_file(b, self.rounding_us) for b in batch["bytes"]],
             ignore_index=True,
         )
+        return pa.Table.from_pandas(df, schema=SPAN_SCHEMA, preserve_index=False)
 
 
 def read_jaeger_json(

@@ -126,13 +126,17 @@ def read_prometheus_json(
 def pivot_metrics_wide(
     metrics: ray.data.Dataset,
     index_cols: tuple[str, ...] = ("pod", "measure_time_us"),
+    metric_names: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Long → wide: one row per (pod, bucket) with one column per metric
     (mean of multi-sample cells). The single-pivot replacement for the
-    reference's N sequential metric joins (Joiner.py:78-120)."""
+    reference's N sequential metric joins (Joiner.py:78-120).
+    ``metric_names`` may be precomputed by the caller to avoid a second
+    pass over the long table."""
     from ..stages._shuffle import hash_partitioned_map
 
-    metric_names = sorted(metrics.unique("metric"))
+    if metric_names is None:
+        metric_names = sorted(metrics.unique("metric"))
     # explicit output schema: partitions with zero surviving rows (e.g. only
     # null-pod system-wide samples) must still emit THIS schema — schema-less
     # empty pandas frames become Arrow null-typed columns, which downstream

@@ -189,18 +189,39 @@ def write_sequences_parquet(
     done_marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(done_marker) and all(os.path.exists(p) for p in expected):
         return out_dir
-    # scalar columns for the whole table (cheap), token payload generated
-    # and written shard-by-shard to bound peak memory
-    cols = _scalar_columns(
-        n_rows,
-        seed,
-        kwargs.get("dup_fraction", 0.01),
-        kwargs.get("gap_minutes", (37, 38, 39, 120, 121, 200)),
-    )
+    dup_fraction = kwargs.get("dup_fraction", 0.01)
+    gap_minutes = kwargs.get("gap_minutes", (37, 38, 39, 120, 121, 200))
     per = (n_rows + num_files - 1) // num_files
-    for i in range(num_files):
+
+    def _write_shard(i: int) -> None:
+        # regenerating the (seed-fixed) scalar columns per shard keeps the
+        # shard a PURE function of (n_rows, seed, i) — shards can be built
+        # in any order, in parallel, byte-identical to the sequential path
+        cols = _scalar_columns(n_rows, seed, dup_fraction, gap_minutes)
         lo, hi = i * per, min((i + 1) * per, n_rows)
         pq.write_table(_slice_table(*cols, lo, hi), expected[i])
+
+    # token generation is memory-bandwidth heavy; fan shards out as Ray
+    # tasks when a cluster is up (large tables only — task overhead is not
+    # worth it for test-scale fixtures)
+    use_ray = False
+    if n_rows >= 1_000_000:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except Exception:
+            use_ray = False
+    if use_ray:
+        import ray
+
+        shard_task = ray.remote(num_cpus=1)(_write_shard)
+        ray.get([shard_task.remote(i) for i in range(num_files)])
+    else:
+        cols = _scalar_columns(n_rows, seed, dup_fraction, gap_minutes)
+        for i in range(num_files):
+            lo, hi = i * per, min((i + 1) * per, n_rows)
+            pq.write_table(_slice_table(*cols, lo, hi), expected[i])
     with open(done_marker, "w") as f:
         f.write(str(n_rows))
     return out_dir

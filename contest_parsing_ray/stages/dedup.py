@@ -128,6 +128,119 @@ def duplicated_keys(
     return dup.to_pandas()[key].to_numpy()
 
 
+class ShardedBloom:
+    """Bloom filter sharded by ``hash % num_shards``, built DISTRIBUTIVELY.
+
+    Each shard covers exactly the keys whose hash lands in it, so shards are
+    built independently inside their shuffle partition and the driver only
+    concatenates bitsets — it never materializes the duplicate-hash array
+    (the round-1 scale caveat: at 100 TB that array is GBs; the bitsets are
+    ~10 bits/dup total, and assembling them is O(num_shards) blob moves)."""
+
+    def __init__(self, shards: list[BloomFilter]):
+        self.shards = shards
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(h), dtype=bool)
+        sid = (h % np.uint64(len(self.shards))).astype(np.int64)
+        for i, shard in enumerate(self.shards):
+            mask = sid == i
+            if mask.any():
+                out[mask] = shard.contains_hashes(h[mask])
+        return out
+
+
+def duplicated_key_probe(
+    ds: ray.data.Dataset,
+    key: str = "doc_id",
+    num_shards: int = 16,
+    exact_threshold: int = 50_000_000,
+    bits_per_key: int = 10,
+) -> "np.ndarray | ShardedBloom":
+    """Duplicated-key-hash probe, built in ONE distributed pass.
+
+    Per batch: unique (hash, count) partials (8 B/key). Shuffled by
+    ``hash % num_shards``; each shard partition totals its counts, finds its
+    duplicated hashes, and emits a Bloom bitset row PLUS the raw hashes when
+    small. The driver returns a sorted exact uint64 array if the total
+    duplicate count is under ``exact_threshold``, else a
+    :class:`ShardedBloom` assembled from the bitsets — either way no
+    unbounded driver array."""
+
+    def batch_hash_counts(t: pa.Table) -> pa.Table:
+        h = hash64_strings(t[key])
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(uniq.view(np.int64), type=pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+                "shard": pa.array((uniq % np.uint64(num_shards)).astype(np.int64)),
+            }
+        )
+
+    partials = ds.select_columns([key]).map_batches(
+        batch_hash_counts, batch_format="pyarrow"
+    )
+
+    out_schema = pa.schema(
+        [
+            ("shard", pa.int64()),
+            ("n_dups", pa.int64()),
+            ("m", pa.int64()),
+            ("bits", pa.large_binary()),
+            ("exact", pa.large_binary()),
+        ]
+    )
+    # raw hashes ride along only while the shard is small enough that the
+    # driver may choose the exact representation
+    per_shard_exact_cap = max(1, exact_threshold // num_shards)
+
+    def build_shards(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        rows = {k: [] for k in out_schema.names}
+        for shard, g in df.groupby("shard", sort=True):
+            h = g["h"].to_numpy().view(np.uint64)
+            uniq, inv = np.unique(h, return_inverse=True)
+            totals = np.bincount(inv, weights=g["cnt"].to_numpy())
+            dups = np.sort(uniq[totals > 1])
+            bloom = BloomFilter(len(dups), bits_per_key)
+            bloom.add_hashes(dups)
+            rows["shard"].append(int(shard))
+            rows["n_dups"].append(len(dups))
+            rows["m"].append(bloom.m)
+            rows["bits"].append(bloom.bits.tobytes())
+            rows["exact"].append(
+                dups.tobytes() if len(dups) <= per_shard_exact_cap else b""
+            )
+        return pa.Table.from_pydict(rows, schema=out_schema)
+
+    shards_df = hash_partitioned_map(
+        partials, ["shard"], build_shards, batch_format="pyarrow"
+    ).to_pandas()
+    total_dups = int(shards_df["n_dups"].sum())
+    have_exact = (shards_df["exact"].str.len() > 0) | (shards_df["n_dups"] == 0)
+    if total_dups <= exact_threshold and have_exact.all():
+        return np.sort(
+            np.concatenate(
+                [np.frombuffer(b, dtype=np.uint64) for b in shards_df["exact"]]
+                or [np.array([], dtype=np.uint64)]
+            )
+        )
+    shards: list[BloomFilter] = []
+    by_shard = {int(r["shard"]): r for _, r in shards_df.iterrows()}
+    for i in range(num_shards):
+        r = by_shard.get(i)
+        bloom = BloomFilter(max(1, int(r["n_dups"])) if r is not None else 1,
+                            bits_per_key)
+        if r is not None:
+            bloom.m = int(r["m"])
+            bloom.bits = np.frombuffer(r["bits"], dtype=np.uint64).copy()
+        shards.append(bloom)
+    return ShardedBloom(shards)
+
+
 def duplicated_key_hashes(
     ds: ray.data.Dataset, key: str = "doc_id"
 ) -> np.ndarray:
@@ -184,20 +297,17 @@ def dedup_payload(
     """
     if keep not in ("first", "none"):
         raise ValueError("keep must be 'first' or 'none'")
-    dup_hashes = duplicated_key_hashes(probe_ds if probe_ds is not None else ds, key)
-    use_bloom = len(dup_hashes) > bloom_threshold
-    if use_bloom:
-        bloom = BloomFilter(len(dup_hashes))
-        bloom.add_hashes(dup_hashes)
-        probe_ref = ray.put(bloom)
-    else:
-        probe_ref = ray.put(dup_hashes)
+    probe = duplicated_key_probe(
+        probe_ds if probe_ds is not None else ds, key,
+        exact_threshold=bloom_threshold,
+    )
+    probe_ref = ray.put(probe)
 
     def split(flagged: bool):
         def fn(t: pa.Table) -> pa.Table:
             probe = ray.get(probe_ref)  # object-store read, shipped once
             h = hash64_strings(t[key])
-            if isinstance(probe, BloomFilter):
+            if isinstance(probe, (BloomFilter, ShardedBloom)):
                 mask = probe.contains_hashes(h)
             else:
                 pos = np.searchsorted(probe, h)

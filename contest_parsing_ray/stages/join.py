@@ -26,6 +26,33 @@ import ray.data
 from ._shuffle import add_hash_partition
 
 
+def pin_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Force every batch to exactly ``schema`` (order, names, types).
+
+    Kills per-block schema drift: Arrow null-typed columns (all-None object
+    columns through a pandas stage) are cast to the declared type, missing
+    columns materialize as typed nulls, extras are dropped, zero-column
+    empty blocks become ``schema.empty_table()``. Use at pipeline
+    boundaries whose outputs feed joins/unions."""
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = []
+        for fld in schema:
+            if fld.name in t.column_names:
+                c = t[fld.name]
+                if c.type != fld.type:
+                    c = c.cast(fld.type)
+                cols.append(c)
+            else:
+                cols.append(pa.nulls(len(t), fld.type))
+        return pa.Table.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
+            schema=schema,
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def broadcast_join(
     large: ray.data.Dataset,
     small: pd.DataFrame,
@@ -36,14 +63,29 @@ def broadcast_join(
     goes to the object store once; every task reads it zero-copy."""
     small_ref = ray.put(small)
 
-    class JoinBatch:
-        def __init__(self):
-            self.small = ray.get(small_ref)  # once per actor/task cache
+    # added-column dtypes: empty/unmatched batches must keep them — an
+    # all-NaN object column becomes an Arrow NULL-typed column, which
+    # downstream joins reject
+    added = {
+        c: ("string" if str(t) == "object" else str(t))
+        for c, t in small.dtypes.items()
+        if c not in on
+    }
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
+    # plain task pool, NOT an actor pool: the small side is a zero-copy
+    # object-store read per task, and an actor here reserves a whole CPU
+    # for the DAG's lifetime — on a small cluster that wedges pipelines
+    # already carrying several joins' aggregator actors (observed 4-CPU
+    # deadlock with 3 chained joins + this stage as an actor pool)
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(small_ref)
+        out = batch.merge(sm, on=on, how=how)
+        for c, t in added.items():
+            if str(out[c].dtype) == "object" and out[c].isna().all():
+                out[c] = out[c].astype(t)
+        return out
 
-    return large.map_batches(JoinBatch, batch_format="pandas", concurrency=(1, 8))
+    return large.map_batches(join_batch, batch_format="pandas")
 
 
 def hash_join(

@@ -33,35 +33,39 @@ FEATURE_DIM = 8
 
 class DecodeStub:
     """Actor-pool decode stage. Real decoders slot in by replacing
-    ``_decode_one`` (model/codec loaded once per actor in __init__)."""
+    ``_decode_batch`` (model/codec loaded once per actor in __init__)."""
 
     def __init__(self, payload_col: str = "payload", fake: bool = False):
         self.payload_col = payload_col
         self.fake = fake
         # real impl: self.codec = load_codec(); here: nothing to load
 
-    def _decode_one(self, payload: bytes) -> np.ndarray:
+    def _decode_batch(self, payloads: pa.Array) -> np.ndarray:
+        """(n, FEATURE_DIM) float32 features — deterministic fake, computed
+        buffer-level over the whole batch (no per-row Python)."""
         if not self.fake:
             raise NotImplementedError(
                 "media codecs are not available in this environment; "
                 "construct DecodeStub(fake=True) for the deterministic stub"
             )
-        b = np.frombuffer(payload, dtype=np.uint8)
-        if len(b) == 0:
-            return np.zeros(FEATURE_DIM, dtype=np.float32)
-        h = _splitmix64(b[: 4096].astype(np.uint64) + np.arange(min(len(b), 4096), dtype=np.uint64))
-        return (
-            h[: FEATURE_DIM * (len(h) // FEATURE_DIM)]
-            .reshape(-1, FEATURE_DIM)[: 16]
-            .mean(axis=0, dtype=np.float64)
-            .astype(np.float32)
-            / np.float32(2**64)
-        ) if len(h) >= FEATURE_DIM else np.zeros(FEATURE_DIM, dtype=np.float32)
+        from ._shuffle import hash64_strings
+
+        row_hash = hash64_strings(payloads)  # one pass over the raw buffer
+        with np.errstate(over="ignore"):
+            seeds = row_hash[:, None] * (
+                np.arange(1, FEATURE_DIM + 1, dtype=np.uint64)[None, :]
+            )
+            feats = _splitmix64(seeds.ravel()).reshape(-1, FEATURE_DIM)
+        return (feats.astype(np.float64) / float(2**64)).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch[self.payload_col].to_pylist()
-        feats = np.stack([self._decode_one(p or b"") for p in payloads])
-        n_bytes = np.asarray([len(p or b"") for p in payloads], dtype=np.int64)
+        col = batch[self.payload_col].combine_chunks()
+        col = col.cast(pa.large_binary())
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+            col.offset : col.offset + len(col) + 1
+        ]
+        n_bytes = np.diff(offs)
+        feats = self._decode_batch(col)
         batch = batch.drop_columns([self.payload_col])  # decoded: payload dropped
         batch = batch.append_column("n_bytes", pa.array(n_bytes, type=pa.int64()))
         batch = batch.append_column(

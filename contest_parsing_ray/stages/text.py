@@ -22,12 +22,34 @@ import ray.data
 
 _WORD_RE = r"[A-Za-z0-9_]+"
 
-# Tiny stopword sets for n-gram-free language ID (heuristic; deterministic).
-_STOPWORDS = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
-    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"},
-    "fr": {"le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"},
-    "es": {"el", "la", "de", "que", "y", "los", "en", "un", "una", "es"},
+# Seed corpora for the char-trigram language profiles (authored here; the
+# classifier is the standard n-gram log-likelihood ratio — Cavnar & Trenkle
+# 1994 — with fixed profiles, no runtime training).
+_LANG_SEEDS = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and then it runs back "
+        "to the house because there is nothing better to do in the evening "
+        "when all of the work has been finished and the children are sleeping "
+        "we should always remember that every good thing takes time and effort"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund und laeuft "
+        "dann zurueck zum haus weil es am abend nichts besseres zu tun gibt "
+        "wenn die ganze arbeit erledigt ist und die kinder schlafen sollten "
+        "wir immer daran denken dass jede gute sache zeit und muehe braucht"
+    ),
+    "fr": (
+        "le renard brun et rapide saute par dessus le chien paresseux puis il "
+        "retourne vers la maison parce qu il n y a rien de mieux a faire le "
+        "soir quand tout le travail est termine et que les enfants dorment "
+        "nous devrions toujours nous rappeler que toute bonne chose prend du temps"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso y luego vuelve "
+        "a la casa porque no hay nada mejor que hacer por la noche cuando "
+        "todo el trabajo esta terminado y los ninos duermen debemos recordar "
+        "siempre que toda cosa buena requiere tiempo y esfuerzo"
+    ),
 }
 
 
@@ -72,27 +94,56 @@ class QualityScore:
 
 
 class LangId:
-    """Stopword-vote language ID (deterministic heuristic; a real model
-    would load here once per actor — same plumbing)."""
+    """Char-trigram log-likelihood language ID (Cavnar & Trenkle style).
 
-    def __init__(self, text_col: str = "text"):
+    Model build happens ONCE per actor in ``__init__`` (the stateful-stage
+    pattern a real fastText-style model would use): per-language trigram
+    log-probs over the seed corpora, laid out as a sorted hash table +
+    (n_trigrams, n_langs) weight matrix. Per batch: ONE buffer-level
+    trigram-hash pass over all docs, ``searchsorted`` lookup, segmented
+    sum via ``reduceat`` — no per-document Python loop."""
+
+    def __init__(self, text_col: str = "text", max_chars: int = 1000):
+        from .neardup import _batch_shingles
+
         self.text_col = text_col
-        self.word = re.compile(_WORD_RE)
+        self.max_chars = max_chars
+        self._shingles = _batch_shingles
+        self.langs = sorted(_LANG_SEEDS)
+        counts: dict[int, np.ndarray] = {}
+        totals = np.zeros(len(self.langs), dtype=np.float64)
+        for li, lang in enumerate(self.langs):
+            flat, _ = _batch_shingles(
+                pa.array([_LANG_SEEDS[lang]], type=pa.string()), n=3
+            )
+            totals[li] = len(flat)
+            uniq, c = np.unique(flat, return_counts=True)
+            for h, n in zip(uniq, c):
+                counts.setdefault(int(h), np.zeros(len(self.langs)))[li] = n
+        vocab = len(counts)
+        self.known = np.array(sorted(counts), dtype=np.uint64)
+        mat = np.stack([counts[int(h)] for h in self.known])
+        # add-one smoothed log-probs; OOV trigram -> per-language floor
+        self.weights = np.log((mat + 1.0) / (totals + vocab)[None, :])
+        self.oov = np.log(1.0 / (totals + vocab))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        langs = []
-        scores = []
-        for t in batch[self.text_col].fillna(""):
-            words = set(w.lower() for w in self.word.findall(t)[:200])
-            best, best_n = "unknown", 0
-            for lang, sw in _STOPWORDS.items():
-                n = len(words & sw)
-                if n > best_n:
-                    best, best_n = lang, n
-            langs.append(best)
-            scores.append(best_n)
-        batch["lang_pred"] = langs
-        batch["lang_score"] = np.asarray(scores, dtype=np.int64)
+        texts = batch[self.text_col].fillna("").str.lower().str.slice(0, self.max_chars)
+        flat, offsets = self._shingles(pa.array(texts, type=pa.string()), n=3)
+        idx = np.searchsorted(self.known, flat)
+        idx_c = np.minimum(idx, len(self.known) - 1)
+        matched = self.known[idx_c] == flat
+        w = np.where(matched[:, None], self.weights[idx_c], self.oov[None, :])
+        # sentinel row keeps reduceat happy for the trailing segment
+        w = np.vstack([w, np.zeros((1, len(self.langs)))])
+        sums = np.add.reduceat(w, offsets[:-1], axis=0)
+        lens = np.diff(offsets)
+        mean_ll = sums / np.maximum(lens, 1)[:, None]
+        best = np.argmax(mean_ll, axis=1)
+        batch["lang_pred"] = np.array(self.langs, dtype=object)[best]
+        # margin of the winner over the runner-up mean log-likelihood
+        part = np.partition(mean_ll, -2, axis=1)
+        batch["lang_score"] = (part[:, -1] - part[:, -2]).astype(np.float64)
         return batch
 
 

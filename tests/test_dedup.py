@@ -110,3 +110,28 @@ def test_dedup_payload_bloom_path(sequences_dir):
         plain = dedup(ds, keep=keep).to_pandas()
         fast = dedup_payload(ds, keep=keep, bloom_threshold=1).to_pandas()
         assert sorted(fast["doc_id"]) == sorted(plain["doc_id"]), keep
+
+
+def test_sharded_bloom_probe_exact_and_bloom(sequences_dir):
+    import numpy as np
+    import ray.data
+    from contest_parsing_ray.stages.dedup import (
+        ShardedBloom, duplicated_key_hashes, duplicated_key_probe,
+    )
+
+    ds = ray.data.read_parquet(sequences_dir)
+    exact = duplicated_key_hashes(ds, "doc_id")
+    probe = duplicated_key_probe(ds, "doc_id")
+    # small corpus -> exact representation, identical to the driver-side path
+    assert isinstance(probe, np.ndarray)
+    np.testing.assert_array_equal(np.sort(probe), exact)
+
+    bloom = duplicated_key_probe(ds, "doc_id", exact_threshold=1)
+    assert isinstance(bloom, ShardedBloom)
+    # no false negatives on the true duplicate hashes
+    assert bloom.contains_hashes(exact).all()
+    # non-member false-positive rate stays near the design point (~1%)
+    rng_probe = (np.arange(20_000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 ^ np.uint64(0x1234ABCD))
+    fp = bloom.contains_hashes(rng_probe).mean()
+    assert fp < 0.05
