@@ -80,14 +80,17 @@ def entry() -> Any:
 def _round_cols(ds, cols: list[str], digits: int = 6):
     """Round float columns on the Ray side; oracles ROUND(x, n) too —
     float sums/quantiles are addition-order sensitive in the last ulp, and
-    the driver hash-compares values."""
+    the driver hash-compares values. Arrow-native (zero-copy untouched
+    columns; numpy round matches the previous pandas semantics exactly)."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def f(t: pa.Table) -> pa.Table:
         for c in cols:
-            df[c] = df[c].astype(np.float64).round(digits)
-        return df
+            idx = t.schema.get_field_index(c)
+            vals = t[c].cast(pa.float64()).to_numpy(zero_copy_only=False)
+            t = t.set_column(idx, c, pa.array(np.round(vals, digits)))
+        return t
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def _rollup_query(tier_name: str, width: int, mode: str = "nearest"):
@@ -231,11 +234,21 @@ def _scaled_cents(b: pa.Table, col: str, scale: int = 100) -> "np.ndarray":
     ).to_numpy(zero_copy_only=False)
 
 
+_BROADCAST_ORDERS_MAX = 2_000_000
+
+
 def _q_order_priority(sf_dir: str):
+    """Small-side broadcast aggregate when orders fits in the object store
+    (one lineitem pass, NO shuffle — partial per-priority sums inside
+    map_batches, tiny final groupby); falls back to the hash-partitioned
+    join above the row threshold (the 100 TB path when orders is huge)."""
+    import pyarrow.parquet as pqm
+    import ray
     import ray.data
     from ray.data.aggregate import Count, Sum
 
-    from contest_parsing_ray.stages.join import hash_join
+    orders_path = os.path.join(sf_dir, "orders.parquet")
+    n_orders = pqm.ParquetFile(orders_path).metadata.num_rows
 
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -251,21 +264,67 @@ def _q_order_priority(sf_dir: str):
         b = b.append_column("disc_c", pa.array(_scaled_cents(b, "l_discount")))
         return b.select(["l_orderkey", "qty_i", "price_c", "disc_c"])
 
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
-    )
-    j = hash_join(
-        li.map_batches(prep, batch_format="pyarrow"),
-        orders, on=["l_orderkey"], right_on=["o_orderkey"], how="inner",
-    )
-    agg = j.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_lines"),
-        Sum("qty_i", alias_name="sum_qty_i"),
-        Sum("price_c", alias_name="sum_price_c"),
-        Sum("disc_c", alias_name="sum_disc_c"),
-    )
+    if n_orders <= _BROADCAST_ORDERS_MAX:
+        ot = pqm.read_table(orders_path, columns=["o_orderkey", "o_orderpriority"])
+        keys = ot["o_orderkey"].to_numpy()
+        prio = ot["o_orderpriority"].to_numpy(zero_copy_only=False)
+        prio_names, prio_codes = np.unique(prio, return_inverse=True)
+        order = np.argsort(keys, kind="stable")
+        lookup_ref = ray.put(
+            (keys[order], prio_codes[order].astype(np.int64), prio_names)
+        )
+        n_prio = len(prio_names)
+
+        def partial(b: pa.Table) -> pa.Table:
+            b = prep(b)
+            skeys, scodes, names = ray.get(lookup_ref)
+            lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(skeys, lk)
+            pos_c = np.minimum(pos, len(skeys) - 1)
+            hit = skeys[pos_c] == lk  # inner-join semantics
+            code = scodes[pos_c]
+            out = {"o_orderpriority": names}
+            w = np.where(hit, 1, 0)
+            out["n_lines"] = np.bincount(code, weights=w, minlength=n_prio).astype(np.int64)
+            for col, alias in (
+                ("qty_i", "sum_qty_i"), ("price_c", "sum_price_c"),
+                ("disc_c", "sum_disc_c"),
+            ):
+                v = b[col].to_numpy(zero_copy_only=False)
+                out[alias] = np.bincount(
+                    code, weights=np.where(hit, v, 0), minlength=n_prio
+                ).astype(np.int64)
+            return pa.table(out)
+
+        agg = (
+            li.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(
+                Sum("n_lines", alias_name="n_lines"),
+                Sum("sum_qty_i", alias_name="sum_qty_i"),
+                Sum("sum_price_c", alias_name="sum_price_c"),
+                Sum("sum_disc_c", alias_name="sum_disc_c"),
+            )
+        )
+    else:
+        from contest_parsing_ray.stages.join import hash_join
+
+        orders = ray.data.read_parquet(
+            orders_path, columns=["o_orderkey", "o_orderpriority"]
+        )
+        j = hash_join(
+            li.map_batches(prep, batch_format="pyarrow"),
+            orders, on=["l_orderkey"], right_on=["o_orderkey"], how="inner",
+        )
+        agg = j.groupby("o_orderpriority").aggregate(
+            Count(alias_name="n_lines"),
+            Sum("qty_i", alias_name="sum_qty_i"),
+            Sum("price_c", alias_name="sum_price_c"),
+            Sum("disc_c", alias_name="sum_disc_c"),
+        )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_lines"] > 0]  # broadcast path emits all priorities
         return pd.DataFrame(
             {
                 "o_orderpriority": df["o_orderpriority"],

@@ -57,10 +57,18 @@ def _build_deduped(input_path: str, cfg: PipelineConfig, dedup_dir: str) -> None
     """[exec 1+2] payload-optimized dedup + checksums → partitioned parquet."""
     events = read_sequences(input_path, with_tokens=cfg.ingest_tokens)
     if cfg.ingest_tokens:
-        # probe over a doc_id-only read: the payload never leaves storage
+        # probe over a doc_id-only read: the payload never leaves storage;
+        # row-count hint (parquet metadata only) picks the probe build path
+        import pyarrow.dataset as pads
+
+        try:
+            approx_rows = pads.dataset(input_path).count_rows()
+        except Exception:
+            approx_rows = None
         probe_ds = read_sequences(input_path, columns=["doc_id"])
         events = dedup_payload(
-            events, key="doc_id", keep=cfg.dedup_keep, probe_ds=probe_ds
+            events, key="doc_id", keep=cfg.dedup_keep, probe_ds=probe_ds,
+            approx_rows=approx_rows,
         )
         events = events.map_batches(token_checksum, batch_format="pyarrow")
     else:

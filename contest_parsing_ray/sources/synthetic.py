@@ -196,10 +196,15 @@ def write_sequences_parquet(
     def _write_shard(i: int) -> None:
         # regenerating the (seed-fixed) scalar columns per shard keeps the
         # shard a PURE function of (n_rows, seed, i) — shards can be built
-        # in any order, in parallel, byte-identical to the sequential path
+        # in any order, in parallel, byte-identical to the sequential path,
+        # and an interrupted run resumes at the missing shards
+        if os.path.exists(expected[i]):
+            return
         cols = _scalar_columns(n_rows, seed, dup_fraction, gap_minutes)
         lo, hi = i * per, min((i + 1) * per, n_rows)
-        pq.write_table(_slice_table(*cols, lo, hi), expected[i])
+        tmp = expected[i] + ".tmp"
+        pq.write_table(_slice_table(*cols, lo, hi), tmp)
+        os.replace(tmp, expected[i])
 
     # token generation is memory-bandwidth heavy; fan shards out as Ray
     # tasks when a cluster is up (large tables only — task overhead is not

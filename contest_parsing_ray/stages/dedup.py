@@ -297,10 +297,23 @@ def dedup_payload(
     """
     if keep not in ("first", "none"):
         raise ValueError("keep must be 'first' or 'none'")
-    probe = duplicated_key_probe(
-        probe_ds if probe_ds is not None else ds, key,
-        exact_threshold=bloom_threshold,
-    )
+    probe_src = probe_ds if probe_ds is not None else ds
+    # ADAPTIVE probe build: below ~20M rows the per-batch (hash, count)
+    # partials comfortably fit one driver merge (8 B/key) and a distributed
+    # shuffle would only add fixed cost; above it, the sharded-Bloom build
+    # keeps everything distributed (no unbounded driver array).
+    if approx_rows is not None and approx_rows <= 20_000_000:
+        probe: "np.ndarray | ShardedBloom | BloomFilter" = duplicated_key_hashes(
+            probe_src, key
+        )
+        if len(probe) > bloom_threshold:
+            bloom = BloomFilter(len(probe))
+            bloom.add_hashes(probe)
+            probe = bloom
+    else:
+        probe = duplicated_key_probe(
+            probe_src, key, exact_threshold=bloom_threshold
+        )
     probe_ref = ray.put(probe)
 
     def split(flagged: bool):
