@@ -298,11 +298,12 @@ def dedup_payload(
     if keep not in ("first", "none"):
         raise ValueError("keep must be 'first' or 'none'")
     probe_src = probe_ds if probe_ds is not None else ds
-    # ADAPTIVE probe build: below ~20M rows the per-batch (hash, count)
-    # partials comfortably fit one driver merge (8 B/key) and a distributed
-    # shuffle would only add fixed cost; above it, the sharded-Bloom build
-    # keeps everything distributed (no unbounded driver array).
-    if approx_rows is not None and approx_rows <= 20_000_000:
+    # ADAPTIVE probe build: small inputs merge the per-batch (hash, count)
+    # partials on the driver (a distributed shuffle would only add fixed
+    # cost); larger ones use the sharded-Bloom build, which keeps the merge
+    # parallel — a driver-side np.unique over 10M+ hashes showed up as ~
+    # half the measured serial fraction in the 10M-row scaling run.
+    if approx_rows is not None and approx_rows <= 2_000_000:
         probe: "np.ndarray | ShardedBloom | BloomFilter" = duplicated_key_hashes(
             probe_src, key
         )
