@@ -57,7 +57,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
-ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+# Golden-parquet oracles are pinned at sf0.01 (the driver's correctness
+# scale) — at this module's sf0.001 mirror they are exercised rows-only;
+# tests/test_golden_oracles.py compares them against the goldens at sf0.01.
+ORACLE_KEYS = sorted(
+    set(entrymod.oracle_sql()) - set(entrymod.GOLDEN_ORACLE_KEYS)
+)
 ROWS_ONLY_KEYS = sorted(set(entrymod.queries().keys()) - set(ORACLE_KEYS))
 
 
