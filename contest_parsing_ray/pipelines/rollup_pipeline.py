@@ -53,8 +53,12 @@ from ..stages.rollup import PartialRollup, _merge_partition
 from ..state.manifest import clear_dir, fingerprint_config, fingerprint_input
 
 
-def _build_deduped(input_path: str, cfg: PipelineConfig, dedup_dir: str) -> None:
+def _build_deduped(
+    input_path: str, cfg: PipelineConfig, dedup_dir: str,
+    stage_seconds: dict | None = None,
+) -> None:
     """[exec 1+2] payload-optimized dedup + checksums → partitioned parquet."""
+    t0 = time.perf_counter()
     events = read_sequences(input_path, with_tokens=cfg.ingest_tokens)
     if cfg.ingest_tokens:
         # probe over a doc_id-only read: the payload never leaves storage;
@@ -73,8 +77,13 @@ def _build_deduped(input_path: str, cfg: PipelineConfig, dedup_dir: str) -> None
         events = events.map_batches(token_checksum, batch_format="pyarrow")
     else:
         events = dedup(events, key="doc_id", keep=cfg.dedup_keep)
+    if stage_seconds is not None:
+        stage_seconds["dedup_plan_probe"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     clear_dir(dedup_dir)
     events.write_parquet(os.path.join(dedup_dir, "data"), partition_cols=["source"])
+    if stage_seconds is not None:
+        stage_seconds["dedup_exec_write"] = time.perf_counter() - t0
 
 
 def run_rollup_pipeline(
@@ -125,7 +134,7 @@ def run_rollup_pipeline(
     if not resume or not (
         prior and prior.get("completed") and prior.get("input_fingerprint") == dedup_fp
     ):
-        _build_deduped(input_path, cfg, dedup_dir)
+        _build_deduped(input_path, cfg, dedup_dir, metrics["stage_seconds"])
         write_tier_manifest(
             cfg.out_dir,
             "deduped",

@@ -282,6 +282,7 @@ def dedup_payload(
     bloom_threshold: int = 50_000_000,
     approx_rows: int | None = None,
     probe_ds: ray.data.Dataset | None = None,
+    single_pass_threshold: int = 50_000_000,
 ) -> ray.data.Dataset:
     """Payload-optimized exact dedup: rows of NON-duplicated keys never
     shuffle (at a ~1% duplicate rate that keeps ~99% of the bytes on their
@@ -294,6 +295,15 @@ def dedup_payload(
     duplicates + rare hash collisions) go through the ordinary exact
     hash-partition dedup on the REAL key, the rest pass through untouched.
     Exact for both keep policies.
+
+    Split strategy (adaptive): a Dataset has no fan-out operator, so the
+    clean/suspect branches each re-execute the upstream read. When
+    ``approx_rows`` fits the cluster's object store
+    (``single_pass_threshold``), the flag column is computed ONCE and the
+    flagged stream is materialized, so the input is read/decoded/hashed one
+    time and both branches are cheap Arrow filters over shared blocks.
+    Beyond it (the 100 TB path) the branches re-read from storage — two
+    object-storage scans beat spilling a full materialized copy.
     """
     if keep not in ("first", "none"):
         raise ValueError("keep must be 'first' or 'none'")
@@ -317,24 +327,46 @@ def dedup_payload(
         )
     probe_ref = ray.put(probe)
 
-    def split(flagged: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            probe = ray.get(probe_ref)  # object-store read, shipped once
-            h = hash64_strings(t[key])
-            if isinstance(probe, (BloomFilter, ShardedBloom)):
-                mask = probe.contains_hashes(h)
-            else:
-                pos = np.searchsorted(probe, h)
-                pos = np.clip(pos, 0, len(probe) - 1) if len(probe) else pos
-                mask = (
-                    probe[pos] == h if len(probe) else np.zeros(len(h), dtype=bool)
-                )
-            return t.filter(pa.array(mask if flagged else ~mask))
+    def _mask(t: pa.Table) -> np.ndarray:
+        probe = ray.get(probe_ref)  # object-store read, shipped once
+        h = hash64_strings(t[key])
+        if isinstance(probe, (BloomFilter, ShardedBloom)):
+            return probe.contains_hashes(h)
+        pos = np.searchsorted(probe, h)
+        pos = np.clip(pos, 0, len(probe) - 1) if len(probe) else pos
+        return probe[pos] == h if len(probe) else np.zeros(len(h), dtype=bool)
 
-        return fn
+    if approx_rows is not None and approx_rows <= single_pass_threshold:
+        # single-read split: hash + probe once, share blocks via the store
+        FLAG = "__dup_suspect"
 
-    clean = ds.map_batches(split(False), batch_format="pyarrow")
-    suspect = ds.map_batches(split(True), batch_format="pyarrow")
+        def add_flag(t: pa.Table) -> pa.Table:
+            return t.append_column(FLAG, pa.array(_mask(t)))
+
+        flagged = ds.map_batches(add_flag, batch_format="pyarrow").materialize()
+
+        def take_side(want: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                keep_rows = t[FLAG].to_numpy(zero_copy_only=False)
+                if not want:
+                    keep_rows = ~keep_rows
+                return t.filter(pa.array(keep_rows)).drop_columns([FLAG])
+
+            return fn
+
+        clean = flagged.map_batches(take_side(False), batch_format="pyarrow")
+        suspect = flagged.map_batches(take_side(True), batch_format="pyarrow")
+    else:
+
+        def split(want: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                m = _mask(t)
+                return t.filter(pa.array(m if want else ~m))
+
+            return fn
+
+        clean = ds.map_batches(split(False), batch_format="pyarrow")
+        suspect = ds.map_batches(split(True), batch_format="pyarrow")
     # suspects always go through the exact key-based dedup: hash collisions
     # make the flag a superset, never a wrong result
     deduped_suspects = dedup(suspect, key, keep, tiebreak_cols, num_partitions)
