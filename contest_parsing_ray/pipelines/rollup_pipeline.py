@@ -40,7 +40,7 @@ from ..config import PipelineConfig
 from ..sources.ingest import read_sequences, token_checksum
 from ..stages._shuffle import hash_partitioned_map
 from ..stages.compress import compress_series
-from ..stages.dedup import dedup, dedup_payload
+from ..stages.dedup import dedup, dedup_payload_write
 from ..stages.gapfill import gapfill
 from ..stages.retention import (
     read_tier,
@@ -62,7 +62,10 @@ def _build_deduped(
     events = read_sequences(input_path, with_tokens=cfg.ingest_tokens)
     if cfg.ingest_tokens:
         # probe over a doc_id-only read: the payload never leaves storage;
-        # row-count hint (parquet metadata only) picks the probe build path
+        # row-count hint (parquet metadata only) picks the probe build path.
+        # The dedup is FUSED with the sink (write-side split): one full
+        # streaming pass writes clean rows into their final partitions and
+        # only the ~1-2% flagged bytes take the exact dedup shuffle.
         import pyarrow.dataset as pads
 
         try:
@@ -70,13 +73,21 @@ def _build_deduped(
         except Exception:
             approx_rows = None
         probe_ds = read_sequences(input_path, columns=["doc_id"])
-        events = dedup_payload(
-            events, key="doc_id", keep=cfg.dedup_keep, probe_ds=probe_ds,
+        clear_dir(dedup_dir)
+        dedup_payload_write(
+            events,
+            os.path.join(dedup_dir, "data"),
+            key="doc_id",
+            keep=cfg.dedup_keep,
+            probe_ds=probe_ds,
             approx_rows=approx_rows,
+            partition_cols=("source",),
+            pre_write=token_checksum,
         )
-        events = events.map_batches(token_checksum, batch_format="pyarrow")
-    else:
-        events = dedup(events, key="doc_id", keep=cfg.dedup_keep)
+        if stage_seconds is not None:
+            stage_seconds["dedup_exec_write"] = time.perf_counter() - t0
+        return
+    events = dedup(events, key="doc_id", keep=cfg.dedup_keep)
     if stage_seconds is not None:
         stage_seconds["dedup_plan_probe"] = time.perf_counter() - t0
     t0 = time.perf_counter()

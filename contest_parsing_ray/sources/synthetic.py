@@ -188,7 +188,14 @@ def write_sequences_parquet(
     expected = [os.path.join(out_dir, f"part-{i:04d}.parquet") for i in range(num_files)]
     done_marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(done_marker) and all(os.path.exists(p) for p in expected):
-        return out_dir
+        with open(done_marker) as f:
+            marker = f.read().strip()
+        if marker == str(n_rows):
+            return out_dir
+        # stale cache from a different row count: regenerate from scratch
+        for p in expected:
+            os.remove(p)
+        os.remove(done_marker)
     dup_fraction = kwargs.get("dup_fraction", 0.01)
     gap_minutes = kwargs.get("gap_minutes", (37, 38, 39, 120, 121, 200))
     per = (n_rows + num_files - 1) // num_files

@@ -241,6 +241,115 @@ def duplicated_key_probe(
     return ShardedBloom(shards)
 
 
+def dedup_payload_write(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    key: str = "doc_id",
+    keep: str = "first",
+    tiebreak_cols: tuple[str, ...] = (),
+    num_partitions: int | None = None,
+    bloom_threshold: int = 50_000_000,
+    approx_rows: int | None = None,
+    probe_ds: ray.data.Dataset | None = None,
+    partition_cols: tuple[str, ...] = ("source",),
+    pre_write=None,
+    stage_seconds: dict | None = None,
+) -> dict:
+    """Payload-split dedup fused with the Parquet sink (the flagship path).
+
+    A Dataset has no fan-out operator, so the Dataset-returning
+    :func:`dedup_payload` either re-reads the input per branch or
+    materializes it, and its clean ∪ deduped-suspects union puts a map
+    sink and an all-to-all exchange in ONE streaming plan — measured 2-20x
+    slower than the sum of its parts on one node (operators contend for
+    the same cores). Since the flagship consumes the result by WRITING it,
+    the split can happen at the sink instead, with no union and no second
+    full read:
+
+      exec A  read → flag (probe broadcast, one hash pass) → ``pre_write``
+              → write ``raw/`` hive-partitioned by (flag, *partition_cols*)
+              — clean rows land in their FINAL layout, suspects land raw.
+      driver  rename ``raw/flag=ok/<part>`` dirs into ``out_dir`` — pure
+              metadata moves, no bytes copied.
+      exec B  read ``raw/flag=dup`` (the ~1-2% flagged bytes) → exact
+              hash-partition dedup on the real key → append to ``out_dir``.
+
+    Every stage streams; the only driver work is the probe choice and the
+    renames. Returns ``{"suspect_rows": int}``.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    import os
+    import shutil
+    import time
+
+    t0 = time.perf_counter()
+    probe_src = probe_ds if probe_ds is not None else ds
+    if approx_rows is not None and approx_rows <= 2_000_000:
+        probe: "np.ndarray | ShardedBloom | BloomFilter" = duplicated_key_hashes(
+            probe_src, key
+        )
+        if len(probe) > bloom_threshold:
+            bloom = BloomFilter(len(probe))
+            bloom.add_hashes(probe)
+            probe = bloom
+    else:
+        probe = duplicated_key_probe(probe_src, key, exact_threshold=bloom_threshold)
+    probe_ref = ray.put(probe)
+    if stage_seconds is not None:
+        stage_seconds["dedup_probe"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    FLAG = "__dup"
+
+    def add_flag(t: pa.Table) -> pa.Table:
+        probe = ray.get(probe_ref)
+        h = hash64_strings(t[key])
+        if isinstance(probe, (BloomFilter, ShardedBloom)):
+            mask = probe.contains_hashes(h)
+        else:
+            pos = np.searchsorted(probe, h)
+            pos = np.clip(pos, 0, len(probe) - 1) if len(probe) else pos
+            mask = probe[pos] == h if len(probe) else np.zeros(len(t), dtype=bool)
+        flag = np.where(mask, "dup", "ok")
+        return t.append_column(FLAG, pa.array(flag, type=pa.string()))
+
+    flagged = ds.map_batches(add_flag, batch_format="pyarrow")
+    if pre_write is not None:
+        flagged = flagged.map_batches(pre_write, batch_format="pyarrow")
+    raw_dir = os.path.join(out_dir, "_raw_split")
+    shutil.rmtree(raw_dir, ignore_errors=True)
+    flagged.write_parquet(raw_dir, partition_cols=[FLAG, *partition_cols])
+    if stage_seconds is not None:
+        stage_seconds["dedup_flag_write"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+
+    # metadata-only promotion of the clean partition to the final layout
+    clean_root = os.path.join(raw_dir, f"{FLAG}=ok")
+    if os.path.isdir(clean_root):
+        for part in os.listdir(clean_root):
+            src = os.path.join(clean_root, part)
+            dst = os.path.join(out_dir, part)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                os.rename(os.path.join(src, f), os.path.join(dst, f))
+
+    had_suspects = False
+    dup_root = os.path.join(raw_dir, f"{FLAG}=dup")
+    if os.path.isdir(dup_root):
+        had_suspects = True
+        suspects = ray.data.read_parquet(dup_root)
+        deduped = dedup(suspects, key, keep, tiebreak_cols, num_partitions)
+        deduped = deduped.map_batches(
+            lambda t: t.drop_columns([FLAG]) if FLAG in t.column_names else t,
+            batch_format="pyarrow",
+        )
+        deduped.write_parquet(out_dir, partition_cols=list(partition_cols))
+    shutil.rmtree(raw_dir, ignore_errors=True)
+    if stage_seconds is not None:
+        stage_seconds["dedup_suspects"] = time.perf_counter() - t0
+    return {"had_suspects": had_suspects}
+
+
 def duplicated_key_hashes(
     ds: ray.data.Dataset, key: str = "doc_id"
 ) -> np.ndarray:

@@ -139,11 +139,22 @@ class LangId:
         sums = np.add.reduceat(w, offsets[:-1], axis=0)
         lens = np.diff(offsets)
         mean_ll = sums / np.maximum(lens, 1)[:, None]
+        # reduceat on an EMPTY segment (doc with <3 chars) returns the next
+        # segment's first row — batch-split-dependent. Pin empty docs to the
+        # per-language OOV floor so prediction/score are batching-invariant.
+        empty = lens == 0
+        if empty.any():
+            mean_ll[empty] = self.oov[None, :]
         best = np.argmax(mean_ll, axis=1)
         batch["lang_pred"] = np.array(self.langs, dtype=object)[best]
-        # margin of the winner over the runner-up mean log-likelihood
+        # margin of the winner over the runner-up mean log-likelihood,
+        # quantized to 1e-9: reduceat's pairwise-summation grouping depends
+        # on segment alignment, so raw scores carry ~1e-15 batching noise
+        # that would break byte-exact golden/driver compares
         part = np.partition(mean_ll, -2, axis=1)
-        batch["lang_score"] = (part[:, -1] - part[:, -2]).astype(np.float64)
+        batch["lang_score"] = np.round(
+            (part[:, -1] - part[:, -2]).astype(np.float64), 9
+        )
         return batch
 
 

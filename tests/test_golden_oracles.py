@@ -37,7 +37,7 @@ def test_goldens_exist():
 
 
 @pytest.mark.parametrize("name", GOLDEN_KEYS)
-def test_query_matches_golden(ray_cluster, name):
+def test_query_matches_golden(ray_session, name):
     got = normalize(to_table(entrymod.queries()[name](SF_DIR)))
     want = pq.read_table(os.path.join(GOLDEN_DIR, f"{name}.parquet"))
     assert got.schema.equals(want.schema), (
