@@ -80,9 +80,11 @@ def _build_deduped(
             key="doc_id",
             keep=cfg.dedup_keep,
             probe_ds=probe_ds,
+            probe_path=input_path,
             approx_rows=approx_rows,
             partition_cols=("source",),
             pre_write=token_checksum,
+            stage_seconds=stage_seconds,
         )
         if stage_seconds is not None:
             stage_seconds["dedup_exec_write"] = time.perf_counter() - t0
