@@ -135,3 +135,50 @@ def test_sharded_bloom_probe_exact_and_bloom(sequences_dir):
                  ^ np.uint64(0x1234ABCD))
     fp = bloom.contains_hashes(rng_probe).mean()
     assert fp < 0.05
+
+
+def test_probe_files_matches_dataset_probe(sequences_dir):
+    """Raw-task file probe == Dataset-based exact probe, both keeps of the
+    exact/Bloom contract."""
+    import ray.data
+    from contest_parsing_ray.stages.dedup import (
+        ShardedBloom, duplicated_key_hashes, duplicated_key_probe_files,
+    )
+
+    exact = duplicated_key_hashes(ray.data.read_parquet(sequences_dir), "doc_id")
+    got = duplicated_key_probe_files(sequences_dir, "doc_id")
+    assert isinstance(got, np.ndarray)
+    np.testing.assert_array_equal(got, exact)
+
+    bloom = duplicated_key_probe_files(sequences_dir, "doc_id", exact_threshold=1)
+    assert isinstance(bloom, ShardedBloom)
+    assert bloom.contains_hashes(exact).all()  # no false negatives
+
+
+def test_dedup_payload_write_matches_plain(sequences_dir, tmp_path):
+    """Write-fused dedup (local-suspects branch) == plain dedup, with the
+    token payload byte-identical (checksum invariant)."""
+    import pyarrow.dataset as pads
+
+    from contest_parsing_ray.stages.dedup import dedup_payload_write
+
+    for keep in ("first", "none"):
+        out = str(tmp_path / f"out_{keep}")
+        ds = read_sequences(sequences_dir, with_tokens=True)
+        dedup_payload_write(
+            ds, out, keep=keep,
+            probe_ds=read_sequences(sequences_dir, columns=["doc_id"]),
+            probe_path=sequences_dir,
+            approx_rows=10**9,  # force the task-probe branch
+            pre_write=token_checksum,
+        )
+        got = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+        plain = dedup(read_sequences(sequences_dir, with_tokens=True),
+                      keep=keep).to_pandas()
+        assert sorted(got["doc_id"]) == sorted(plain["doc_id"]), keep
+        # token payload integrity: recompute checksums on the written rows
+        merged = got.sort_values("doc_id").reset_index()
+        ref = plain.sort_values("doc_id").reset_index()
+        a = np.concatenate(merged["tokens"].to_numpy())
+        b = np.concatenate(ref["tokens"].to_numpy())
+        np.testing.assert_array_equal(a, b)
