@@ -341,7 +341,7 @@ def _q_order_priority(sf_dir: str):
 
 def _q_q1(sf_dir: str):
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -363,17 +363,27 @@ def _q_q1(sf_dir: str):
         # disc_price scaled 1e4, charge scaled 1e6 — exact int64 products
         disc_price_s = price_c * (100 - disc_c)
         charge_s = disc_price_s * (100 + tax_c)
-        return pa.table(
+        # partial (per-batch) aggregation: ≤ |flags|x|statuses| rows leave
+        # each batch, so the groupby shuffles a handful of rows, not the
+        # whole prepped table (the engine-wide combiner pattern)
+        df = pd.DataFrame(
             {
-                "l_returnflag": b["l_returnflag"],
-                "l_linestatus": b["l_linestatus"],
+                "l_returnflag": b["l_returnflag"].to_numpy(zero_copy_only=False),
+                "l_linestatus": b["l_linestatus"].to_numpy(zero_copy_only=False),
                 "qty_i": qty_i,
                 "price_c": price_c,
                 "disc_c": disc_c,
                 "disc_price_s": disc_price_s,
                 "charge_s": charge_s,
+                "n": np.int64(1),
             }
         )
+        part = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
 
     agg = (
         li.map_batches(prep, batch_format="pyarrow")
@@ -384,7 +394,7 @@ def _q_q1(sf_dir: str):
             Sum("disc_c", alias_name="sum_disc_c"),
             Sum("disc_price_s", alias_name="sum_disc_price_s"),
             Sum("charge_s", alias_name="sum_charge_s"),
-            Count(alias_name="count_order"),
+            Sum("n", alias_name="count_order"),
         )
     )
 
