@@ -80,7 +80,179 @@ def _unzigzag(v: int) -> int:
     return (v >> 1) ^ -(v & 1)
 
 
+def _pack_codes(codes: np.ndarray, nbits: np.ndarray) -> bytes:
+    """MSB-first pack of variable-width codes (each <= 64 bits) into bytes.
+
+    Bit-identical to :class:`BitWriter` output (big-endian bit order,
+    zero-padded tail) but vectorized: word index + in-word offset per code,
+    then an unbuffered scatter-OR into a uint64 stream. A code straddling
+    a word boundary contributes its high part to word i and low part to
+    word i+1.
+    """
+    codes = codes.astype(np.uint64)
+    nbits = nbits.astype(np.int64)
+    if len(codes) == 0:
+        return b""
+    ends = np.cumsum(nbits)
+    total = int(ends[-1])
+    starts = ends - nbits
+    out = np.zeros((total + 63) // 64 + 1, dtype=np.uint64)
+    word = starts >> 6
+    off = starts & 63
+    width_mask = np.where(
+        nbits >= 64,
+        np.uint64(0xFFFFFFFFFFFFFFFF),
+        (np.uint64(1) << nbits.astype(np.uint64)) - np.uint64(1),
+    )
+    c = codes & width_mask
+    shift1 = 64 - off - nbits  # >= 0: fits in one word; < 0: straddles
+    fits = shift1 >= 0
+    hi = np.where(
+        fits,
+        c << np.where(fits, shift1, 0).astype(np.uint64),
+        c >> np.where(fits, 0, -shift1).astype(np.uint64),
+    )
+    lo = np.where(
+        fits,
+        np.uint64(0),
+        c << np.where(fits, 0, 64 + shift1).astype(np.uint64),
+    )
+    np.bitwise_or.at(out, word, hi)
+    np.bitwise_or.at(out, word + 1, lo)
+    return out.astype(">u8").tobytes()[: (total + 7) // 8]
+
+
 def encode_timestamps(ts: np.ndarray) -> bytes:
+    """Delta-of-delta encode (vectorized; bit-identical to
+    :func:`_encode_timestamps_scalar`, the readable spec — cross-checked in
+    tests). Domain: deltas and delta-of-deltas within int64 (always true
+    for microsecond timestamps)."""
+    ts = ts.astype(np.int64)
+    n = len(ts)
+    codes = [np.uint64(ts.view(np.uint64)[0])]
+    bits = [64]
+    if n >= 2:
+        deltas = np.diff(ts)
+        fd = int(deltas[0])
+        codes.append(np.uint64(((fd << 1) ^ (fd >> 63)) & ((1 << 64) - 1)))
+        bits.append(64)
+    if n <= 2:
+        return _pack_codes(np.array(codes), np.array(bits))
+    dod = deltas[1:] - deltas[:-1]
+    cls = np.select(
+        [
+            dod == 0,
+            (dod >= -63) & (dod <= 64),
+            (dod >= -255) & (dod <= 256),
+            (dod >= -2047) & (dod <= 2048),
+        ],
+        [0, 1, 2, 3],
+        default=4,
+    )
+    tag = np.array([0b0, 0b10, 0b110, 0b1110, 0b1111], dtype=np.uint64)[cls]
+    tag_bits = np.array([1, 2, 3, 4, 4], dtype=np.int64)[cls]
+    pay = np.select(
+        [cls == 1, cls == 2, cls == 3],
+        [dod + 63, dod + 255, dod + 2047],
+        default=0,
+    ).astype(np.uint64)
+    pay_bits = np.array([0, 7, 9, 12, 64], dtype=np.int64)[cls]
+    big = cls == 4  # 64-bit escape: zigzag payload, emitted as 2nd entry
+    if big.any():
+        d = dod[big]
+        pay[big] = ((d << np.int64(1)) ^ (d >> np.int64(63))).view(np.uint64)
+    small = ~big
+    ncodes = 2 + int(small.sum()) + 2 * int(big.sum())
+    out_c = np.empty(ncodes, dtype=np.uint64)
+    out_b = np.empty(ncodes, dtype=np.int64)
+    out_c[:2], out_b[:2] = codes, bits
+    entry_cnt = np.where(big, 2, 1)
+    pos = 2 + np.concatenate([[0], np.cumsum(entry_cnt)[:-1]])
+    out_c[pos[small]] = (tag[small] << pay_bits[small].astype(np.uint64)) | pay[small]
+    out_b[pos[small]] = tag_bits[small] + pay_bits[small]
+    out_c[pos[big]] = tag[big]
+    out_b[pos[big]] = 4
+    out_c[pos[big] + 1] = pay[big]
+    out_b[pos[big] + 1] = 64
+    return _pack_codes(out_c, out_b)
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length() for uint64 arrays."""
+    bl = np.zeros(len(x), dtype=np.int64)
+    v = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    return bl + (x > 0)
+
+
+def encode_values(vals: np.ndarray) -> bytes:
+    """Gorilla XOR encode (vectorized; bit-identical to
+    :func:`_encode_values_scalar`). The leading/tailing-zero window state
+    is sequential, but it only CHANGES on '11' control codes — so runs of
+    zero-XOR points and runs that fit the current window are emitted as
+    vectorized spans, with Python iterations only at window resets."""
+    bits_arr = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
+    n = len(bits_arr)
+    xor = np.concatenate([[np.uint64(0)], bits_arr[1:] ^ bits_arr[:-1]])
+    nz = xor != np.uint64(0)
+    lead = np.zeros(n, dtype=np.int64)
+    tail = np.zeros(n, dtype=np.int64)
+    if nz.any():
+        x = xor[nz]
+        lead[nz] = np.minimum(64 - _bit_length_u64(x), 31)
+        tail[nz] = _bit_length_u64(x & (~x + np.uint64(1))) - 1
+    code_list = [np.array([bits_arr[0]], dtype=np.uint64)]
+    bit_list = [np.array([64], dtype=np.int64)]
+    w_lead, w_tail = 65, 0  # 65 = "no previous window"
+    i = 1
+    while i < n:
+        if not nz[i]:
+            j = i + int(np.argmax(nz[i:])) if nz[i:].any() else n
+            code_list.append(np.zeros(j - i, dtype=np.uint64))
+            bit_list.append(np.ones(j - i, dtype=np.int64))
+            i = j
+            continue
+        if not (w_lead <= 64 and lead[i] >= w_lead and tail[i] >= w_tail):
+            # '11' + 5b lead + 6b (sig-1), then sig payload bits → new window
+            w_lead, w_tail = int(lead[i]), int(tail[i])
+            sig = 64 - w_lead - w_tail
+            ctrl = (
+                (np.uint64(0b11) << np.uint64(11))
+                | (np.uint64(w_lead) << np.uint64(6))
+                | np.uint64(sig - 1)
+            )
+            code_list.append(
+                np.array([ctrl, xor[i] >> np.uint64(w_tail)], dtype=np.uint64)
+            )
+            bit_list.append(np.array([13, sig], dtype=np.int64))
+            i += 1
+            continue
+        # span of consecutive non-zero XORs that fit the current window
+        run_fit = nz[i:] & (lead[i:] >= w_lead) & (tail[i:] >= w_tail)
+        j = i + (int(np.argmin(run_fit)) if not run_fit.all() else len(run_fit))
+        sig = 64 - w_lead - w_tail
+        seg = xor[i:j]
+        if sig + 2 <= 64:
+            code_list.append((np.uint64(0b10) << np.uint64(sig)) | (seg >> np.uint64(w_tail)))
+            bit_list.append(np.full(j - i, sig + 2, dtype=np.int64))
+        else:  # sig 63/64: '10' tag and payload as separate entries
+            m = j - i
+            cs = np.empty(2 * m, dtype=np.uint64)
+            bs = np.empty(2 * m, dtype=np.int64)
+            cs[0::2], bs[0::2] = np.uint64(0b10), 2
+            cs[1::2], bs[1::2] = seg >> np.uint64(w_tail), sig
+            code_list.append(cs)
+            bit_list.append(bs)
+        i = j
+    return _pack_codes(np.concatenate(code_list), np.concatenate(bit_list))
+
+
+def _encode_timestamps_scalar(ts: np.ndarray) -> bytes:
+    """Readable per-point spec of the timestamp bitstream (tests assert the
+    vectorized encoder is bit-identical)."""
     w = BitWriter()
     ts = ts.astype(np.int64)
     w.write(int(ts[0]) & ((1 << 64) - 1), 64)
@@ -144,7 +316,9 @@ def decode_timestamps(data: bytes, n: int) -> np.ndarray:
     return out
 
 
-def encode_values(vals: np.ndarray) -> bytes:
+def _encode_values_scalar(vals: np.ndarray) -> bytes:
+    """Readable per-point spec of the value bitstream (tests assert the
+    vectorized encoder is bit-identical)."""
     bits = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
     w = BitWriter()
     w.write(int(bits[0]), 64)

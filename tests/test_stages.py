@@ -189,3 +189,40 @@ def test_compress_bitstream_unit():
     )
     got = decode_values(encode_values(vals), len(vals))
     np.testing.assert_array_equal(got.view(np.uint64), vals.view(np.uint64))
+
+
+def test_vectorized_encoders_bit_identical_to_scalar_spec():
+    """The vectorized encoders must produce byte-for-byte the same stream
+    as the readable per-point spec implementations."""
+    from contest_parsing_ray.stages.compress import (
+        _encode_timestamps_scalar,
+        _encode_values_scalar,
+        encode_timestamps,
+        encode_values,
+    )
+
+    rng = np.random.default_rng(17)
+    ts_cases = [
+        np.arange(0, 60_000_000 * 300, 60_000_000, dtype=np.int64),  # regular
+        np.cumsum(rng.integers(50, 70, 2000)).astype(np.int64),  # jitter
+        np.cumsum(rng.integers(0, 2**40, 500)).astype(np.int64),  # wild
+        np.array([5], dtype=np.int64),
+        np.array([5, -3], dtype=np.int64),
+        np.array([0, 2**55, -2**55, 17], dtype=np.int64),
+        np.sort(rng.integers(-(2**60), 2**60, 1000)).astype(np.int64),
+    ]
+    for k, ts in enumerate(ts_cases):
+        assert encode_timestamps(ts) == _encode_timestamps_scalar(ts), k
+
+    val_cases = [
+        rng.normal(100, 10, 2000),
+        np.repeat(rng.normal(0, 1, 20), 100),  # zero-XOR runs
+        rng.integers(0, 1000, 1000).astype(float),
+        np.array([1.5]),
+        np.array([0.0, 0.0, 0.0]),
+        np.array([1.0, -1.0, np.inf, -np.inf, np.nan, 1e-300, 1e300]),
+        np.full(500, 3.14159),
+        rng.pareto(1.1, 500),  # frequent window resets
+    ]
+    for k, vals in enumerate(val_cases):
+        assert encode_values(vals) == _encode_values_scalar(vals), k
