@@ -226,3 +226,49 @@ def test_vectorized_encoders_bit_identical_to_scalar_spec():
     ]
     for k, vals in enumerate(val_cases):
         assert encode_values(vals) == _encode_values_scalar(vals), k
+
+
+def test_encoder_bit_identity_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from contest_parsing_ray.stages.compress import (
+        _encode_timestamps_scalar,
+        _encode_values_scalar,
+        decode_timestamps,
+        decode_values,
+        encode_timestamps,
+        encode_values,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**55), max_value=2**55),
+            min_size=1,
+            max_size=200,
+        )
+    )
+    def ts_prop(xs):
+        ts = np.array(xs, dtype=np.int64)
+        enc = encode_timestamps(ts)
+        assert enc == _encode_timestamps_scalar(ts)
+        np.testing.assert_array_equal(decode_timestamps(enc, len(ts)), ts)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.floats(allow_nan=False, width=64) | st.sampled_from([0.0, -0.0, 1.5]),
+            min_size=1,
+            max_size=200,
+        )
+    )
+    def val_prop(xs):
+        vals = np.array(xs, dtype=np.float64)
+        enc = encode_values(vals)
+        assert enc == _encode_values_scalar(vals)
+        np.testing.assert_array_equal(
+            decode_values(enc, len(vals)).view(np.uint64), vals.view(np.uint64)
+        )
+
+    ts_prop()
+    val_prop()
