@@ -50,9 +50,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--retention-now-us", type=int, default=None,
                    help="apply per-tier retention expiry relative to this "
                    "timestamp (us); omit to keep everything")
-    p.add_argument("--salt", type=int, default=1,
+    p.add_argument("--salt", default="1",
                    help="salt factor for pathologically hot (source, bucket) "
-                   "keys")
+                   "keys: a positive int, or 'auto' to measure a key "
+                   "histogram and pick it")
     p.add_argument("--quantile-cap", type=int, default=4096)
     p.add_argument("--chunk-points", type=int, default=4096)
     p.add_argument("--batch-size", type=int, default=65536)
@@ -76,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
         tiers=tuple(t.strip() for t in args.tiers.split(",") if t.strip()),
         dedup_keep=args.dedup_keep,
         gapfill_mode=args.gapfill if args.gapfill != "off" else "locf",
-        salt=args.salt,
+        salt=args.salt if args.salt == "auto" else int(args.salt),
         quantile_cap=args.quantile_cap,
         chunk_points=args.chunk_points,
         batch_size=args.batch_size,

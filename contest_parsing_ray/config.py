@@ -61,10 +61,13 @@ class PipelineConfig:
     # duplicated key; reference FileConcat.py:22 unique(keep='none')).
     dedup_keep: str = "first"
 
-    # Salt factor for hot (source, bucket) keys; 1 = unsalted. Partial
-    # (per-batch) aggregation already collapses hot keys to one row per
-    # batch, so salting only matters for map_groups memory on extreme skew.
-    salt: int = 1
+    # Salt factor for hot (source, bucket) keys; 1 = unsalted, "auto" =
+    # measure a key histogram on the deduped table and pick the factor
+    # (``stages._shuffle.choose_salt``: hottest-key share vs 1/partitions).
+    # Partial (per-batch) aggregation already collapses hot keys to one row
+    # per batch, so salting only matters for map_groups memory on extreme
+    # skew — "auto" returns 1 for every non-pathological distribution.
+    salt: int | str = 1
 
     # p95 machinery: partial aggregates carry exact value arrays up to this
     # many points per (key, batch) partial; beyond it they compact into a
@@ -111,3 +114,5 @@ class PipelineConfig:
             raise ValueError("dedup_keep must be 'first' or 'none'")
         if self.gapfill_mode not in ("locf", "linear"):
             raise ValueError("gapfill_mode must be 'locf' or 'linear'")
+        if self.salt != "auto" and (not isinstance(self.salt, int) or self.salt < 1):
+            raise ValueError("salt must be a positive int or 'auto'")

@@ -169,6 +169,15 @@ def run_rollup_pipeline(
     deduped = ray.data.read_parquet(
         os.path.join(dedup_dir, "data"), columns=pruned_cols
     )
+    salt = cfg.salt
+    if salt == "auto":
+        # measured skew mitigation: top-key share over the deduped table →
+        # salt factor (1 unless one source would overflow a partition's
+        # fair share even AFTER per-batch partial combining)
+        from ..stages._shuffle import choose_salt, key_histogram
+
+        salt = choose_salt(key_histogram(deduped, "source"))
+        metrics["salt"] = salt
     partials = deduped.map_batches(
         PartialRollup(
             todo,
@@ -177,7 +186,7 @@ def run_rollup_pipeline(
             "event_time_us",
             cfg.quantile_cap,
             "nearest",
-            cfg.salt,
+            salt,
             checksum_col="token_ck" if cfg.ingest_tokens else None,
         ),
         batch_format="pyarrow",

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow.dataset as pads
 import pytest
@@ -105,3 +106,46 @@ def test_skew_histogram_and_salt(sequences_dir):
 
     uni = pd.DataFrame({"source": ["a", "b"], "cnt": [5, 5], "share": [0.5, 0.5]})
     assert choose_salt(uni, num_partitions=2) == 1
+
+
+def test_pipeline_auto_salt_matches_unsalted(sequences_dir, tmp_path):
+    """salt='auto' measures the skewed fixture (web-crawl ~80% of rows),
+    picks a factor, and still produces the identical rollup output."""
+    import pyarrow.dataset as pads
+
+    from contest_parsing_ray.config import PipelineConfig
+    from contest_parsing_ray.pipelines.rollup_pipeline import run_rollup_pipeline
+
+    outs = {}
+    for label, salt in (("auto", "auto"), ("unsalted", 1)):
+        cfg = PipelineConfig(
+            out_dir=str(tmp_path / label), tiers=("1h",), salt=salt,
+            ingest_tokens=False,
+        )
+        m = run_rollup_pipeline(
+            sequences_dir, cfg, with_gapfill=False, with_compression=False,
+            resume=False,
+        )
+        if label == "auto":
+            assert m["salt"] >= 1  # measured, recorded in metrics
+        outs[label] = (
+            pads.dataset(str(tmp_path / label / "rollup" / "data"),
+                         partitioning="hive")
+            .to_table()
+            .to_pandas()
+            .sort_values(["source", "bucket_us"])
+            .reset_index(drop=True)
+        )
+    a, b = outs["auto"], outs["unsalted"]
+    assert (a["cnt"] == b["cnt"]).all()
+    np.testing.assert_allclose(a["sum_v"], b["sum_v"])
+    np.testing.assert_allclose(a["p95_v"], b["p95_v"], rtol=1e-9)
+
+
+def test_bad_salt_spec():
+    from contest_parsing_ray.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="salt"):
+        PipelineConfig(salt=0)
+    with pytest.raises(ValueError, match="salt"):
+        PipelineConfig(salt="lots")
