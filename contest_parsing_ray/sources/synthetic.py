@@ -104,8 +104,9 @@ def _scalar_columns(
                 seq[i + j] = seq[i]
                 n_tok[i + j] = n_tok[i]
 
-    sources = np.array(SOURCES)[src_idx]
-    return sources, epoch_minute.astype(np.int64), seq.astype(np.int64), n_tok, src_idx
+    # NOTE: the per-row source STRING array is derived per slice from
+    # src_idx (keeps the shareable column set numeric → zero-copy ray.put)
+    return epoch_minute.astype(np.int64), seq.astype(np.int64), n_tok, src_idx
 
 
 def _tokens_for_slice(
@@ -136,12 +137,13 @@ def _tokens_for_slice(
     return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(flat))
 
 
-def _slice_table(sources, epoch_minute, seq, n_tok, src_idx, lo: int, hi: int) -> pa.Table:
+def _slice_table(epoch_minute, seq, n_tok, src_idx, lo: int, hi: int) -> pa.Table:
     sl = slice(lo, hi)
+    sources = np.array(SOURCES)[src_idx[sl]]
     doc_id = np.array(
         [
             f"{s}/{m:012d}/{q:06d}"
-            for s, m, q in zip(sources[sl], epoch_minute[sl], seq[sl])
+            for s, m, q in zip(sources, epoch_minute[sl], seq[sl])
         ]
     )
     tokens = _tokens_for_slice(epoch_minute[sl], seq[sl], src_idx[sl], n_tok[sl])
@@ -150,7 +152,7 @@ def _slice_table(sources, epoch_minute, seq, n_tok, src_idx, lo: int, hi: int) -
             "doc_id": pa.array(doc_id, type=pa.string()),
             "tokens": tokens,
             "n_tok": pa.array(n_tok[sl], type=pa.int32()),
-            "source": pa.array(sources[sl], type=pa.string()),
+            "source": pa.array(sources, type=pa.string()),
         }
     )
 
@@ -200,22 +202,34 @@ def write_sequences_parquet(
     gap_minutes = kwargs.get("gap_minutes", (37, 38, 39, 120, 121, 200))
     per = (n_rows + num_files - 1) // num_files
 
-    def _write_shard(i: int) -> None:
-        # regenerating the (seed-fixed) scalar columns per shard keeps the
-        # shard a PURE function of (n_rows, seed, i) — shards can be built
-        # in any order, in parallel, byte-identical to the sequential path,
-        # and an interrupted run resumes at the missing shards
+    # ~128k rows per row group bounds the token-build working set per task
+    # to ~ chunk x mean_n_tok x ~24 B regardless of shard size (a 30M-row
+    # table once OOM'd a 128 GB host when every shard task regenerated the
+    # full scalar columns AND built its whole token array in one piece)
+    chunk_rows = int(kwargs.get("chunk_rows", 131_072))
+
+    def _write_shard(i: int, cols) -> None:
         if os.path.exists(expected[i]):
             return
-        cols = _scalar_columns(n_rows, seed, dup_fraction, gap_minutes)
         lo, hi = i * per, min((i + 1) * per, n_rows)
         tmp = expected[i] + ".tmp"
-        pq.write_table(_slice_table(*cols, lo, hi), tmp)
+        writer = None
+        try:
+            for c0 in range(lo, hi, chunk_rows):
+                t = _slice_table(*cols, c0, min(c0 + chunk_rows, hi))
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, t.schema)
+                writer.write_table(t)
+        finally:
+            if writer is not None:
+                writer.close()
         os.replace(tmp, expected[i])
 
     # token generation is memory-bandwidth heavy; fan shards out as Ray
     # tasks when a cluster is up (large tables only — task overhead is not
-    # worth it for test-scale fixtures)
+    # worth it for test-scale fixtures). The scalar columns are generated
+    # ONCE and shared via the object store (zero-copy numeric arrays), not
+    # regenerated per shard.
     use_ray = False
     if n_rows >= 1_000_000:
         try:
@@ -227,13 +241,13 @@ def write_sequences_parquet(
     if use_ray:
         import ray
 
+        cols_ref = ray.put(_scalar_columns(n_rows, seed, dup_fraction, gap_minutes))
         shard_task = ray.remote(num_cpus=1)(_write_shard)
-        ray.get([shard_task.remote(i) for i in range(num_files)])
+        ray.get([shard_task.remote(i, cols_ref) for i in range(num_files)])
     else:
         cols = _scalar_columns(n_rows, seed, dup_fraction, gap_minutes)
         for i in range(num_files):
-            lo, hi = i * per, min((i + 1) * per, n_rows)
-            pq.write_table(_slice_table(*cols, lo, hi), expected[i])
+            _write_shard(i, cols)
     with open(done_marker, "w") as f:
         f.write(str(n_rows))
     return out_dir
