@@ -242,7 +242,10 @@ def write_sequences_parquet(
         import ray
 
         cols_ref = ray.put(_scalar_columns(n_rows, seed, dup_fraction, gap_minutes))
-        shard_task = ray.remote(num_cpus=1)(_write_shard)
+        # token generation is memory-bandwidth-bound, not compute-bound:
+        # 32 concurrent generators starve each other to ~3 aggregate cores
+        # on this class of host. num_cpus=4 caps concurrency at ~cpus/4.
+        shard_task = ray.remote(num_cpus=4)(_write_shard)
         ray.get([shard_task.remote(i, cols_ref) for i in range(num_files)])
     else:
         cols = _scalar_columns(n_rows, seed, dup_fraction, gap_minutes)
