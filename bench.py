@@ -106,11 +106,11 @@ def run_bench() -> dict:
     from contest_parsing_ray.config import PipelineConfig
     from contest_parsing_ray.pipelines.rollup_pipeline import run_rollup_pipeline
 
-    # min-of-2: the host's CPU/memory throughput swings 2-6x across minutes
-    # (BASELINE.md caveat) — one repeat keeps a random stall from reading as
-    # an engine regression
+    # min-of-3: the host's CPU/memory throughput swings 2-6x across minutes
+    # (BASELINE.md caveat) — repeats keep a random stall from reading as an
+    # engine regression (observed spreads like 81.9/38.1 s for identical code)
     runs = []
-    for rep in range(int(os.environ.get("BENCH_HEADLINE_REPEATS", "2"))):
+    for rep in range(int(os.environ.get("BENCH_HEADLINE_REPEATS", "3"))):
         out_dir = f"/tmp/cpr_bench_out_{NUM_CPUS}_{int(time.time())}_{rep}"
         cfg = PipelineConfig(out_dir=out_dir)
         t0 = time.perf_counter()
