@@ -149,3 +149,31 @@ def test_bad_salt_spec():
         PipelineConfig(salt=0)
     with pytest.raises(ValueError, match="salt"):
         PipelineConfig(salt="lots")
+
+
+def test_csv_sink_roundtrip(sequences_dir, tmp_path):
+    """S6: rollup points exported via the native CSV sink read back
+    row-identical (engine intermediates stay Parquet by design — CSV is an
+    export-only surface; reference analog DataFrameHandler.py save_csv)."""
+    import glob
+
+    from contest_parsing_ray.sources.ingest import read_sequences
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+
+    r = rollup_tiers(
+        read_sequences(sequences_dir, with_tokens=False),
+        {"1h": 3_600_000_000}, value_col="n_tok",
+    )["1h"]
+    expect = r.to_pandas().sort_values(["source", "bucket_us"]).reset_index(drop=True)
+    out = str(tmp_path / "csv_out")
+    r.write_csv(out)
+    files = sorted(glob.glob(f"{out}/*.csv"))
+    assert files, "no CSV files written"
+    got = (
+        pd.concat([pd.read_csv(f) for f in files], ignore_index=True)
+        .sort_values(["source", "bucket_us"])
+        .reset_index(drop=True)[expect.columns.tolist()]
+    )
+    assert got["cnt"].tolist() == expect["cnt"].tolist()
+    np.testing.assert_allclose(got["sum_v"], expect["sum_v"])
+    np.testing.assert_allclose(got["p95_v"], expect["p95_v"], rtol=1e-12)
