@@ -163,6 +163,8 @@ def lsh_bucket_neardup(
                 {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
             )
         df = df.drop_duplicates(subset=["table", "bucket", id_col])
+        # deterministic cap: survivors = lowest ids, not shuffle arrival order
+        df = df.sort_values(["table", "bucket", id_col], kind="stable")
         df = df.groupby(["table", "bucket"], sort=False).head(max_bucket)
         m = df.merge(df, on=["table", "bucket"], suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]

@@ -245,8 +245,10 @@ def minhash_lsh_pairs(
             return pd.DataFrame({"id_a": pd.Series(dtype=object),
                                  "id_b": pd.Series(dtype=object)})
         df = df.drop_duplicates(subset=["band_id", "band_hash", id_col])
-        # cap pathological buckets (all-identical docs): keep first N per
-        # bucket — members still pair via the survivors
+        # cap pathological buckets (all-identical docs): keep the N lowest
+        # ids per bucket (deterministic regardless of shuffle arrival order)
+        # — members still pair via the survivors
+        df = df.sort_values(["band_id", "band_hash", id_col], kind="stable")
         df = df.groupby(["band_id", "band_hash"], sort=False).head(max_bucket)
         m = df.merge(df, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
@@ -399,6 +401,8 @@ def simhash_neardup_pairs(
                  "hamming": pd.Series(dtype=np.int64)}
             )
         df = df.drop_duplicates(subset=["seg_id", "seg_val", id_col])
+        # deterministic cap: survivors = lowest ids, not shuffle arrival order
+        df = df.sort_values(["seg_id", "seg_val", id_col], kind="stable")
         df = df.groupby(["seg_id", "seg_val"], sort=False).head(max_bucket)
         m = df.merge(df, on=["seg_id", "seg_val"], suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]

@@ -114,3 +114,25 @@ def test_embedding_neardup_exact(emb_df):
     assert {(0, 1), (2, 3)} <= got_pairs
     # no duplicated unordered pairs
     assert len(got) == len(got_pairs)
+
+
+def test_bucket_cap_deterministic_under_input_order():
+    """Overflowing a capped LSH bucket must keep the LOWEST ids, not the
+    shuffle-arrival-order rows — pinned by running the same corpus in
+    forward and reversed row order and requiring identical pair sets."""
+    dup = "identical duplicate payload for every row in this bucket " * 6
+    ids = [f"d{i}" for i in range(6)]
+    df = pd.DataFrame({"doc_id": ids, "text": [dup] * 6})
+
+    def pairs_of(frame):
+        ds = ray.data.from_pandas(frame).repartition(3)
+        out = minhash_lsh_pairs(
+            ds, jaccard_threshold=0.5, concurrency=2,
+            num_hashes=64, bands=16, max_bucket=2,
+        ).to_pandas()
+        return set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+
+    fwd = pairs_of(df)
+    rev = pairs_of(df.iloc[::-1].reset_index(drop=True))
+    # cap=2 over 6 identical docs: only the two lowest ids survive each bucket
+    assert fwd == rev == {("d0", "d1")}
