@@ -502,6 +502,28 @@ def _q_ann(sf_dir: str):
     return out
 
 
+def _q_ivf(sf_dir: str):
+    """IVF top-k over the embeddings table at a real partial probe
+    (n_probe=8 of n_cells=32 — the approximate scale path, not the
+    exact-equivalence config). Deterministic: seeded k-means over a
+    block-order sample; oracle is a pinned golden (recall vs the exact
+    path is asserted in tests/test_ann_recall.py)."""
+    from contest_parsing_ray.stages.ann import ivf_topk_cosine
+
+    emb = _embeddings(sf_dir)
+    qdf = (
+        emb.filter(expr="vec_id < 5").select_columns(["vec_id", "embedding"]).to_pandas()
+    )
+    return ivf_topk_cosine(
+        emb,
+        queries=np.stack(qdf["embedding"].to_numpy()),
+        query_ids=qdf["vec_id"].to_numpy(),
+        k=10,
+        n_cells=32,
+        n_probe=8,
+    )
+
+
 def _q_emb_neardup(sf_dir: str):
     from contest_parsing_ray.stages.neardup import embedding_neardup_pairs
 
@@ -798,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_neardup_pairs": _q_lsh_neardup,
         # similarity search
         "ann_topk_cosine": _q_ann,
+        "ivf_topk_cosine": _q_ivf,
         # multimodal plumbing (stubbed decode)
         "multimodal_decode_stub": _q_multimodal,
         # Gorilla compression roundtrip (SQL-checkable: decode == rollup)
@@ -1181,6 +1204,7 @@ GOLDEN_ORACLE_KEYS = (
     "multimodal_decode_stub",
     "telemetry_join_fixture",
     "corpus_end_to_end",
+    "ivf_topk_cosine",
 )
 
 _GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

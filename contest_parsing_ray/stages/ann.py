@@ -66,6 +66,16 @@ def brute_force_topk(
         PartialTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
     )
 
+    return hash_partitioned_map(
+        partials, ["query_id"], _merge_topk(k, id_col),
+        num_partitions=16, batch_format="pandas",
+    )
+
+
+def _merge_topk(k: int, id_col: str):
+    """Final per-query merge of partial top-k rows → (query_id, id, rank),
+    rank 1-based, ties broken by smaller id (deterministic)."""
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for qid, g in df.groupby("query_id", sort=False):
@@ -74,10 +84,137 @@ def brute_force_topk(
             ).head(k)
             g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
             outs.append(g[["query_id", id_col, "rank"]])
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype=np.int64),
+                    id_col: pd.Series(dtype=np.int64),
+                    "rank": pd.Series(dtype=np.int64),
+                }
+            )
         return pd.concat(outs, ignore_index=True)
 
+    return merge
+
+
+def ivf_topk_cosine(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 65536,
+    sample_per_block: int = 256,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """IVF (inverted-file) approximate top-k cosine — the Voronoi-partition
+    ANN index (coarse quantizer of Jégou et al. 2011 / FAISS IVFFlat).
+
+    Train: spherical k-means over a bounded driver-side sample — the head
+    of every block contributes up to ``sample_per_block`` rows (coverage
+    across the whole corpus without a count() pass), capped at
+    ``train_sample`` total; the corpus itself never moves. Centroids are
+    broadcast ONCE via ``ray.put``.
+
+    Search: one streaming pass. Each batch assigns its rows to their
+    nearest centroid with a single matmul, then compares each cell's rows
+    only against the queries probing that cell (the ``n_probe`` nearest
+    centroids per query) and emits per-(query, batch) partial top-k rows;
+    a small per-query shuffle merges exact ranks among scanned rows.
+    Per-batch work ≈ brute force × (n_probe / n_cells) + one assignment
+    matmul. With ``n_probe == n_cells`` the result equals
+    :func:`brute_force_topk` exactly (pinned in tests); recall at partial
+    probe is measured in tests. Output (query_id, vec_id, rank)."""
+    sample_df = (
+        embeddings.select_columns([vec_col])
+        .map_batches(
+            lambda b: b.head(sample_per_block),
+            batch_format="pandas",
+            batch_size=4096,
+        )
+        .limit(train_sample)
+        .to_pandas()
+    )
+    if len(sample_df) == 0:
+        raise ValueError("ivf_topk_cosine: empty embeddings dataset")
+    sample = _normalize(np.stack(sample_df[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    k0 = int(min(n_cells, len(sample)))
+    cent = sample[rng.choice(len(sample), size=k0, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(k0):
+            members = sample[assign == c]
+            cent[c] = (
+                members.mean(axis=0)
+                if len(members)
+                else sample[rng.integers(len(sample))]
+            )
+        cent = _normalize(cent)
+
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    npr = int(min(n_probe, k0))
+    sims_qc = qmat @ cent.T  # (nq, k0)
+    probes = np.argpartition(-sims_qc, npr - 1, axis=1)[:, :npr]
+    ref = ray.put((qids, qmat, cent, probes))
+
+    class IVFPartial:
+        def __init__(self):
+            self.qids, self.q, self.cent, probes_ = ray.get(ref)
+            # inverted probe lists: cell -> indices of queries probing it
+            self.cell_queries = [
+                np.flatnonzero((probes_ == c).any(axis=1))
+                for c in range(len(self.cent))
+            ]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            ids = batch[id_col].to_numpy()
+            cells = np.argmax(mat @ self.cent.T, axis=1)
+            order = np.argsort(cells, kind="stable")
+            bounds = np.searchsorted(
+                cells[order], np.arange(len(self.cent) + 1)
+            )
+            out_q, out_id, out_cos = [], [], []
+            for c in np.unique(cells):
+                qidx = self.cell_queries[c]
+                rows = order[bounds[c] : bounds[c + 1]]
+                if len(qidx) == 0 or len(rows) == 0:
+                    continue
+                sims = self.q[qidx] @ mat[rows].T  # (nq_c, nr)
+                kk = min(k, len(rows))
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                out_q.append(np.repeat(self.qids[qidx], kk))
+                out_id.append(ids[rows][part.ravel()])
+                out_cos.append(np.take_along_axis(sims, part, axis=1).ravel())
+            if not out_q:
+                return pd.DataFrame(
+                    {
+                        "query_id": self.qids[:0],
+                        id_col: ids[:0],
+                        "cosine": np.array([], dtype=np.float64),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_id),
+                    "cosine": np.concatenate(out_cos),
+                }
+            )
+
+    partials = embeddings.map_batches(
+        IVFPartial, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    )
+
     return hash_partitioned_map(
-        partials, ["query_id"], merge, num_partitions=16, batch_format="pandas"
+        partials, ["query_id"], _merge_topk(k, id_col),
+        num_partitions=16, batch_format="pandas",
     )
 
 

@@ -9,7 +9,11 @@ import pandas as pd
 import pytest
 import ray.data
 
-from contest_parsing_ray.stages.ann import lsh_bucket_neardup
+from contest_parsing_ray.stages.ann import (
+    brute_force_topk,
+    ivf_topk_cosine,
+    lsh_bucket_neardup,
+)
 from contest_parsing_ray.stages.neardup import embedding_neardup_pairs
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -42,3 +46,38 @@ def test_lsh_recall(pair_sets):
     print(f"lsh_bucket_neardup recall vs exact @{THRESHOLD}: {recall:.3f} "
           f"({len(lsh & exact)}/{len(exact)})")
     assert recall >= 0.7
+
+
+def _topk_frames(n_cells, n_probe):
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    qdf = ds.filter(expr="vec_id < 5").to_pandas()
+    q = np.stack(qdf["embedding"].to_numpy())
+    qi = qdf["vec_id"].to_numpy()
+    brute = brute_force_topk(ds, q, qi, k=10).to_pandas()
+    ivf = ivf_topk_cosine(
+        ds, q, qi, k=10, n_cells=n_cells, n_probe=n_probe
+    ).to_pandas()
+    return brute, ivf
+
+
+def test_ivf_full_probe_equals_brute():
+    """n_probe == n_cells scans every cell — IVF must equal the exact path
+    row-for-row (same partial-top-k + merge machinery, same tie-breaks)."""
+    brute, ivf = _topk_frames(n_cells=8, n_probe=8)
+    key = ["query_id", "vec_id", "rank"]
+    assert sorted(map(tuple, ivf[key].itertuples(index=False))) == sorted(
+        map(tuple, brute[key].itertuples(index=False))
+    )
+
+
+def test_ivf_partial_probe_recall():
+    """The approximate config (probe 1/4 of cells) must keep most of the
+    true top-10 per query — floor with margin to catch assignment or
+    inverted-probe-list bugs."""
+    brute, ivf = _topk_frames(n_cells=16, n_probe=4)
+    to_set = lambda df: set(map(tuple, df[["query_id", "vec_id"]].itertuples(index=False)))
+    exact, approx = to_set(brute), to_set(ivf)
+    assert len(exact) == 50  # 5 queries x k=10
+    recall = len(exact & approx) / len(exact)
+    print(f"ivf recall @ n_probe=4/16: {recall:.3f}")
+    assert recall >= 0.5

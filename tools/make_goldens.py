@@ -34,6 +34,7 @@ GOLDEN_QUERIES = [
     "multimodal_decode_stub",
     "telemetry_join_fixture",
     "corpus_end_to_end",
+    "ivf_topk_cosine",
 ]
 
 SF_DIR = os.environ.get("GOLDEN_SF_DIR", "/root/testdata/sf0.01")
@@ -87,7 +88,7 @@ def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     qs = entry.queries()
     failures = []
-    for name in GOLDEN_QUERIES:
+    for name in sys.argv[1:] or GOLDEN_QUERIES:
         a = normalize(to_table(qs[name](SF_DIR)))
         b = normalize(to_table(qs[name](SF_DIR)))
         if not a.equals(b):
