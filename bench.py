@@ -109,6 +109,8 @@ def run_bench() -> dict:
     # min-of-3: the host's CPU/memory throughput swings 2-6x across minutes
     # (BASELINE.md caveat) — repeats keep a random stall from reading as an
     # engine regression (observed spreads like 81.9/38.1 s for identical code)
+    import shutil
+
     runs = []
     for rep in range(int(os.environ.get("BENCH_HEADLINE_REPEATS", "3"))):
         out_dir = f"/tmp/cpr_bench_out_{NUM_CPUS}_{int(time.time())}_{rep}"
@@ -116,6 +118,9 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         metrics = run_rollup_pipeline(seq_dir, cfg, resume=False)
         runs.append(time.perf_counter() - t0)
+        # outputs are ~GBs per rep (payload dedup re-writes the corpus);
+        # repeated bench runs fill the disk if they accumulate
+        shutil.rmtree(out_dir, ignore_errors=True)
     headline = min(runs)
     points = sum(t["points"] for t in metrics["tiers"].values())
 
@@ -224,11 +229,14 @@ def run_headline_only() -> dict:
     from contest_parsing_ray.config import PipelineConfig
     from contest_parsing_ray.pipelines.rollup_pipeline import run_rollup_pipeline
 
+    import shutil
+
     out_dir = f"/tmp/cpr_bench_out_{NUM_CPUS}_{int(time.time())}"
     t0 = time.perf_counter()
     metrics = run_rollup_pipeline(seq_dir, PipelineConfig(out_dir=out_dir), resume=False)
     headline = time.perf_counter() - t0
     points = sum(t["points"] for t in metrics["tiers"].values())
+    shutil.rmtree(out_dir, ignore_errors=True)
     return {
         "metric": "headline",
         "value": round(headline, 3),
