@@ -577,6 +577,42 @@ def _q_compress_roundtrip(sf_dir: str):
     return back.select_columns(["event_type", "bucket_us", "value"])
 
 
+def _q_range_read(sf_dir: str):
+    """Time-range query over the compressed 1h tier: encode the rollup to
+    chunk parquet, then ``read_range`` the middle half of the bucket span —
+    chunk [t0, t_last] bounds prune non-overlapping chunks at the Parquet
+    read, edge chunks are trimmed. Window bounds are integer-derived from
+    the store's own min/max so the SQL oracle reproduces them exactly."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from contest_parsing_ray.stages.compress import compress_series, read_range
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    r = _round_cols(r, ["sum_v"])
+    # small chunks so the window genuinely prunes chunks, not just rows
+    chunks = compress_series(
+        r, value_col="sum_v", key_col="event_type", chunk_points=8
+    )
+    d = tempfile.mkdtemp(prefix="cpr_chunks_1h_")
+    chunks.write_parquet(d)
+    bounds = pads.dataset(d).to_table(columns=["t0", "t_last"])
+    mn = pc.min(bounds["t0"]).as_py()
+    mx = pc.max(bounds["t_last"]).as_py()
+    span = mx - mn
+    lo = mn + (span // (4 * W1H)) * W1H
+    hi = mn + ((3 * span) // (4 * W1H)) * W1H
+    out = read_range(d, lo, hi, key_col="event_type", concurrency=2)
+    return out.select_columns(["event_type", "bucket_us", "value"])
+
+
 def _fixture_partitions() -> int:
     """Join partition count for the fixture-scale telemetry queries: the
     data is a handful of rows, so partitions only buy actor spin-up time —
@@ -825,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_stub": _q_multimodal,
         # Gorilla compression roundtrip (SQL-checkable: decode == rollup)
         "compress_roundtrip_1h": _q_compress_roundtrip,
+        "range_read_1h": _q_range_read,
         # reference Joiner analog on F2 fixtures (rows-only; goldens in tests)
         "telemetry_join_fixture": _q_telemetry_fixture,
         # S1 discovery + end-to-end JoinManager.process analog (rows-only)
@@ -1177,6 +1214,22 @@ SELECT event_type,
        {_BUCKET_1H_NEAREST} AS bucket_us,
        ROUND(CAST(SUM(value) AS DOUBLE), 6) AS value
 FROM events GROUP BY 1, 2
+""",
+        # window = middle half of the bucket span, bounds integer-aligned to
+        # the 1h grid exactly as the Ray side derives them from chunk stats
+        "range_read_1h": f"""
+WITH r AS (
+  SELECT event_type,
+         {_BUCKET_1H_NEAREST} AS bucket_us,
+         ROUND(CAST(SUM(value) AS DOUBLE), 6) AS value
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT MIN(bucket_us) AS mn, MAX(bucket_us) AS mx FROM r
+)
+SELECT r.event_type, r.bucket_us, r.value
+FROM r, b
+WHERE r.bucket_us >= b.mn + (((b.mx - b.mn) // (4 * {W1H})) * {W1H})
+  AND r.bucket_us <= b.mn + (((3 * (b.mx - b.mn)) // (4 * {W1H})) * {W1H})
 """,
         "trace_one_row": _trace_one_row_sql(),
         # Pinned-golden oracles (below): operators whose semantics are not

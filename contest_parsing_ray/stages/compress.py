@@ -468,3 +468,38 @@ def decompress_chunks(
         batch_size=64,
         concurrency=(1, concurrency),
     )
+
+
+def read_range(
+    chunk_path: str | list[str],
+    lo_us: int,
+    hi_us: int,
+    key_col: str = "source",
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Time-range query over a compressed chunk store: points with
+    ``lo_us <= bucket_us <= hi_us``, decoding ONLY the chunks whose
+    ``[t0, t_last]`` span overlaps the window.
+
+    The overlap predicate is pushed into ``read_parquet`` as a pyarrow
+    dataset filter, so non-overlapping chunks are pruned from Parquet
+    row-group statistics at the READ — at 100 TB a narrow window touches
+    a few row groups, not the corpus. Edge chunks (partial overlap) are
+    decoded whole and trimmed vectorized. ``chunk_path`` is a chunk
+    parquet dir, e.g. ``<out_dir>/chunks/tier=1h`` from the pipeline."""
+    import pyarrow.dataset as pads
+
+    lo, hi = int(lo_us), int(hi_us)
+    overlap = (pads.field("t_last") >= lo) & (pads.field("t0") <= hi)
+    chunks = ray.data.read_parquet(chunk_path, filter=overlap)
+    pts = decompress_chunks(chunks, key_col=key_col, concurrency=concurrency)
+
+    def trim(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = t["bucket_us"]
+        return t.filter(
+            pc.and_(pc.greater_equal(b, pa.scalar(lo)), pc.less_equal(b, pa.scalar(hi)))
+        )
+
+    return pts.map_batches(trim, batch_format="pyarrow")

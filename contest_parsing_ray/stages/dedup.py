@@ -277,7 +277,10 @@ def duplicated_key_probe_files(
     def map_file(path: str):
         import pyarrow.parquet as pq
 
-        t = pq.read_table(path, columns=[key])
+        # each task reserves 1 CPU, but pyarrow's internal read pool spawns
+        # a thread per HOST core — N concurrent reads × host threads thrash
+        # (measured: the probe ran 7x SLOWER at 16 CPUs than at 4)
+        t = pq.read_table(path, columns=[key], use_threads=False)
         h = hash64_strings(t[key])
         uniq, cnt = np.unique(h, return_counts=True)
         sid = (uniq % np.uint64(num_shards)).astype(np.int64)

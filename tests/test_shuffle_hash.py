@@ -50,3 +50,33 @@ def test_partition_colocation_mixed_nulls():
     parts = add_hash_partition(t, ["k", "ts"], 16).column("__part").to_pylist()
     assert parts[0] == parts[1] == parts[3]
     assert parts[2] == parts[4]
+
+
+def test_blocked_hash_is_block_size_invariant():
+    """Cache-blocked hashing must be bit-identical for ANY block size —
+    including cuts landing mid-run of empties and single over-long strings
+    spanning multiple blocks' worth of bytes."""
+    vals = [f"doc-{i:012d}" for i in range(997)]
+    vals[3] = ""
+    vals[4] = ""
+    vals[500] = "x" * 5000  # longer than the smallest block size below
+    vals[996] = ""
+    arr = pa.array(vals, type=pa.string())
+    ref = hash64_strings(arr, block_bytes=1 << 30)  # single block
+    for bb in (7, 64, 1024, 16384):
+        got = hash64_strings(arr, block_bytes=bb)
+        assert (got == ref).all(), f"block_bytes={bb} diverged"
+
+
+@settings(deadline=None, max_examples=50)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=20)), min_size=0, max_size=40
+    ),
+    st.integers(min_value=1, max_value=256),
+)
+def test_blocked_hash_property(values, block_bytes):
+    arr = pa.array(values, type=pa.string())
+    ref = hash64_strings(arr, block_bytes=1 << 30)
+    got = hash64_strings(arr, block_bytes=block_bytes)
+    assert (got == ref).all()

@@ -169,6 +169,47 @@ def test_compress_roundtrip(sequences_dir):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_read_range_prunes_and_trims(sequences_dir, tmp_path):
+    """read_range returns exactly the in-window points, decoding only the
+    chunks whose [t0, t_last] span overlaps the window."""
+    import pyarrow.dataset as pads
+
+    from contest_parsing_ray.stages.compress import compress_series, read_range
+
+    r = _small_rollup(sequences_dir)
+    d = str(tmp_path / "chunks")
+    # small chunks: the window must prune whole chunks, not just rows
+    compress_series(r, value_col="sum_v", chunk_points=16).write_parquet(d)
+
+    orig = r.to_pandas()[["source", "bucket_us", "sum_v"]].rename(
+        columns={"sum_v": "value"}
+    )
+    mn, mx = int(orig["bucket_us"].min()), int(orig["bucket_us"].max())
+    lo = mn + (mx - mn) // 4
+    hi = mn + 3 * (mx - mn) // 4
+
+    got = read_range(d, lo, hi, concurrency=2).to_pandas()
+    want = orig[(orig["bucket_us"] >= lo) & (orig["bucket_us"] <= hi)]
+    assert 0 < len(want) < len(orig)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["source", "bucket_us"]).reset_index(drop=True),
+        want.sort_values(["source", "bucket_us"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # the pushed-down filter skips non-overlapping chunks at the read
+    all_chunks = pads.dataset(d).to_table()
+    overlapping = ray.data.read_parquet(
+        d, filter=(pads.field("t_last") >= lo) & (pads.field("t0") <= hi)
+    ).count()
+    assert overlapping < all_chunks.num_rows
+
+    # full window = identity; disjoint window = empty
+    full = read_range(d, mn, mx, concurrency=2).to_pandas()
+    assert len(full) == len(orig)
+    assert read_range(d, mx + W1M, mx + 2 * W1M, concurrency=2).count() == 0
+
+
 def test_compress_bitstream_unit():
     from contest_parsing_ray.stages.compress import (
         decode_timestamps,
