@@ -87,7 +87,11 @@ def _round_cols(ds, cols: list[str], digits: int = 6):
         for c in cols:
             idx = t.schema.get_field_index(c)
             vals = t[c].cast(pa.float64()).to_numpy(zero_copy_only=False)
-            t = t.set_column(idx, c, pa.array(np.round(vals, digits)))
+            # from_pandas=True: NaN (incl. nulls the cast surfaced as NaN)
+            # -> Arrow null, matching the oracle's SQL NULL
+            t = t.set_column(
+                idx, c, pa.array(np.round(vals, digits), from_pandas=True)
+            )
         return t
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -819,6 +823,73 @@ def _q_sliding(sf_dir: str):
     return _round_cols(out, ["cnt_w3_sum"])
 
 
+GAP_30M = 30 * 60 * 1_000_000
+_REDACT_PAT = r"\b(customer|spark)\b"
+
+
+def _q_ohlc(sf_dir: str):
+    """OHLC + counter-rate per (event_type, 1h floor bucket): open/close
+    deterministic on (ts, event_id); rate = delta/elapsed within bucket."""
+    from contest_parsing_ray.stages.ohlc import ohlc_rollup
+
+    ev = _events(sf_dir, columns=["ts", "event_id", "event_type", "value"])
+    out = ohlc_rollup(
+        ev, key_col="event_type", ts_col="event_time_us",
+        value_col="value", order_col="event_id", width_us=W1H,
+    )
+    return _round_cols(out, ["open_v", "high_v", "low_v", "close_v", "rate_per_s"])
+
+
+def _q_sessionize(sf_dir: str):
+    """Per-user sessionization at 30-minute inactivity gaps."""
+    from contest_parsing_ray.stages.window import sessionize
+
+    ev = _events(sf_dir, columns=["ts", "event_id", "user_id"])
+    return sessionize(
+        ev, user_col="user_id", ts_col="event_time_us",
+        gap_us=GAP_30M, order_col="event_id",
+    )
+
+
+def _q_redact(sf_dir: str):
+    """Regex redaction (PII-scrub plumbing) over documents: replace entity
+    words, count redactions. RE2 on both sides (pyarrow + DuckDB)."""
+    from contest_parsing_ray.stages.text import RegexRedact
+
+    docs = _docs(sf_dir)
+    out = docs.map_batches(
+        RegexRedact,
+        fn_constructor_kwargs={"pattern": _REDACT_PAT, "replacement": "<ENT>"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["doc_id", "text_redacted", "n_redacted"])
+
+
+def _q_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition: duplicate-word fraction."""
+    from contest_parsing_ray.stages.text import RepetitionScore
+
+    docs = _docs(sf_dir)
+    out = docs.map_batches(
+        RepetitionScore, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return _round_cols(
+        out.select_columns(
+            ["doc_id", "n_words_sep", "n_distinct_words", "dup_word_frac"]
+        ),
+        ["dup_word_frac"],
+    )
+
+
+def _q_word_topk(sf_dir: str):
+    """Corpus-wide top-k word frequencies (partial counts per batch →
+    small groupby → deterministic sort)."""
+    from contest_parsing_ray.stages.text import word_topk
+
+    return word_topk(_docs(sf_dir), k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # continuous aggregates / rollup tiers (SURVEY A1/A3/A8, M10/F3)
@@ -871,6 +942,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_3h": _q_sliding,
         # A3 exploder tail: mode + list-join + per-service prefix pivot
         "trace_one_row": _q_trace_one_row,
+        # order-dependent rollup: open/high/low/close + counter rate
+        "ohlc_rate_1h": _q_ohlc,
+        # gap-split sessionization (web-log analog of trace grouping)
+        "sessionize_30m": _q_sessionize,
+        # training-data text ops: redaction, repetition, corpus vocab
+        "redact_docs": _q_redact,
+        "doc_repetition": _q_repetition,
+        "word_topk_docs": _q_word_topk,
     }
 
 
@@ -1232,6 +1311,81 @@ WHERE r.bucket_us >= b.mn + (((b.mx - b.mn) // (4 * {W1H})) * {W1H})
   AND r.bucket_us <= b.mn + (((3 * (b.mx - b.mn)) // (4 * {W1H})) * {W1H})
 """,
         "trace_one_row": _trace_one_row_sql(),
+        "ohlc_rate_1h": f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, value, event_id,
+         ((epoch_us(ts) // {W1H}) * {W1H}) AS bucket_us
+  FROM events
+), w AS (
+  SELECT event_type, bucket_us, us, value,
+         first_value(value) OVER win AS open_v,
+         last_value(value) OVER (PARTITION BY event_type, bucket_us
+           ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v,
+         first_value(us) OVER win AS open_us,
+         last_value(us) OVER (PARTITION BY event_type, bucket_us
+           ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_us
+  FROM e
+  WINDOW win AS (PARTITION BY event_type, bucket_us ORDER BY us, event_id)
+)
+SELECT event_type, bucket_us,
+       ROUND(MIN(open_v), 6) AS open_v,
+       ROUND(MAX(value), 6) AS high_v,
+       ROUND(MIN(value), 6) AS low_v,
+       ROUND(MIN(close_v), 6) AS close_v,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(CASE WHEN MAX(close_us) > MIN(open_us)
+             THEN (MIN(close_v) - MIN(open_v)) * 1000000.0
+                  / (MAX(close_us) - MIN(open_us))
+             ELSE NULL END, 6) AS rate_per_s
+FROM w GROUP BY 1, 2
+""",
+        "sessionize_30m": f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+), b AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us > {GAP_30M}
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+       MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY 1, 2
+""",
+        "redact_docs": f"""
+SELECT doc_id,
+       regexp_replace(text, '{_REDACT_PAT}', '<ENT>', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(text, '{_REDACT_PAT}')) AS BIGINT)
+         AS n_redacted
+FROM documents
+""",
+        "doc_repetition": """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words_sep,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words,
+       ROUND(1.0 - CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*), 6)
+         AS dup_word_frac
+FROM w GROUP BY 1
+""",
+        "word_topk_docs": """
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 50
+""",
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash
         # banding, the Jaeger/Prometheus fixture chain, the fake multimodal

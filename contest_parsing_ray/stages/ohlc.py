@@ -1,0 +1,129 @@
+"""OHLC / counter-rate rollup: per (key, floor bucket) the first (open),
+highest, lowest, and last (close) value plus the in-bucket rate of change.
+
+The reference rolls buckets up with order-free aggregates only
+(count/mean/min/max — ``Joiner.py:345-354``, ``TraceInOneRowExploder.py:
+83-123``); open/close add the *order-dependent* pair every monitoring
+engine needs (Prometheus ``rate()``, OHLC candlesticks). "First"/"last"
+are made deterministic by ordering on ``(ts, order_col)`` — the same
+tie-break discipline the engine applies to the reference's unordered
+``unique("spanID")`` dedup (SURVEY §2.7 D2 note).
+
+Scale design: open/high/low/close are MERGEABLE — a partial per batch
+carries ``(open_ts, open_ord, open_v, close_ts, close_ord, close_v,
+high, low, cnt)`` per (key, bucket), so only ~#groups rows per batch
+enter the exchange (the same partial-before-shuffle story as
+``stages/rollup.py``); the final merge re-runs the identical combiner
+once per hash partition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ._shuffle import hash_partitioned_map
+
+_PARTIAL_COLS = [
+    "open_us", "open_ord", "open_v",
+    "close_us", "close_ord", "close_v",
+    "high_v", "low_v", "cnt",
+]
+
+
+def _combine(df: pd.DataFrame, key_col: str) -> pd.DataFrame:
+    """Merge partial OHLC rows by (key, bucket_us) — fully vectorized
+    (two lexsorts + reduceat), handles every group in the frame at once."""
+    if len(df) == 0:
+        return df
+    k, key_uniques = pd.factorize(df[key_col], sort=False)
+    b = df["bucket_us"].to_numpy()
+    open_us = df["open_us"].to_numpy()
+    open_ord = df["open_ord"].to_numpy()
+    close_us = df["close_us"].to_numpy()
+    close_ord = df["close_ord"].to_numpy()
+
+    # group layout: sort by (key, bucket); opens tie-broken by (us, ord)
+    o_open = np.lexsort((open_ord, open_us, b, k))
+    ks, bs = k[o_open], b[o_open]
+    new = np.empty(len(ks), dtype=bool)
+    new[0] = True
+    new[1:] = (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.concatenate([starts[1:], [len(ks)]]) - 1
+    # the close sort shares the same (key, bucket) primary keys, so the
+    # group layout (starts/ends) is identical
+    o_close = np.lexsort((close_ord, close_us, b, k))
+
+    open_rows = o_open[starts]
+    close_rows = o_close[ends]
+    out = pd.DataFrame(
+        {
+            key_col: key_uniques[ks[starts]],
+            "bucket_us": bs[starts],
+            "open_us": open_us[open_rows],
+            "open_ord": open_ord[open_rows],
+            "open_v": df["open_v"].to_numpy()[open_rows],
+            "close_us": close_us[close_rows],
+            "close_ord": close_ord[close_rows],
+            "close_v": df["close_v"].to_numpy()[close_rows],
+            "high_v": np.maximum.reduceat(df["high_v"].to_numpy()[o_open], starts),
+            "low_v": np.minimum.reduceat(df["low_v"].to_numpy()[o_open], starts),
+            "cnt": np.add.reduceat(df["cnt"].to_numpy()[o_open], starts),
+        }
+    )
+    return out
+
+
+def ohlc_rollup(
+    events: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    width_us: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """events → one row per (key, floor-``width_us`` bucket) with
+    ``open_v/high_v/low_v/close_v/cnt/rate_per_s``.
+
+    ``rate_per_s`` = (close - open) * 1e6 / (close_ts - open_ts); null for
+    single-timestamp buckets (no elapsed time to divide by).
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        us = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ordv = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_pandas(),
+                "bucket_us": (us // width_us) * width_us,
+                "open_us": us, "open_ord": ordv, "open_v": v,
+                "close_us": us, "close_ord": ordv, "close_v": v,
+                "high_v": v, "low_v": v,
+                "cnt": np.ones(len(us), dtype=np.int64),
+            }
+        )
+        return _combine(df, key_col)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = _combine(df, key_col)
+        span_us = out["close_us"].to_numpy() - out["open_us"].to_numpy()
+        delta = out["close_v"].to_numpy() - out["open_v"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rate = delta * 1e6 / span_us
+        out["rate_per_s"] = np.where(span_us > 0, rate, np.nan)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out[
+            [key_col, "bucket_us", "open_v", "high_v", "low_v", "close_v",
+             "cnt", "rate_per_s"]
+        ]
+
+    partials = events.map_batches(partial, batch_format="pyarrow")
+    return hash_partitioned_map(
+        partials, [key_col], merge,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

@@ -158,6 +158,140 @@ class LangId:
         return batch
 
 
+class RegexRedact:
+    """Regex redaction (PII-scrub shape): replace every match of
+    ``pattern`` with ``replacement`` and count the redactions per doc.
+
+    The kernel is RE2 via ``pyarrow.compute`` (same dialect DuckDB uses,
+    so SQL oracles compare byte-exact); zero Python per row. Real PII
+    passes plug in email/phone/SSN patterns; compile cost is once per
+    actor (``__init__``), per the stateful-stage rule.
+    """
+
+    def __init__(
+        self,
+        pattern: str,
+        replacement: str = "<REDACTED>",
+        text_col: str = "text",
+        out_col: str = "text_redacted",
+    ):
+        self.pattern = pattern
+        self.replacement = replacement
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[self.text_col]
+        filled = pc.fill_null(col, "")
+        batch = batch.append_column(
+            self.out_col,
+            pc.replace_substring_regex(
+                filled, pattern=self.pattern, replacement=self.replacement
+            ),
+        )
+        return batch.append_column(
+            "n_redacted",
+            pc.count_substring_regex(filled, pattern=self.pattern).cast(pa.int64()),
+        )
+
+
+class RepetitionScore:
+    """Within-document repetition (Gopher-style quality rule): fraction of
+    word occurrences that are repeats of an earlier word in the same doc
+    (``1 - distinct_words / n_words``).
+
+    Vectorized end-to-end: one Arrow split to a list column, one
+    buffer-level hash over the flattened words, one lexsort to count
+    distinct (doc, word) pairs — no per-document Python loop.
+    """
+
+    def __init__(self, text_col: str = "text", sep: str = " "):
+        self.text_col = text_col
+        self.sep = sep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ._shuffle import hash64_strings
+
+        col = pc.fill_null(batch[self.text_col], "")
+        words = pc.split_pattern(col, pattern=self.sep).combine_chunks()
+        flat = words.flatten()
+        offsets = np.frombuffer(words.buffers()[1], dtype=np.int32)[
+            words.offset : words.offset + len(words) + 1
+        ].astype(np.int64)
+        n_words = np.diff(offsets)
+        if len(flat):
+            h = hash64_strings(flat)
+            parent = np.repeat(
+                np.arange(len(words), dtype=np.int64), n_words
+            )
+            order = np.lexsort((h, parent))
+            hp, pp = h[order], parent[order]
+            first = np.empty(len(hp), dtype=bool)
+            first[0] = True
+            first[1:] = (pp[1:] != pp[:-1]) | (hp[1:] != hp[:-1])
+            n_distinct = np.bincount(pp[first], minlength=len(words))
+        else:
+            n_distinct = np.zeros(len(words), dtype=np.int64)
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        rep = 1.0 - n_distinct / denom
+        batch = batch.append_column(
+            "n_words_sep", pa.array(n_words, type=pa.int64())
+        )
+        batch = batch.append_column(
+            "n_distinct_words", pa.array(n_distinct, type=pa.int64())
+        )
+        return batch.append_column(
+            "dup_word_frac", pa.array(rep, type=pa.float64())
+        )
+
+
+def word_topk(
+    docs: ray.data.Dataset,
+    k: int = 50,
+    text_col: str = "text",
+    sep: str = " ",
+) -> ray.data.Dataset:
+    """Corpus-wide top-k word frequencies → ``(word, cnt)``.
+
+    Per-batch partial ``value_counts`` collapse the stream to ~vocabulary
+    size before the groupby shuffle (the partial-before-shuffle rule), so
+    the exchange moves O(vocab × batches) tiny rows, never the corpus.
+    Ties broken deterministically: cnt desc, word asc.
+    """
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[text_col], "")
+        flat = pc.list_flatten(pc.split_pattern(col, pattern=sep))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values").cast(pa.string()),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum("cnt")
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["word", "cnt"])
+
+    return (
+        counts.map_batches(rename, batch_format="pyarrow")
+        .sort(["cnt", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
 class Fingerprint:
     """64-bit polynomial rolling-hash document fingerprint (Rabin-Karp
     style over UTF-8 bytes) — vectorized over the Arrow buffer."""

@@ -87,6 +87,73 @@ def asof_join(
     )
 
 
+def sessionize(
+    events: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    gap_us: int,
+    order_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Split each user's event stream into sessions at inactivity gaps
+    > ``gap_us``; one output row per session: ``(user, session_id,
+    session_start_us, session_end_us, n_events)``.
+
+    Classic web-scale log operator (the events table's analog of grouping
+    spans into traces). Determinism: events ordered by ``(ts, order_col)``
+    per user, ``session_id`` is the 1-based ordinal within the user.
+    Partitioning assumption (same as asof_join above): one user's events
+    fit one task — enforced by the hash co-location on ``user_col``.
+    """
+
+    def sess(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    user_col: pd.Series([], dtype=df[user_col].dtype),
+                    "session_id": pd.Series([], dtype=np.int64),
+                    "session_start_us": pd.Series([], dtype=np.int64),
+                    "session_end_us": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                }
+            )
+        u_raw = df[user_col]
+        codes, uniques = pd.factorize(u_raw, sort=False)
+        ts = df[ts_col].to_numpy().astype(np.int64)
+        ordv = df[order_col].to_numpy()
+        order = np.lexsort((ordv, ts, codes))
+        cs, tss = codes[order], ts[order]
+        brk = np.empty(len(cs), dtype=bool)
+        brk[0] = True
+        brk[1:] = (cs[1:] != cs[:-1]) | (tss[1:] - tss[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(cs)]]) - 1
+        su = cs[starts]
+        new_user = np.empty(len(su), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = su[1:] != su[:-1]
+        user_first = np.flatnonzero(new_user)
+        reps = np.diff(np.append(user_first, len(su)))
+        session_id = np.arange(len(su), dtype=np.int64) - np.repeat(
+            user_first, reps
+        ) + 1
+        return pd.DataFrame(
+            {
+                user_col: uniques[su],
+                "session_id": session_id,
+                "session_start_us": tss[starts],
+                "session_end_us": tss[ends],
+                "n_events": (ends - starts + 1).astype(np.int64),
+            }
+        )
+
+    cols = [user_col, ts_col, order_col]
+    return hash_partitioned_map(
+        events.select_columns(cols), [user_col], sess,
+        num_partitions=num_partitions, batch_format="pandas",
+    )
+
+
 def sliding_window(
     series: ray.data.Dataset,
     key_col: str,

@@ -1,0 +1,119 @@
+"""Unit tests for the order-dependent series operators (ohlc_rollup,
+sessionize) and the round-2 text ops (RegexRedact, RepetitionScore,
+word_topk) — handcrafted oracles + batch-split invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from contest_parsing_ray.stages.ohlc import ohlc_rollup
+from contest_parsing_ray.stages.text import RegexRedact, RepetitionScore, word_topk
+from contest_parsing_ray.stages.window import sessionize
+
+W = 100  # bucket width (µs) for the toy series
+
+
+def _ohlc_input():
+    # key "a", bucket 0: ts 10,20,30 (tie at 30 broken by order) / bucket 100
+    # key "b": single-ts bucket -> rate NULL
+    return pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "a", "b"],
+            "us": [30, 10, 20, 30, 150, 250],
+            "ord": [5, 1, 2, 4, 6, 7],
+            "v": [9.0, 2.0, 4.0, 8.0, 5.0, 3.0],
+        }
+    )
+
+
+def _run_ohlc(ds):
+    return (
+        ohlc_rollup(
+            ds, key_col="k", ts_col="us", value_col="v", order_col="ord",
+            width_us=W, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "bucket_us"])
+        .reset_index(drop=True)
+    )
+
+
+def test_ohlc_handcrafted():
+    got = _run_ohlc(ray.data.from_pandas(_ohlc_input()))
+    a0 = got[(got["k"] == "a") & (got["bucket_us"] == 0)].iloc[0]
+    assert a0["open_v"] == 2.0  # earliest ts=10
+    # ties at ts=30: ord 4 (v=8) before ord 5 (v=9) -> close is ord 5
+    assert a0["close_v"] == 9.0
+    assert a0["high_v"] == 9.0 and a0["low_v"] == 2.0 and a0["cnt"] == 4
+    assert a0["rate_per_s"] == (9.0 - 2.0) * 1e6 / 20
+    a1 = got[(got["k"] == "a") & (got["bucket_us"] == 100)].iloc[0]
+    assert a1["open_v"] == a1["close_v"] == 5.0 and a1["cnt"] == 1
+    assert np.isnan(a1["rate_per_s"])  # zero elapsed -> null
+    b = got[got["k"] == "b"].iloc[0]
+    assert b["bucket_us"] == 200 and np.isnan(b["rate_per_s"])
+
+
+def test_ohlc_partials_merge_across_blocks():
+    """The per-batch partial + merge must be invariant to block splits."""
+    df = _ohlc_input()
+    whole = _run_ohlc(ray.data.from_pandas(df))
+    split = _run_ohlc(
+        ray.data.from_pandas([df.iloc[:2], df.iloc[2:4], df.iloc[4:]])
+    )
+    pd.testing.assert_frame_equal(whole, split)
+
+
+def test_sessionize_gaps_and_ordinals():
+    ev = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 1, 2, 2],
+            "us": [0, 50, 200, 210, 0, 500],
+            "eid": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    got = (
+        sessionize(
+            ray.data.from_pandas(ev), user_col="u", ts_col="us",
+            gap_us=100, order_col="eid", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["u", "session_id"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "u": [1, 1, 2, 2],
+            "session_id": [1, 2, 1, 2],
+            "session_start_us": [0, 200, 0, 500],
+            "session_end_us": [50, 210, 0, 500],
+            "n_events": [2, 2, 1, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_regex_redact():
+    t = pa.table({"text": ["spark a spark", "no match", None]})
+    out = RegexRedact(pattern=r"\bspark\b", replacement="<X>")(t)
+    assert out["text_redacted"].to_pylist() == ["<X> a <X>", "no match", ""]
+    assert out["n_redacted"].to_pylist() == [2, 0, 0]
+
+
+def test_repetition_score():
+    t = pa.table({"text": ["a b a a", "x y z", ""]})
+    out = RepetitionScore()(t)
+    assert out["n_words_sep"].to_pylist() == [4, 3, 1]  # "" splits to [""]
+    assert out["n_distinct_words"].to_pylist() == [2, 3, 1]
+    assert out["dup_word_frac"].to_pylist() == [0.5, 0.0, 0.0]
+
+
+def test_word_topk():
+    docs = ray.data.from_items(
+        [{"text": "b a b"}, {"text": "c b a"}, {"text": "c b"}]
+    )
+    got = word_topk(docs, k=2).to_pandas()
+    assert list(got["word"]) == ["b", "a"]  # b=4; tie a=2/c=2 -> word asc
+    assert list(got["cnt"]) == [4, 2]
