@@ -882,6 +882,72 @@ def _q_repetition(sf_dir: str):
     )
 
 
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 20
+HOT_USER_MIN_EVENTS = 70
+EWMA_ALPHA = 0.3
+
+
+def _q_histogram(sf_dir: str):
+    """Fixed-bin value distribution per event_type (per-batch bincount
+    partials → tiny groupby merge; the exchange moves O(bins))."""
+    import ray.data
+
+    from contest_parsing_ray.stages.histogram import value_histogram
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return value_histogram(
+        ev, key_col="event_type", value_col="value",
+        lo=HIST_LO, hi=HIST_HI, n_bins=HIST_BINS,
+    )
+
+
+def _q_hot_users(sf_dir: str):
+    """Broadcast semi-join: events of users with >= 70 events total.
+    The key set (small by construction) ships once via ray.put; the
+    events stream is filtered in place — zero large-side shuffle."""
+    from contest_parsing_ray.stages.join import broadcast_semi_join
+
+    ev = _events(sf_dir, columns=["ts", "event_id", "user_id", "event_type"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        vc = b["user_id"].value_counts()
+        return pa.table(
+            {"user_id": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    per_user = (
+        ev.select_columns(["user_id"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("user_id")
+        .sum("cnt")
+    )
+    hot = per_user.map_batches(
+        lambda b: b.rename_columns(["user_id", "cnt"]), batch_format="pyarrow"
+    ).filter(expr=f"cnt >= {HOT_USER_MIN_EVENTS}")
+    out = broadcast_semi_join(ev, hot, on="user_id")
+    return out.select_columns(["event_id", "user_id", "event_type"])
+
+
+def _q_ewma(sf_dir: str):
+    """EWMA smoothing (alpha=0.3) of the per-event_type 1h count series."""
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+    from contest_parsing_ray.stages.window import ewma
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    out = ewma(
+        r.select_columns(["event_type", "bucket_us", "cnt"]),
+        key_col="event_type", ts_col="bucket_us", value_col="cnt",
+        alpha=EWMA_ALPHA,
+    )
+    return _round_cols(out, ["cnt_ewma"])
+
+
 def _q_word_topk(sf_dir: str):
     """Corpus-wide top-k word frequencies (partial counts per batch →
     small groupby → deterministic sort)."""
@@ -950,6 +1016,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_docs": _q_redact,
         "doc_repetition": _q_repetition,
         "word_topk_docs": _q_word_topk,
+        # distribution / filter / smoothing family
+        "value_histogram_20": _q_histogram,
+        "hot_user_events": _q_hot_users,
+        "ewma_1h": _q_ewma,
     }
 
 
@@ -1385,6 +1455,42 @@ FROM w GROUP BY 1
 SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
 GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 50
+""",
+        "value_histogram_20": f"""
+SELECT event_type,
+       LEAST(GREATEST(CAST(FLOOR((value - {HIST_LO}) * {HIST_BINS}
+         / ({HIST_HI} - {HIST_LO})) AS BIGINT), 0), {HIST_BINS - 1}) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+        "hot_user_events": f"""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE user_id IN (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING COUNT(*) >= {HOT_USER_MIN_EVENTS}
+)
+""",
+        "ewma_1h": f"""
+WITH RECURSIVE r AS (
+  SELECT event_type, bucket_us, cnt,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY bucket_us) AS BIGINT) AS rn
+  FROM (
+    SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+  )
+), e AS (
+  SELECT event_type, bucket_us, cnt, rn, CAST(cnt AS DOUBLE) AS ew
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.bucket_us, r.cnt, r.rn,
+         (1.0 - {EWMA_ALPHA}) * e.ew + {EWMA_ALPHA} * CAST(r.cnt AS DOUBLE)
+  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1
+)
+SELECT event_type, bucket_us, cnt, ROUND(ew, 6) AS cnt_ewma FROM e
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

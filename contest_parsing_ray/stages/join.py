@@ -88,6 +88,71 @@ def broadcast_join(
     return large.map_batches(join_batch, batch_format="pandas")
 
 
+def broadcast_semi_join(
+    large: ray.data.Dataset,
+    keys: ray.data.Dataset,
+    on: str,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Semi-join (``anti=False``: keep rows whose ``on`` appears in
+    ``keys``) / anti-join (``anti=True``: keep rows that don't) against a
+    small key set — the shuffle-free filter shape (SQL ``WHERE [NOT]
+    EXISTS``).
+
+    The key set is deduplicated, sorted, and shipped ONCE via ``ray.put``;
+    every task filters its batches with a vectorized ``searchsorted`` —
+    no exchange of the large side at all. Numeric/timestamp keys compare
+    exactly; string keys compare by 64-bit buffer hash (collision odds
+    ~n²/2⁶⁵ — negligible; swap in the exact array if that ever matters).
+    Broadcast-side assumption (same as :func:`broadcast_join`): the
+    distinct keys fit driver memory; at 100 TB swap the array for a Bloom
+    filter (``stages/dedup.py::ShardedBloom``) at the cost of false
+    positives.
+    """
+    from ._shuffle import hash64_column
+
+    # per-batch local dedup -> tiny driver list (the broadcast side)
+    uniq = keys.select_columns([on]).map_batches(
+        lambda b: pa.table({on: b[on].combine_chunks().unique()}),
+        batch_format="pyarrow",
+    )
+    key_col = pa.concat_tables(
+        ray.get(uniq.to_arrow_refs()), promote_options="default"
+    )[on]
+    t = key_col.type
+    hashed = pa.types.is_string(t) or pa.types.is_large_string(t) or (
+        pa.types.is_binary(t)
+    )
+
+    def to_sorted(col):
+        if hashed:
+            return np.unique(hash64_column(col))
+        arr = col.cast(pa.int64()) if pa.types.is_timestamp(t) else col
+        return np.unique(arr.to_numpy(zero_copy_only=False))
+
+    key_arr = to_sorted(key_col)
+    keys_ref = ray.put(key_arr)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        col = batch[on]
+        if hashed:
+            probe = hash64_column(col)
+        else:
+            probe = (
+                col.cast(pa.int64()) if pa.types.is_timestamp(col.type) else col
+            ).to_numpy(zero_copy_only=False)
+        if len(ks):
+            idx = np.minimum(np.searchsorted(ks, probe), len(ks) - 1)
+            hit = ks[idx] == probe
+        else:
+            hit = np.zeros(len(probe), dtype=bool)
+        mask = ~hit if anti else hit
+        return batch.filter(pa.array(mask))
+
+    return large.map_batches(filt, batch_format="pyarrow")
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -154,6 +154,40 @@ def sessionize(
     )
 
 
+def ewma(
+    series: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per key, ordered by ``ts_col``: exponentially-weighted moving
+    average with ``y[0] = x[0]``, ``y[t] = (1-α)·y[t-1] + α·x[t]``
+    (``pd.Series.ewm(adjust=False)`` recursion). Adds ``{value_col}_ewma``.
+
+    The smoothing/downsampling companion of the rollup tiers (north-rule
+    continuous-aggregate family). Same co-location contract as
+    :func:`sliding_window`: one key's series fits one task.
+    """
+
+    def smooth(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col], kind="stable").reset_index(
+            drop=True
+        )
+        df[f"{value_col}_ewma"] = (
+            df.groupby(key_col, sort=False)[value_col]
+            .transform(lambda s: s.astype(np.float64).ewm(
+                alpha=alpha, adjust=False).mean())
+        )
+        return df
+
+    return hash_partitioned_map(
+        series, [key_col], smooth,
+        num_partitions=num_partitions, batch_format="pandas",
+    )
+
+
 def sliding_window(
     series: ray.data.Dataset,
     key_col: str,

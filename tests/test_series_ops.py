@@ -110,6 +110,61 @@ def test_repetition_score():
     assert out["dup_word_frac"].to_pylist() == [0.5, 0.0, 0.0]
 
 
+def test_value_histogram():
+    from contest_parsing_ray.stages.histogram import value_histogram
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "v": [0.0, 9.9, 25.0, -5.0, 99.0],  # -5 clips to bin 0, 99 to 9
+        }
+    )
+    got = (
+        value_histogram(
+            ray.data.from_pandas(df), key_col="k", value_col="v",
+            lo=0.0, hi=50.0, n_bins=10,
+        )
+        .to_pandas()
+        .sort_values(["k", "bin"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"k": ["a", "a", "a", "b", "b"], "bin": [0, 1, 5, 0, 9],
+         "cnt": [1, 1, 1, 1, 1]}
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_broadcast_semi_and_anti_join():
+    from contest_parsing_ray.stages.join import broadcast_semi_join
+
+    big = ray.data.from_pandas(
+        pd.DataFrame({"id": [1, 2, 3, 4], "u": ["a", "b", "c", "a"]})
+    )
+    keys = ray.data.from_pandas(pd.DataFrame({"u": ["a", "c", "a"]}))
+    semi = broadcast_semi_join(big, keys, on="u").to_pandas()
+    assert sorted(semi["id"]) == [1, 3, 4]
+    anti = broadcast_semi_join(big, keys, on="u", anti=True).to_pandas()
+    assert sorted(anti["id"]) == [2]
+    # numeric keys take the exact (non-hashed) path
+    keys_n = ray.data.from_pandas(pd.DataFrame({"id": [2, 4]}))
+    semi_n = broadcast_semi_join(big, keys_n, on="id").to_pandas()
+    assert sorted(semi_n["id"]) == [2, 4]
+
+
+def test_ewma_recursion():
+    from contest_parsing_ray.stages.window import ewma
+
+    s = pd.DataFrame({"k": ["a"] * 3 + ["b"], "ts": [1, 2, 3, 1],
+                      "x": [10.0, 20.0, 20.0, 5.0]})
+    got = (
+        ewma(ray.data.from_pandas(s), key_col="k", ts_col="ts",
+             value_col="x", alpha=0.5, num_partitions=2)
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    assert list(got["x_ewma"]) == [10.0, 15.0, 17.5, 5.0]
+
+
 def test_word_topk():
     docs = ray.data.from_items(
         [{"text": "b a b"}, {"text": "c b a"}, {"text": "c b"}]
