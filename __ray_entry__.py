@@ -948,6 +948,19 @@ def _q_ewma(sf_dir: str):
     return _round_cols(out, ["cnt_ewma"])
 
 
+def _q_curate(sf_dir: str):
+    """Composed curation chain: token-count + repetition scores → quality
+    filter (n_words >= 20, dup_word_frac <= 0.7) → exact first-wins dedup
+    on md5(text) with doc_id tie-break."""
+    from contest_parsing_ray.pipelines.curation import curate_documents
+
+    out = curate_documents(_docs(sf_dir), min_words=20, max_dup_frac=0.7)
+    return _round_cols(
+        out.select_columns(["doc_id", "source", "n_words", "dup_word_frac"]),
+        ["dup_word_frac"],
+    )
+
+
 def _q_word_topk(sf_dir: str):
     """Corpus-wide top-k word frequencies (partial counts per batch →
     small groupby → deterministic sort)."""
@@ -1020,6 +1033,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram_20": _q_histogram,
         "hot_user_events": _q_hot_users,
         "ewma_1h": _q_ewma,
+        # composed curation pipeline (score -> filter -> dedup)
+        "curate_docs": _q_curate,
     }
 
 
@@ -1455,6 +1470,26 @@ FROM w GROUP BY 1
 SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
 GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 50
+""",
+        "curate_docs": """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), rep AS (
+  SELECT doc_id,
+         1.0 - CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*) AS dup_word_frac
+  FROM words GROUP BY 1
+), scored AS (
+  SELECT d.doc_id, d.source, d.text,
+         CAST(length(regexp_extract_all(d.text, '[A-Za-z0-9_]+')) AS BIGINT)
+           AS n_words,
+         r.dup_word_frac
+  FROM documents d JOIN rep r USING (doc_id)
+), kept AS (
+  SELECT * FROM scored WHERE n_words >= 20 AND dup_word_frac <= 0.7
+)
+SELECT doc_id, source, n_words, ROUND(dup_word_frac, 6) AS dup_word_frac
+FROM kept
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """,
         "value_histogram_20": f"""
 SELECT event_type,

@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "exact_dedup_docs",
     "ann_topk_cosine",
     "embedding_neardup_pairs",
+    "ohlc_rate_1h",
+    "sessionize_30m",
+    "value_histogram_20",
+    "hot_user_events",
 ]
 
 

@@ -165,6 +165,30 @@ def test_ewma_recursion():
     assert list(got["x_ewma"]) == [10.0, 15.0, 17.5, 5.0]
 
 
+def test_curate_documents():
+    from contest_parsing_ray.pipelines.curation import curate_documents
+
+    long = " ".join(["tok%d" % i for i in range(25)])
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                long,            # keeps (25 distinct words)
+                "short doc",     # dropped: < 20 words
+                "a " * 24 + "a", # dropped: 25 words but dup frac 24/25
+                long,            # exact duplicate of doc 1 -> deduped
+            ],
+        }
+    )
+    got = (
+        curate_documents(ray.data.from_pandas(docs), min_words=20,
+                         max_dup_frac=0.7)
+        .to_pandas()
+    )
+    assert list(got["doc_id"]) == [1]  # first-wins on doc_id
+    assert got["n_words"].iloc[0] == 25 and got["dup_word_frac"].iloc[0] == 0.0
+
+
 def test_word_topk():
     docs = ray.data.from_items(
         [{"text": "b a b"}, {"text": "c b a"}, {"text": "c b"}]
