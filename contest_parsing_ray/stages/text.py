@@ -219,7 +219,10 @@ class RepetitionScore:
         col = pc.fill_null(batch[self.text_col], "")
         words = pc.split_pattern(col, pattern=self.sep).combine_chunks()
         flat = words.flatten()
-        offsets = np.frombuffer(words.buffers()[1], dtype=np.int32)[
+        # list<...> carries int32 offsets, large_list<...> int64 (when the
+        # input column is large_string)
+        off_dtype = np.int64 if pa.types.is_large_list(words.type) else np.int32
+        offsets = np.frombuffer(words.buffers()[1], dtype=off_dtype)[
             words.offset : words.offset + len(words) + 1
         ].astype(np.int64)
         n_words = np.diff(offsets)

@@ -165,6 +165,14 @@ def test_ewma_recursion():
     assert list(got["x_ewma"]) == [10.0, 15.0, 17.5, 5.0]
 
 
+def test_repetition_score_large_string():
+    # large_string text -> split yields large_list (int64 offsets)
+    t = pa.table({"text": pa.array(["a b a a", "x y z"], type=pa.large_string())})
+    out = RepetitionScore()(t)
+    assert out["n_words_sep"].to_pylist() == [4, 3]
+    assert out["dup_word_frac"].to_pylist() == [0.5, 0.0]
+
+
 def test_curate_documents():
     from contest_parsing_ray.pipelines.curation import curate_documents
 
