@@ -31,7 +31,8 @@ def value_histogram(
     if not (hi > lo and n_bins > 0):
         raise ValueError(f"need hi > lo and n_bins > 0, got [{lo}, {hi}) x {n_bins}")
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
+        key_type = batch.schema.field(key_col).type
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         keys = batch[key_col].to_pandas()
         ok = ~np.isnan(v)
@@ -48,11 +49,12 @@ def value_histogram(
         flat = codes * n_bins + b
         cnt = np.bincount(flat, minlength=len(uniques) * n_bins)
         nz = np.flatnonzero(cnt)
-        return pd.DataFrame(
+        # explicit key type: empty batches must not emit a null-typed key
+        return pa.table(
             {
-                key_col: uniques[nz // n_bins],
-                "bin": (nz % n_bins).astype(np.int64),
-                "cnt": cnt[nz].astype(np.int64),
+                key_col: pa.array(uniques[nz // n_bins], type=key_type),
+                "bin": pa.array((nz % n_bins).astype(np.int64), type=pa.int64()),
+                "cnt": pa.array(cnt[nz].astype(np.int64), type=pa.int64()),
             }
         )
 

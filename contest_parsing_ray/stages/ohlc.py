@@ -93,7 +93,8 @@ def ohlc_rollup(
     single-timestamp buckets (no elapsed time to divide by).
     """
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
+        key_type = batch.schema.field(key_col).type
         us = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         ordv = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -107,7 +108,18 @@ def ohlc_rollup(
                 "cnt": np.ones(len(us), dtype=np.int64),
             }
         )
-        return _combine(df, key_col)
+        out = _combine(df, key_col)
+        # explicit types: an empty batch must not degrade the key column
+        # to Arrow null (it would poison the exchange's schema)
+        cols = {key_col: pa.array(out[key_col], type=key_type)}
+        for c in ["bucket_us", "open_us", "open_ord", "close_us",
+                  "close_ord", "cnt"]:
+            cols[c] = pa.array(out[c].to_numpy(dtype=np.int64, copy=False),
+                               type=pa.int64())
+        for c in ["open_v", "close_v", "high_v", "low_v"]:
+            cols[c] = pa.array(out[c].to_numpy(dtype=np.float64, copy=False),
+                               type=pa.float64())
+        return pa.table(cols)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = _combine(df, key_col)

@@ -135,6 +135,24 @@ def test_value_histogram():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_ohlc_and_histogram_empty_block():
+    """Empty input blocks must keep typed schemas through the exchange."""
+    from contest_parsing_ray.stages.histogram import value_histogram
+
+    df = _ohlc_input()
+    ds = ray.data.from_pandas([df, df.iloc[:0]])
+    got = _run_ohlc(ds)
+    pd.testing.assert_frame_equal(got, _run_ohlc(ray.data.from_pandas(df)))
+    hdf = pd.DataFrame({"k": ["a", "b"], "v": [1.0, 9.0]})
+    hds = ray.data.from_pandas([hdf, hdf.iloc[:0]])
+    h = (
+        value_histogram(hds, key_col="k", value_col="v", lo=0.0, hi=10.0,
+                        n_bins=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(h["bin"]) == [0, 1] and list(h["cnt"]) == [1, 1]
+
+
 def test_broadcast_semi_and_anti_join():
     from contest_parsing_ray.stages.join import broadcast_semi_join
 
