@@ -56,13 +56,15 @@ def curate_documents(
     if schema is None or hash_col not in schema.names:
         import hashlib
 
-        def add_hash(df):
-            df[hash_col] = [
-                hashlib.md5(t.encode()).hexdigest()
-                for t in df[text_col].fillna("")
+        def add_hash(b: pa.Table) -> pa.Table:
+            vals = [
+                hashlib.md5((t or "").encode()).hexdigest()
+                for t in b[text_col].to_pylist()
             ]
-            return df
+            # typed append: an empty batch must not emit a null-typed
+            # hash column into the dedup exchange
+            return b.append_column(hash_col, pa.array(vals, type=pa.string()))
 
-        out = out.map_batches(add_hash, batch_format="pandas")
+        out = out.map_batches(add_hash, batch_format="pyarrow")
 
     return dedup(out, key=hash_col, keep="first", tiebreak_cols=(id_col,))
