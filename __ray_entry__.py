@@ -948,6 +948,24 @@ def _q_ewma(sf_dir: str):
     return _round_cols(out, ["cnt_ewma"])
 
 
+def _q_topn_per_key(sf_dir: str):
+    """Top-3 highest-value events per event_type (per-batch pre-trim →
+    one small exchange; the ROW_NUMBER window analog)."""
+    import ray.data
+
+    from contest_parsing_ray.stages.window import topn_per_key
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    out = topn_per_key(
+        ev, key_col="event_type", value_col="value", n=3,
+        tiebreak_col="event_id",
+    )
+    return out.select_columns(["event_id", "event_type", "value"])
+
+
 def _q_curate(sf_dir: str):
     """Composed curation chain: token-count + repetition scores → quality
     filter (n_words >= 20, dup_word_frac <= 0.7) → exact first-wins dedup
@@ -1035,6 +1053,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_1h": _q_ewma,
         # composed curation pipeline (score -> filter -> dedup)
         "curate_docs": _q_curate,
+        # grouped top-n (ROW_NUMBER window analog)
+        "top3_events_per_type": _q_topn_per_key,
     }
 
 
@@ -1470,6 +1490,12 @@ FROM w GROUP BY 1
 SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
 GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 50
+""",
+        "top3_events_per_type": """
+SELECT event_id, event_type, value
+FROM events
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY event_type ORDER BY value DESC, event_id) <= 3
 """,
         "curate_docs": """
 WITH words AS (

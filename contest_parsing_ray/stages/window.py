@@ -154,6 +154,53 @@ def sessionize(
     )
 
 
+def topn_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    n: int,
+    tiebreak_col: str,
+    descending: bool = True,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per key: the ``n`` rows with the largest (``descending=True``) /
+    smallest ``value_col`` — the ROW_NUMBER()-per-partition window analog,
+    tie-broken deterministically by ascending ``tiebreak_col``.
+
+    Scale shape: each batch is pre-trimmed to its own per-key top-n
+    (vectorized lexsort + group-ordinal mask) BEFORE the exchange, so the
+    shuffle moves at most ``n x keys-per-batch`` rows, never the stream.
+    The same trim runs once per hash partition for the final answer.
+    """
+
+    def trim(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        import pandas as pd_  # local alias: keep the pyarrow path lean
+
+        codes, _ = pd_.factorize(t[key_col].to_pandas(), sort=False)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        tb = t[tiebreak_col].to_numpy(zero_copy_only=False)
+        vkey = -v if descending else v
+        order = np.lexsort((tb, vkey, codes))
+        cs = codes[order]
+        new = np.empty(len(cs), dtype=bool)
+        new[0] = True
+        new[1:] = cs[1:] != cs[:-1]
+        # ordinal within key along the sorted order
+        starts = np.flatnonzero(new)
+        reps = np.diff(np.append(starts, len(cs)))
+        ordinal = np.arange(len(cs)) - np.repeat(starts, reps)
+        keep_sorted = order[ordinal < n]
+        return t.take(pa.array(np.sort(keep_sorted)))
+
+    trimmed = ds.map_batches(trim, batch_format="pyarrow")
+    return hash_partitioned_map(
+        trimmed, [key_col], trim,
+        num_partitions=num_partitions, batch_format="pyarrow",
+    )
+
+
 def ewma(
     series: ray.data.Dataset,
     key_col: str,

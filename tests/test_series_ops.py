@@ -170,6 +170,28 @@ def test_broadcast_semi_and_anti_join():
     assert sorted(semi_n["id"]) == [2, 4]
 
 
+def test_topn_per_key():
+    from contest_parsing_ray.stages.window import topn_per_key
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "b"],
+            "v": [5.0, 9.0, 9.0, 1.0, 2.0],
+            "id": [4, 2, 1, 3, 9],
+        }
+    )
+    got = (
+        topn_per_key(
+            ray.data.from_pandas([df.iloc[:3], df.iloc[3:]]),
+            key_col="k", value_col="v", n=2, tiebreak_col="id",
+            num_partitions=2,
+        )
+        .to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+    )
+    # a: ties at 9.0 -> ids 1 and 2 win (id asc); b: single row
+    assert got[["k", "id"]].values.tolist() == [["a", 1], ["a", 2], ["b", 9]]
+
+
 def test_ewma_recursion():
     from contest_parsing_ray.stages.window import ewma
 
