@@ -907,25 +907,23 @@ def _q_hot_users(sf_dir: str):
     """Broadcast semi-join: events of users with >= 70 events total.
     The key set (small by construction) ships once via ray.put; the
     events stream is filtered in place — zero large-side shuffle."""
+    import ray.data
+
+    from contest_parsing_ray.stages._shuffle import partial_value_counts
     from contest_parsing_ray.stages.join import broadcast_semi_join
 
-    ev = _events(sf_dir, columns=["ts", "event_id", "user_id", "event_type"])
-
-    def counts(b: pa.Table) -> pa.Table:
-        vc = b["user_id"].value_counts()
-        return pa.table(
-            {"user_id": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
-        )
-
-    per_user = (
-        ev.select_columns(["user_id"])
-        .map_batches(counts, batch_format="pyarrow")
-        .groupby("user_id")
-        .sum("cnt")
+    # pruned single-column read for the count branch — no reason to decode
+    # the other columns twice
+    users_only = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
     )
-    hot = per_user.map_batches(
-        lambda b: b.rename_columns(["user_id", "cnt"]), batch_format="pyarrow"
-    ).filter(expr=f"cnt >= {HOT_USER_MIN_EVENTS}")
+    hot = partial_value_counts(users_only, "user_id").filter(
+        expr=f"cnt >= {HOT_USER_MIN_EVENTS}"
+    )
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
     out = broadcast_semi_join(ev, hot, on="user_id")
     return out.select_columns(["event_id", "user_id", "event_type"])
 

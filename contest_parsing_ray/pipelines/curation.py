@@ -15,7 +15,6 @@ first-wins on a content hash with a deterministic ``id_col`` tie-break
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import ray.data
 

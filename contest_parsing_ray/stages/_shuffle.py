@@ -191,6 +191,32 @@ def hash_partitioned_map(
     return parted.groupby("__part").map_groups(run, batch_format=batch_format)
 
 
+def partial_value_counts(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """Distributed exact value counts of one column → ``(col, cnt)``.
+
+    Per-batch ``value_counts`` partials collapse the stream to ~cardinality
+    rows before the groupby exchange (the partial-before-shuffle rule);
+    the fragile positional rename of Ray's ``sum(cnt)`` output column is
+    centralized here.
+    """
+
+    def counts(b: pa.Table) -> pa.Table:
+        vc = b[col].combine_chunks().value_counts()
+        return pa.table(
+            {col: vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    merged = (
+        ds.select_columns([col])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby(col)
+        .sum("cnt")
+    )
+    return merged.map_batches(
+        lambda b: b.rename_columns([col, "cnt"]), batch_format="pyarrow"
+    )
+
+
 def key_histogram(ds: ray.data.Dataset, col: str, top_k: int = 50) -> "pd.DataFrame":
     """Driver-side key histogram (SURVEY §4 skew row): per-batch value
     counts → tiny driver merge → top-k shares. Feeds :func:`choose_salt`."""

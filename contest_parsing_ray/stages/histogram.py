@@ -39,20 +39,24 @@ def value_histogram(
         if not ok.all():
             v, keys = v[ok], keys[ok].reset_index(drop=True)
         # op order matches SQL `FLOOR((v - lo) * n_bins / (hi - lo))` so
-        # boundary values bin identically under an exact-compare oracle
+        # boundary values bin identically under an exact-compare oracle;
+        # clip BEFORE the int cast — a float large enough to overflow
+        # int64 would otherwise wrap to INT64_MIN and land in bin 0
         b = np.clip(
-            np.floor((v - lo) * float(n_bins) / (hi - lo)).astype(np.int64),
-            0,
-            n_bins - 1,
-        )
-        codes, uniques = pd.factorize(keys, sort=False)
+            np.floor((v - lo) * float(n_bins) / (hi - lo)), 0, n_bins - 1
+        ).astype(np.int64)
+        # null keys form their own group (SQL GROUP BY NULL), never the
+        # -1 sentinel (negative codes would crash bincount)
+        codes, uniques = pd.factorize(keys, sort=False, use_na_sentinel=False)
         flat = codes * n_bins + b
         cnt = np.bincount(flat, minlength=len(uniques) * n_bins)
         nz = np.flatnonzero(cnt)
         # explicit key type: empty batches must not emit a null-typed key
         return pa.table(
             {
-                key_col: pa.array(uniques[nz // n_bins], type=key_type),
+                key_col: pa.Array.from_pandas(
+                    pd.Series(uniques[nz // n_bins]), type=key_type
+                ),
                 "bin": pa.array((nz % n_bins).astype(np.int64), type=pa.int64()),
                 "cnt": pa.array(cnt[nz].astype(np.int64), type=pa.int64()),
             }

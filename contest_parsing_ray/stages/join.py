@@ -125,6 +125,10 @@ def broadcast_semi_join(
     )
 
     def to_sorted(col):
+        # SQL EXISTS semantics: NULL never matches anything — drop null
+        # keys from the set (a null would otherwise hash like "" on the
+        # hashed path and spuriously match empty-string probes)
+        col = col.drop_null()
         if hashed:
             return np.unique(hash64_column(col))
         arr = col.cast(pa.int64()) if pa.types.is_timestamp(t) else col
@@ -135,7 +139,7 @@ def broadcast_semi_join(
 
     def filt(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
-        col = batch[on]
+        col = batch[on].combine_chunks()
         if hashed:
             probe = hash64_column(col)
         else:
@@ -147,6 +151,10 @@ def broadcast_semi_join(
             hit = ks[idx] == probe
         else:
             hit = np.zeros(len(probe), dtype=bool)
+        if col.null_count:
+            # a null probe row never matches (EXISTS): dropped by semi,
+            # kept by anti
+            hit &= col.is_valid().to_numpy(zero_copy_only=False)
         mask = ~hit if anti else hit
         return batch.filter(pa.array(mask))
 

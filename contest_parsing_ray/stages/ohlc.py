@@ -38,7 +38,10 @@ def _combine(df: pd.DataFrame, key_col: str) -> pd.DataFrame:
     (two lexsorts + reduceat), handles every group in the frame at once."""
     if len(df) == 0:
         return df
-    k, key_uniques = pd.factorize(df[key_col], sort=False)
+    # use_na_sentinel=False: a null key is a REAL group (SQL GROUP BY NULL
+    # semantics); the default -1 sentinel would wrap key_uniques[-1] onto
+    # the last real key and silently mislabel the null group's row
+    k, key_uniques = pd.factorize(df[key_col], sort=False, use_na_sentinel=False)
     b = df["bucket_us"].to_numpy()
     open_us = df["open_us"].to_numpy()
     open_ord = df["open_ord"].to_numpy()
@@ -95,8 +98,15 @@ def ohlc_rollup(
 
     def partial(batch: pa.Table) -> pa.Table:
         key_type = batch.schema.field(key_col).type
+        v_raw = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v_raw)
+        if not ok.all():
+            # null values are dropped (SQL MAX/MIN/first_value NULL
+            # handling is inconsistent; the operator defines them away)
+            batch = batch.filter(pa.array(ok))
+            v_raw = v_raw[ok]
         us = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v_raw
         ordv = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         df = pd.DataFrame(
             {
@@ -111,7 +121,7 @@ def ohlc_rollup(
         out = _combine(df, key_col)
         # explicit types: an empty batch must not degrade the key column
         # to Arrow null (it would poison the exchange's schema)
-        cols = {key_col: pa.array(out[key_col], type=key_type)}
+        cols = {key_col: pa.Array.from_pandas(out[key_col], type=key_type)}
         for c in ["bucket_us", "open_us", "open_ord", "close_us",
                   "close_ord", "cnt"]:
             cols[c] = pa.array(out[c].to_numpy(dtype=np.int64, copy=False),

@@ -184,16 +184,16 @@ class RegexRedact:
         import pyarrow.compute as pc
 
         col = batch[self.text_col]
-        filled = pc.fill_null(col, "")
+        # null text stays null (SQL regexp_replace(NULL, ...) semantics)
         batch = batch.append_column(
             self.out_col,
             pc.replace_substring_regex(
-                filled, pattern=self.pattern, replacement=self.replacement
+                col, pattern=self.pattern, replacement=self.replacement
             ),
         )
         return batch.append_column(
             "n_redacted",
-            pc.count_substring_regex(filled, pattern=self.pattern).cast(pa.int64()),
+            pc.count_substring_regex(col, pattern=self.pattern).cast(pa.int64()),
         )
 
 
@@ -205,6 +205,10 @@ class RepetitionScore:
     Vectorized end-to-end: one Arrow split to a list column, one
     buffer-level hash over the flattened words, one lexsort to count
     distinct (doc, word) pairs — no per-document Python loop.
+
+    Null text is treated as the empty document (n_words_sep=1 — the empty
+    string splits to [""] — dup_word_frac=0), NOT dropped; callers that
+    need SQL's NULL-row-absent semantics should filter nulls first.
     """
 
     def __init__(self, text_col: str = "text", sep: str = " "):
@@ -267,29 +271,18 @@ def word_topk(
     """
     import pyarrow.compute as pc
 
-    def partial(batch: pa.Table) -> pa.Table:
+    from ._shuffle import partial_value_counts
+
+    def to_words(batch: pa.Table) -> pa.Table:
         col = pc.fill_null(batch[text_col], "")
         flat = pc.list_flatten(pc.split_pattern(col, pattern=sep))
-        vc = flat.value_counts()
-        return pa.table(
-            {
-                "word": vc.field("values").cast(pa.string()),
-                "cnt": vc.field("counts").cast(pa.int64()),
-            }
-        )
+        return pa.table({"word": flat.cast(pa.string())})
 
-    counts = (
-        docs.select_columns([text_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .sum("cnt")
+    words = docs.select_columns([text_col]).map_batches(
+        to_words, batch_format="pyarrow"
     )
-
-    def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["word", "cnt"])
-
     return (
-        counts.map_batches(rename, batch_format="pyarrow")
+        partial_value_counts(words, "word")
         .sort(["cnt", "word"], descending=[True, False])
         .limit(k)
     )

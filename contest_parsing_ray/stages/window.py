@@ -118,7 +118,9 @@ def sessionize(
                 }
             )
         u_raw = df[user_col]
-        codes, uniques = pd.factorize(u_raw, sort=False)
+        # use_na_sentinel=False: null users form their own group instead of
+        # the -1 sentinel wrapping onto the last real user's label
+        codes, uniques = pd.factorize(u_raw, sort=False, use_na_sentinel=False)
         ts = df[ts_col].to_numpy().astype(np.int64)
         ordv = df[order_col].to_numpy()
         order = np.lexsort((ordv, ts, codes))

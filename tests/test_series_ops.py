@@ -98,8 +98,9 @@ def test_sessionize_gaps_and_ordinals():
 def test_regex_redact():
     t = pa.table({"text": ["spark a spark", "no match", None]})
     out = RegexRedact(pattern=r"\bspark\b", replacement="<X>")(t)
-    assert out["text_redacted"].to_pylist() == ["<X> a <X>", "no match", ""]
-    assert out["n_redacted"].to_pylist() == [2, 0, 0]
+    # null text stays null, matching SQL regexp_replace(NULL, ...)
+    assert out["text_redacted"].to_pylist() == ["<X> a <X>", "no match", None]
+    assert out["n_redacted"].to_pylist() == [2, 0, None]
 
 
 def test_repetition_score():
@@ -168,6 +169,44 @@ def test_broadcast_semi_and_anti_join():
     keys_n = ray.data.from_pandas(pd.DataFrame({"id": [2, 4]}))
     semi_n = broadcast_semi_join(big, keys_n, on="id").to_pandas()
     assert sorted(semi_n["id"]) == [2, 4]
+
+
+def test_null_keys_and_values():
+    """Null keys form their own group (never mislabeled onto a real key);
+    null values are dropped; null semi-join probes never match."""
+    from contest_parsing_ray.stages.histogram import value_histogram
+    from contest_parsing_ray.stages.join import broadcast_semi_join
+
+    # histogram: null key -> its own group, not a crash / not key "b"
+    df = pd.DataFrame({"k": ["a", None, "b"], "v": [1.0, 1.0, None]})
+    h = (
+        value_histogram(ray.data.from_pandas(df), key_col="k", value_col="v",
+                        lo=0.0, hi=10.0, n_bins=2)
+        .to_pandas()
+    )
+    assert len(h) == 2 and h["cnt"].sum() == 2  # null v dropped
+    assert h["k"].isna().sum() == 1
+
+    # ohlc: null key isolated; null value dropped
+    odf = pd.DataFrame(
+        {"k": ["a", None, "a"], "us": [10, 10, 20], "ord": [1, 2, 3],
+         "v": [5.0, 7.0, None]}
+    )
+    o = _run_ohlc(ray.data.from_pandas(odf))
+    a = o[o["k"] == "a"]
+    assert len(a) == 1 and a["cnt"].iloc[0] == 1 and a["open_v"].iloc[0] == 5.0
+    assert o["k"].isna().sum() == 1
+
+    # semi-join: null in key set doesn't match "" probes; null probes
+    # are dropped by semi and kept by anti (EXISTS semantics)
+    big = ray.data.from_pandas(
+        pd.DataFrame({"id": [1, 2, 3], "u": ["", None, "x"]})
+    )
+    keys = ray.data.from_pandas(pd.DataFrame({"u": [None, "x"]}))
+    assert sorted(broadcast_semi_join(big, keys, on="u").to_pandas()["id"]) == [3]
+    assert sorted(
+        broadcast_semi_join(big, keys, on="u", anti=True).to_pandas()["id"]
+    ) == [1, 2]
 
 
 def test_topn_per_key():
