@@ -23,6 +23,20 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# Bench sink: tmpfs when available. /tmp is ONE shared virtio disk that
+# does not grow with num_cpus, while the real target (a 4N-node cluster)
+# has 4N node disks — so the sink goes to /dev/shm as the per-node-disk
+# stand-in unless BENCH_OUT_BASE overrides it. Measured effect (10M rows):
+# the disk sink adds noise but is NOT the flag-write stage's bound — with
+# a tmpfs sink the stage still runs ~63-92 s at BOTH 4 and 16 CPUs while
+# host CPU sits ~70% busy: the 18 GB parquet decode/encode stream is
+# DRAM-bandwidth-bound on this VM (per-node bandwidth is the resource a
+# multi-node cluster multiplies; vCPUs on one box don't). See BASELINE.md
+# round-2 scaling notes.
+OUT_BASE = os.environ.get(
+    "BENCH_OUT_BASE", "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+)
+
 # Queries benchmarked against the SF tables (a representative, non-Python-
 # bound subset of __ray_entry__.queries()).
 BENCH_QUERIES = [
@@ -117,7 +131,7 @@ def run_bench() -> dict:
 
     runs = []
     for rep in range(int(os.environ.get("BENCH_HEADLINE_REPEATS", "3"))):
-        out_dir = f"/tmp/cpr_bench_out_{NUM_CPUS}_{int(time.time())}_{rep}"
+        out_dir = f"{OUT_BASE}/cpr_bench_out_{NUM_CPUS}_{int(time.time())}_{rep}"
         cfg = PipelineConfig(out_dir=out_dir)
         t0 = time.perf_counter()
         metrics = run_rollup_pipeline(seq_dir, cfg, resume=False)
@@ -287,7 +301,7 @@ def run_headline_only() -> dict:
     import shutil
 
     calib_sec = _calibrate()
-    out_dir = f"/tmp/cpr_bench_out_{NUM_CPUS}_{int(time.time())}"
+    out_dir = f"{OUT_BASE}/cpr_bench_out_{NUM_CPUS}_{int(time.time())}"
     t0 = time.perf_counter()
     metrics = run_rollup_pipeline(seq_dir, PipelineConfig(out_dir=out_dir), resume=False)
     headline = time.perf_counter() - t0
