@@ -964,6 +964,36 @@ def _q_topn_per_key(sf_dir: str):
     return out.select_columns(["event_id", "event_type", "value"])
 
 
+def _q_counter_rate(sf_dir: str):
+    """PromQL increase-style reset-aware counter rate per (event_type,
+    1h floor bucket): sum of positive deltas between consecutive samples."""
+    from contest_parsing_ray.stages.ohlc import counter_rate
+
+    ev = _events(sf_dir, columns=["ts", "event_id", "event_type", "value"])
+    out = counter_rate(
+        ev, key_col="event_type", ts_col="event_time_us",
+        value_col="value", order_col="event_id", width_us=W1H,
+    )
+    return _round_cols(out, ["increase"])
+
+
+def _q_melt(sf_dir: str):
+    """Wide → long unpivot of the 1h rollup's aggregate columns."""
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+    from contest_parsing_ray.stages.widen import melt
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    out = melt(
+        r, id_cols=["event_type", "bucket_us"],
+        value_cols=["cnt", "sum_v", "min_v", "max_v"],
+    )
+    return _round_cols(out, ["value"])
+
+
 def _q_curate(sf_dir: str):
     """Composed curation chain: token-count + repetition scores → quality
     filter (n_words >= 20, dup_word_frac <= 0.7) → exact first-wins dedup
@@ -1053,6 +1083,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": _q_curate,
         # grouped top-n (ROW_NUMBER window analog)
         "top3_events_per_type": _q_topn_per_key,
+        # reset-aware counter increase + wide->long unpivot
+        "counter_increase_1h": _q_counter_rate,
+        "melt_rollup_1h": _q_melt,
     }
 
 
@@ -1488,6 +1521,40 @@ FROM w GROUP BY 1
 SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
 GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 50
+""",
+        "counter_increase_1h": f"""
+WITH d AS (
+  SELECT event_type,
+         ((epoch_us(ts) // {W1H}) * {W1H}) AS bucket_us,
+         value - lag(value) OVER (
+           PARTITION BY event_type, ((epoch_us(ts) // {W1H}) * {W1H})
+           ORDER BY epoch_us(ts), event_id) AS delta
+  FROM events
+)
+SELECT event_type, bucket_us,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       ROUND(CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS DOUBLE),
+             6) AS increase
+FROM d GROUP BY 1, 2
+""",
+        "melt_rollup_1h": f"""
+WITH r AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS DOUBLE) AS cnt,
+         CAST(SUM(value) AS DOUBLE) AS sum_v,
+         CAST(MIN(value) AS DOUBLE) AS min_v,
+         CAST(MAX(value) AS DOUBLE) AS max_v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_us, variable, ROUND(value, 6) AS value FROM (
+  SELECT event_type, bucket_us, 'cnt' AS variable, cnt AS value FROM r
+  UNION ALL
+  SELECT event_type, bucket_us, 'sum_v', sum_v FROM r
+  UNION ALL
+  SELECT event_type, bucket_us, 'min_v', min_v FROM r
+  UNION ALL
+  SELECT event_type, bucket_us, 'max_v', max_v FROM r
+)
 """,
         "top3_events_per_type": """
 SELECT event_id, event_type, value

@@ -80,6 +80,80 @@ def _combine(df: pd.DataFrame, key_col: str) -> pd.DataFrame:
     return out
 
 
+def counter_rate(
+    events: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    width_us: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Reset-aware per-bucket counter increase (PromQL ``increase``-style):
+    per (key, floor bucket), the sum of POSITIVE deltas between
+    consecutive samples ordered by ``(ts, order_col)`` — a counter reset
+    (value drop) contributes 0 instead of a negative delta. Output:
+    ``(key, bucket_us, n_samples, increase)``.
+
+    Unlike :func:`ohlc_rollup`, positive-delta sums need sample
+    contiguity, so there is no per-batch partial: all rows of a key
+    co-locate via ONE hash exchange and the scan is a single vectorized
+    diff per partition (same co-location contract as the sessionizer).
+    """
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df):
+            v_all = df[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            if np.isnan(v_all).any():
+                # null samples dropped (no delta is defined against them)
+                df = df[~np.isnan(v_all)].reset_index(drop=True)
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=df[key_col].dtype),
+                    "bucket_us": pd.Series([], dtype=np.int64),
+                    "n_samples": pd.Series([], dtype=np.int64),
+                    "increase": pd.Series([], dtype=np.float64),
+                }
+            )
+        codes, uniques = pd.factorize(
+            df[key_col], sort=False, use_na_sentinel=False
+        )
+        us = df[ts_col].to_numpy().astype(np.int64)
+        v = df[value_col].to_numpy().astype(np.float64)
+        ordv = df[order_col].to_numpy()
+        bucket = (us // width_us) * width_us
+        order = np.lexsort((ordv, us, bucket, codes))
+        cs, bs, vs = codes[order], bucket[order], v[order]
+        new = np.empty(len(cs), dtype=bool)
+        new[0] = True
+        new[1:] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])
+        delta = np.empty(len(vs), dtype=np.float64)
+        delta[0] = 0.0
+        delta[1:] = vs[1:] - vs[:-1]
+        delta[new] = 0.0  # first sample of a (key, bucket) has no prior
+        np.maximum(delta, 0.0, out=delta)
+        starts = np.flatnonzero(new)
+        return pd.DataFrame(
+            {
+                key_col: uniques[cs[starts]],
+                "bucket_us": bs[starts],
+                "n_samples": np.diff(np.append(starts, len(cs))).astype(
+                    np.int64
+                ),
+                "increase": np.add.reduceat(
+                    np.append(delta, 0.0), starts
+                )[: len(starts)],
+            }
+        )
+
+    cols = [key_col, ts_col, value_col, order_col]
+    return hash_partitioned_map(
+        events.select_columns(cols), [key_col], scan,
+        num_partitions=num_partitions, batch_format="pandas",
+    )
+
+
 def ohlc_rollup(
     events: ray.data.Dataset,
     key_col: str,

@@ -58,3 +58,33 @@ def widen(
         return p.reset_index()
 
     return hash_partitioned_map(rollup, [index_col], pivot_partition, batch_format="pandas")
+
+
+def melt(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "variable",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Wide → long unpivot (the inverse of :func:`widen`): one output row
+    per (input row, value column), values cast to float64.
+
+    Pure per-batch fan-out — a row-multiplying map with NO shuffle (the
+    same row-multiplying-map shape as the reference's explode chains,
+    SURVEY M1/M7).
+    """
+    import pyarrow as pa
+
+    def f(t: "pa.Table") -> "pa.Table":
+        parts = []
+        for c in value_cols:
+            part = t.select(id_cols)
+            part = part.append_column(
+                var_col, pa.array([c] * len(t), type=pa.string())
+            )
+            part = part.append_column(value_col, t[c].cast(pa.float64()))
+            parts.append(part)
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -171,6 +171,41 @@ def test_broadcast_semi_and_anti_join():
     assert sorted(semi_n["id"]) == [2, 4]
 
 
+def test_counter_rate_resets():
+    from contest_parsing_ray.stages.ohlc import counter_rate
+
+    # key a, bucket 0: 1 -> 5 -> 2 (reset) -> 4: increase = 4 + 0 + 2 = 6
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "a"],
+            "us": [10, 20, 30, 40, 150],
+            "id": [1, 2, 3, 4, 5],
+            "v": [1.0, 5.0, 2.0, 4.0, 9.0],
+        }
+    )
+    got = (
+        counter_rate(ray.data.from_pandas([df.iloc[:2], df.iloc[2:]]),
+                     key_col="k", ts_col="us", value_col="v",
+                     order_col="id", width_us=100, num_partitions=2)
+        .to_pandas().sort_values("bucket_us").reset_index(drop=True)
+    )
+    assert got["increase"].tolist() == [6.0, 0.0]  # bucket 100: single sample
+    assert got["n_samples"].tolist() == [4, 1]
+
+
+def test_melt_roundtrip():
+    from contest_parsing_ray.stages.widen import melt
+
+    t = pd.DataFrame({"k": ["a", "b"], "x": [1.0, 2.0], "y": [3, 4]})
+    got = (
+        melt(ray.data.from_pandas(t), id_cols=["k"], value_cols=["x", "y"])
+        .to_pandas().sort_values(["k", "variable"]).reset_index(drop=True)
+    )
+    assert got.values.tolist() == [
+        ["a", "x", 1.0], ["a", "y", 3.0], ["b", "x", 2.0], ["b", "y", 4.0]
+    ]
+
+
 def test_null_keys_and_values():
     """Null keys form their own group (never mislabeled onto a real key);
     null values are dropped; null semi-join probes never match."""
