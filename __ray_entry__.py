@@ -964,6 +964,16 @@ def _q_topn_per_key(sf_dir: str):
     return out.select_columns(["event_id", "event_type", "value"])
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HLL approximate distinct users per event_type — the sketch-based
+    scale path for cumulative_distinct (O(keys) exchange, independent of
+    cardinality). Deterministic (hash-driven) → golden-pinned oracle."""
+    from contest_parsing_ray.stages.cumulative import approx_distinct
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "user_id"])
+    return approx_distinct(ev, key_col="event_type", value_col="user_id")
+
+
 def _q_counter_rate(sf_dir: str):
     """PromQL increase-style reset-aware counter rate per (event_type,
     1h floor bucket): sum of positive deltas between consecutive samples."""
@@ -1086,6 +1096,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reset-aware counter increase + wide->long unpivot
         "counter_increase_1h": _q_counter_rate,
         "melt_rollup_1h": _q_melt,
+        # mergeable-sketch distinct (HLL; golden-pinned, deterministic)
+        "approx_distinct_users": _q_approx_distinct,
     }
 
 
@@ -1644,6 +1656,7 @@ GOLDEN_ORACLE_KEYS = (
     "telemetry_join_fixture",
     "corpus_end_to_end",
     "ivf_topk_cosine",
+    "approx_distinct_users",
 )
 
 _GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

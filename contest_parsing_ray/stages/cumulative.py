@@ -134,3 +134,60 @@ def cumulative_distinct(
         return counts.rename(columns={"first_bucket": "bucket_us"})
 
     return first_seen.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def approx_distinct(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    precision: int = 12,
+) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT value) per key via mergeable HyperLogLog
+    partials — the 100 TB path for what :func:`cumulative_distinct`
+    computes exactly (its first-occurrence plan shuffles one row per
+    (key, value) PAIR; this shuffles one 2^p-byte register blob per
+    (key, batch), so the exchange is O(keys), independent of cardinality).
+    Output: (key, approx_distinct: int64). Standard error ~1.04/sqrt(2^p).
+    """
+    from ..state.sketches import HyperLogLog
+    from ._shuffle import hash64_column, hash_partitioned_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key_type = batch.schema.field(key_col).type
+        keys = batch[key_col].to_pandas()
+        h = hash64_column(batch[value_col].combine_chunks())
+        codes, uniques = pd.factorize(keys, sort=False, use_na_sentinel=False)
+        blobs = []
+        for k in range(len(uniques)):
+            blobs.append(HyperLogLog(precision).add_hashes(h[codes == k]).to_bytes())
+        return pa.table(
+            {
+                key_col: pa.Array.from_pandas(pd.Series(uniques), type=key_type),
+                "hll": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    partials = ds.select_columns([key_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pandas()
+        codes, uniques = pd.factorize(keys, sort=False, use_na_sentinel=False)
+        blobs = t["hll"].to_pylist()
+        ests = np.empty(len(uniques), dtype=np.int64)
+        for k in range(len(uniques)):
+            acc = HyperLogLog(precision)
+            for i in np.flatnonzero(codes == k):
+                acc.merge(HyperLogLog.from_bytes(blobs[i]))
+            ests[k] = int(round(acc.estimate()))
+        return pa.table(
+            {
+                key_col: pa.Array.from_pandas(
+                    pd.Series(uniques), type=t.schema.field(key_col).type
+                ),
+                "approx_distinct": pa.array(ests, type=pa.int64()),
+            }
+        )
+
+    return hash_partitioned_map(partials, [key_col], merge)

@@ -102,3 +102,136 @@ class QuantileSummary:
         off += 8 * n
         weights = np.frombuffer(blob[off : off + 8 * n], dtype=np.float64).copy()
         return cls(values, weights)
+
+
+class HyperLogLog:
+    """Mergeable approximate-distinct sketch (Flajolet et al. 2007, the
+    public HLL algorithm). 2^p byte registers; standard error ~1.04/sqrt(2^p)
+    (p=12 -> 4096 B, ~1.6%).
+
+    The scale path for running/global distinct counts: the exact
+    first-occurrence plan in ``stages/cumulative.py`` shuffles one row per
+    (key, value) pair — at 100 TB the distinct sets themselves become the
+    shuffle; per-key HLL partials make the exchange O(keys x 2^p) bytes.
+    Deterministic (hash-driven, no RNG): same inputs -> same registers on
+    any cluster shape.
+    """
+
+    __slots__ = ("p", "m", "reg")
+
+    def __init__(self, p: int = 12, reg: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.reg = (
+            np.zeros(self.m, dtype=np.uint8) if reg is None else
+            np.asarray(reg, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        h = np.asarray(h, dtype=np.uint64)
+        if len(h) == 0:
+            return self
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        with np.errstate(over="ignore"):
+            w = h << np.uint64(self.p)  # low 64-p bits, left-aligned
+        rank = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
+        nz = w != 0
+        if nz.any():
+            wf = w[nz].astype(np.float64)
+            msb = np.floor(np.log2(wf)).astype(np.int64)
+            # float rounding can overshoot the true MSB by one at exact
+            # power boundaries; correct exactly
+            with np.errstate(over="ignore"):
+                too_big = (np.uint64(1) << msb.astype(np.uint64)) > w[nz]
+            msb -= too_big
+            rank[nz] = np.minimum(63 - msb, 64 - self.p) + 1
+        np.maximum.at(self.reg, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLLs of different precision")
+        np.maximum(self.reg, other.reg, out=self.reg)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / float(np.sum(np.exp2(-self.reg.astype(np.float64))))
+        zeros = int(np.count_nonzero(self.reg == 0))
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting, small range
+        return e
+
+    def to_bytes(self) -> bytes:
+        return self.reg.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        reg = np.frombuffer(b, dtype=np.uint8)
+        p = int(np.log2(len(reg)))
+        return cls(p=p, reg=reg.copy())
+
+
+class CountMinSketch:
+    """Mergeable approximate frequency sketch (Cormode & Muthukrishnan
+    2005). Estimates overcount by at most eps*N with probability 1-delta
+    (width = ceil(e/eps), depth = ceil(ln(1/delta))); merge = elementwise
+    add. Deterministic row seeds (no RNG)."""
+
+    __slots__ = ("width", "depth", "table")
+
+    _ROW_SEEDS = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+         0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD],
+        dtype=np.uint64,
+    )
+
+    def __init__(self, width: int = 2048, depth: int = 4,
+                 table: np.ndarray | None = None):
+        if depth > len(self._ROW_SEEDS):
+            raise ValueError(f"depth <= {len(self._ROW_SEEDS)}")
+        self.width = width
+        self.depth = depth
+        self.table = (
+            np.zeros((depth, width), dtype=np.int64) if table is None else
+            np.asarray(table, dtype=np.int64).reshape(depth, width)
+        )
+
+    def _slots(self, h: np.ndarray) -> np.ndarray:
+        from ..stages._shuffle import _splitmix64
+
+        h = np.asarray(h, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = _splitmix64(h[None, :] ^ self._ROW_SEEDS[: self.depth, None])
+        return (mixed % np.uint64(self.width)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray, counts: np.ndarray | None = None) -> "CountMinSketch":
+        if len(h) == 0:
+            return self
+        slots = self._slots(h)
+        c = np.ones(len(h), dtype=np.int64) if counts is None else np.asarray(counts, dtype=np.int64)
+        for d in range(self.depth):
+            np.add.at(self.table[d], slots[d], c)
+        return self
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.empty(0, dtype=np.int64)
+        slots = self._slots(h)
+        ests = np.stack([self.table[d][slots[d]] for d in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("cannot merge CMS of different shapes")
+        self.table += other.table
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, width: int = 2048, depth: int = 4) -> "CountMinSketch":
+        t = np.frombuffer(b, dtype=np.int64).copy()
+        return cls(width=width, depth=depth, table=t)

@@ -1,0 +1,81 @@
+"""HyperLogLog / CountMin sketch properties + the approx_distinct operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from contest_parsing_ray.stages._shuffle import _splitmix64
+from contest_parsing_ray.state.sketches import CountMinSketch, HyperLogLog
+
+
+def _hashes(n: int, seed: int = 0) -> np.ndarray:
+    return _splitmix64(np.arange(seed, seed + n, dtype=np.uint64))
+
+
+def test_hll_accuracy_and_merge():
+    n = 100_000
+    h = _hashes(n)
+    full = HyperLogLog(12).add_hashes(h)
+    est = full.estimate()
+    assert abs(est - n) / n < 0.03  # ~1.6% expected at p=12
+
+    # merge of disjoint splits == single-pass add (registers identical)
+    a = HyperLogLog(12).add_hashes(h[: n // 3])
+    b = HyperLogLog(12).add_hashes(h[n // 3 :])
+    merged = a.merge(b)
+    assert np.array_equal(merged.reg, full.reg)
+
+    # duplicates do not move the estimate
+    dup = HyperLogLog(12).add_hashes(np.concatenate([h, h, h[:10]]))
+    assert np.array_equal(dup.reg, full.reg)
+
+    # serialization roundtrip
+    rt = HyperLogLog.from_bytes(full.to_bytes())
+    assert rt.p == 12 and np.array_equal(rt.reg, full.reg)
+
+
+def test_hll_small_range_linear_counting():
+    h = _hashes(50)
+    est = HyperLogLog(12).add_hashes(h).estimate()
+    assert abs(est - 50) <= 1  # linear-counting regime is near-exact
+
+
+def test_cms_bounds_and_merge():
+    rng_keys = _hashes(200, seed=7)
+    counts = (np.arange(200) % 13 + 1).astype(np.int64)
+    cms = CountMinSketch(width=2048, depth=4).add_hashes(rng_keys, counts)
+    est = cms.estimate_hashes(rng_keys)
+    n_total = int(counts.sum())
+    assert (est >= counts).all()  # CMS never undercounts
+    assert (est <= counts + int(0.01 * n_total) + 1).all()
+
+    half = CountMinSketch(2048, 4).add_hashes(rng_keys[:100], counts[:100])
+    other = CountMinSketch(2048, 4).add_hashes(rng_keys[100:], counts[100:])
+    merged = half.merge(other)
+    assert np.array_equal(merged.table, cms.table)
+
+    rt = CountMinSketch.from_bytes(cms.to_bytes())
+    assert np.array_equal(rt.table, cms.table)
+
+
+def test_approx_distinct_vs_exact():
+    from contest_parsing_ray.stages.cumulative import approx_distinct
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b"], 20_000),
+            "v": np.concatenate(
+                [rng.randint(0, 5_000, 20_000), rng.randint(0, 900, 20_000)]
+            ),
+        }
+    )
+    got = (
+        approx_distinct(ray.data.from_pandas(df), key_col="k", value_col="v")
+        .to_pandas().set_index("k")["approx_distinct"]
+    )
+    exact = df.groupby("k")["v"].nunique()
+    for k in ("a", "b"):
+        assert abs(got[k] - exact[k]) / exact[k] < 0.05

@@ -35,6 +35,7 @@ GOLDEN_QUERIES = [
     "telemetry_join_fixture",
     "corpus_end_to_end",
     "ivf_topk_cosine",
+    "approx_distinct_users",
 ]
 
 SF_DIR = os.environ.get("GOLDEN_SF_DIR", "/root/testdata/sf0.01")
