@@ -152,18 +152,27 @@ def approx_distinct(
     from ..state.sketches import HyperLogLog
     from ._shuffle import hash64_column, hash_partitioned_map
 
+    m = 1 << precision
+
     def partial(batch: pa.Table) -> pa.Table:
         key_type = batch.schema.field(key_col).type
+        vals = batch[value_col].combine_chunks()
+        if vals.null_count:
+            # COUNT(DISTINCT) semantics: null values don't count (and must
+            # not alias the empty string through the buffer hash)
+            batch = batch.filter(vals.is_valid())
+            vals = batch[value_col].combine_chunks()
         keys = batch[key_col].to_pandas()
-        h = hash64_column(batch[value_col].combine_chunks())
+        h = hash64_column(vals)
         codes, uniques = pd.factorize(keys, sort=False, use_na_sentinel=False)
-        blobs = []
-        for k in range(len(uniques)):
-            blobs.append(HyperLogLog(precision).add_hashes(h[codes == k]).to_bytes())
+        regs = np.zeros((len(uniques), m), dtype=np.uint8)
+        if len(h):
+            idx, rank = HyperLogLog.index_rank(h, precision)
+            np.maximum.at(regs, (codes, idx), rank)  # one pass, all keys
         return pa.table(
             {
                 key_col: pa.Array.from_pandas(pd.Series(uniques), type=key_type),
-                "hll": pa.array(blobs, type=pa.binary()),
+                "hll": pa.array([r.tobytes() for r in regs], type=pa.binary()),
             }
         )
 
@@ -174,17 +183,27 @@ def approx_distinct(
     def merge(t: pa.Table) -> pa.Table:
         keys = t[key_col].to_pandas()
         codes, uniques = pd.factorize(keys, sort=False, use_na_sentinel=False)
-        blobs = t["hll"].to_pylist()
-        ests = np.empty(len(uniques), dtype=np.int64)
-        for k in range(len(uniques)):
-            acc = HyperLogLog(precision)
-            for i in np.flatnonzero(codes == k):
-                acc.merge(HyperLogLog.from_bytes(blobs[i]))
-            ests[k] = int(round(acc.estimate()))
+        mat = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in t["hll"].to_pylist()]
+        )
+        order = np.argsort(codes, kind="stable")
+        starts = np.flatnonzero(
+            np.r_[True, codes[order][1:] != codes[order][:-1]]
+        )
+        # group-wise register max in one reduceat over the sorted matrix
+        regs = np.maximum.reduceat(mat[order], starts, axis=0)
+        ests = np.array(
+            [
+                int(round(HyperLogLog(precision, reg=regs[g]).estimate()))
+                for g in range(len(starts))
+            ],
+            dtype=np.int64,
+        )
         return pa.table(
             {
                 key_col: pa.Array.from_pandas(
-                    pd.Series(uniques), type=t.schema.field(key_col).type
+                    pd.Series(uniques[codes[order][starts]]),
+                    type=t.schema.field(key_col).type,
                 ),
                 "approx_distinct": pa.array(ests, type=pa.int64()),
             }

@@ -141,9 +141,7 @@ def counter_rate(
                 "n_samples": np.diff(np.append(starts, len(cs))).astype(
                     np.int64
                 ),
-                "increase": np.add.reduceat(
-                    np.append(delta, 0.0), starts
-                )[: len(starts)],
+                "increase": np.add.reduceat(delta, starts),
             }
         )
 

@@ -81,7 +81,7 @@ def melt(
         for c in value_cols:
             part = t.select(id_cols)
             part = part.append_column(
-                var_col, pa.array([c] * len(t), type=pa.string())
+                var_col, pa.repeat(pa.scalar(c, type=pa.string()), len(t))
             )
             part = part.append_column(value_col, t[c].cast(pa.float64()))
             parts.append(part)

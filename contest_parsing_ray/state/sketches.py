@@ -127,24 +127,34 @@ class HyperLogLog:
             np.asarray(reg, dtype=np.uint8)
         )
 
+    @staticmethod
+    def index_rank(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+        """(register index, rank) per hash — the vectorized HLL kernel,
+        exposed so callers can bulk-update many registers at once
+        (``np.maximum.at(regs2d, (group, idx), rank)``)."""
+        h = np.asarray(h, dtype=np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        with np.errstate(over="ignore"):
+            w = h << np.uint64(p)  # low 64-p bits, left-aligned
+        rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+        nz = w != 0
+        if nz.any():
+            wf = w[nz].astype(np.float64)
+            # float64 rounding can overshoot the true MSB by one binade
+            # (never more): clip the w≈2^64 → log2==64.0 case to 63 FIRST
+            # (1<<64 is an undefined C shift), then correct the remaining
+            # exact-power overshoot with a defined shift
+            msb = np.minimum(np.floor(np.log2(wf)).astype(np.int64), 63)
+            too_big = (np.uint64(1) << msb.astype(np.uint64)) > w[nz]
+            msb -= too_big
+            rank[nz] = np.minimum(63 - msb, 64 - p) + 1
+        return idx, rank
+
     def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
         h = np.asarray(h, dtype=np.uint64)
         if len(h) == 0:
             return self
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        with np.errstate(over="ignore"):
-            w = h << np.uint64(self.p)  # low 64-p bits, left-aligned
-        rank = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
-        nz = w != 0
-        if nz.any():
-            wf = w[nz].astype(np.float64)
-            msb = np.floor(np.log2(wf)).astype(np.int64)
-            # float rounding can overshoot the true MSB by one at exact
-            # power boundaries; correct exactly
-            with np.errstate(over="ignore"):
-                too_big = (np.uint64(1) << msb.astype(np.uint64)) > w[nz]
-            msb -= too_big
-            rank[nz] = np.minimum(63 - msb, 64 - self.p) + 1
+        idx, rank = self.index_rank(h, self.p)
         np.maximum.at(self.reg, idx, rank)
         return self
 
@@ -229,9 +239,18 @@ class CountMinSketch:
         return self
 
     def to_bytes(self) -> bytes:
-        return self.table.tobytes()
+        # self-describing: (width, depth) header so from_bytes can never
+        # silently reinterpret a differently-shaped sketch
+        hdr = np.array([self.width, self.depth], dtype=np.int64)
+        return hdr.tobytes() + self.table.tobytes()
 
     @classmethod
-    def from_bytes(cls, b: bytes, width: int = 2048, depth: int = 4) -> "CountMinSketch":
-        t = np.frombuffer(b, dtype=np.int64).copy()
+    def from_bytes(cls, b: bytes) -> "CountMinSketch":
+        hdr = np.frombuffer(b[:16], dtype=np.int64)
+        width, depth = int(hdr[0]), int(hdr[1])
+        t = np.frombuffer(b[16:], dtype=np.int64).copy()
+        if len(t) != width * depth:
+            raise ValueError(
+                f"CMS blob size {len(t)} != width*depth {width * depth}"
+            )
         return cls(width=width, depth=depth, table=t)

@@ -59,6 +59,12 @@ def test_cms_bounds_and_merge():
     rt = CountMinSketch.from_bytes(cms.to_bytes())
     assert np.array_equal(rt.table, cms.table)
 
+    # non-default shapes roundtrip self-describingly (no silent reshape)
+    odd = CountMinSketch(width=4096, depth=2).add_hashes(rng_keys, counts)
+    rt2 = CountMinSketch.from_bytes(odd.to_bytes())
+    assert rt2.width == 4096 and rt2.depth == 2
+    assert np.array_equal(rt2.table, odd.table)
+
 
 def test_approx_distinct_vs_exact():
     from contest_parsing_ray.stages.cumulative import approx_distinct
@@ -79,3 +85,18 @@ def test_approx_distinct_vs_exact():
     exact = df.groupby("k")["v"].nunique()
     for k in ("a", "b"):
         assert abs(got[k] - exact[k]) / exact[k] < 0.05
+
+
+def test_approx_distinct_ignores_null_values():
+    from contest_parsing_ray.stages.cumulative import approx_distinct
+
+    df = pd.DataFrame(
+        {"k": ["a", "a", "a", "a"], "v": ["x", None, "x", ""]}
+    )
+    got = (
+        approx_distinct(ray.data.from_pandas(df), key_col="k", value_col="v")
+        .to_pandas()
+    )
+    # COUNT(DISTINCT v) = 2 ("x" and ""); the null row contributes nothing
+    # and must not alias the empty string
+    assert got["approx_distinct"].tolist() == [2]
