@@ -85,6 +85,7 @@ def _build_deduped(
             partition_cols=("source",),
             pre_write=token_checksum,
             stage_seconds=stage_seconds,
+            use_dictionary=cfg.sink_use_dictionary,
         )
         if stage_seconds is not None:
             stage_seconds["dedup_exec_write"] = time.perf_counter() - t0
@@ -94,7 +95,10 @@ def _build_deduped(
         stage_seconds["dedup_plan_probe"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     clear_dir(dedup_dir)
-    events.write_parquet(os.path.join(dedup_dir, "data"), partition_cols=["source"])
+    events.write_parquet(
+        os.path.join(dedup_dir, "data"), partition_cols=["source"],
+        use_dictionary=cfg.sink_use_dictionary,
+    )
     if stage_seconds is not None:
         stage_seconds["dedup_exec_write"] = time.perf_counter() - t0
 

@@ -351,6 +351,7 @@ def dedup_payload_write(
     partition_cols: tuple[str, ...] = ("source",),
     pre_write=None,
     stage_seconds: dict | None = None,
+    use_dictionary: bool = False,
 ) -> dict:
     """Payload-split dedup fused with the Parquet sink (the flagship path).
 
@@ -420,7 +421,13 @@ def dedup_payload_write(
         flagged = flagged.map_batches(pre_write, batch_format="pyarrow")
     raw_dir = os.path.join(out_dir, "_raw_split")
     shutil.rmtree(raw_dir, ignore_errors=True)
-    flagged.write_parquet(raw_dir, partition_cols=[FLAG, *partition_cols])
+    # dictionary encoding of token payloads is 2.25x the encode time for
+    # half the bytes — off by default for this once-re-read intermediate
+    # (PipelineConfig.sink_use_dictionary)
+    flagged.write_parquet(
+        raw_dir, partition_cols=[FLAG, *partition_cols],
+        use_dictionary=use_dictionary,
+    )
     if stage_seconds is not None:
         stage_seconds["dedup_flag_write"] = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -479,7 +486,10 @@ def dedup_payload_write(
                 lambda t: t.drop_columns([FLAG]) if FLAG in t.column_names else t,
                 batch_format="pyarrow",
             )
-            deduped.write_parquet(out_dir, partition_cols=list(partition_cols))
+            deduped.write_parquet(
+                out_dir, partition_cols=list(partition_cols),
+                use_dictionary=use_dictionary,
+            )
     shutil.rmtree(raw_dir, ignore_errors=True)
     if stage_seconds is not None:
         stage_seconds["dedup_suspects"] = time.perf_counter() - t0
