@@ -964,6 +964,35 @@ def _q_topn_per_key(sf_dir: str):
     return out.select_columns(["event_id", "event_type", "value"])
 
 
+def _q_events_in_sessions(sf_dir: str):
+    """Range join (BETWEEN): assign every event to its session interval —
+    sessions built by the sessionizer, events matched by ts ∈ [start, end]
+    per user in one co-located exchange."""
+    from contest_parsing_ray.stages.window import interval_join, sessionize
+
+    ev = _events(sf_dir, columns=["ts", "event_id", "user_id"])
+    sessions = sessionize(
+        ev, user_col="user_id", ts_col="event_time_us",
+        gap_us=GAP_30M, order_col="event_id",
+    )
+    out = interval_join(
+        ev.select_columns(["event_id", "user_id", "event_time_us"]),
+        sessions,
+        key_col="user_id", ts_col="event_time_us",
+        lo_col="session_start_us", hi_col="session_end_us",
+        interval_cols=["session_id"],
+    )
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        # the union's typed-null padding promotes ints to float64 on the
+        # event side; both columns are null-free in the joined output
+        df["event_id"] = df["event_id"].astype(np.int64)
+        df["session_id"] = df["session_id"].astype(np.int64)
+        return df[["event_id", "user_id", "session_id"]]
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
 def _q_approx_distinct(sf_dir: str):
     """HLL approximate distinct users per event_type — the sketch-based
     scale path for cumulative_distinct (O(keys) exchange, independent of
@@ -1098,6 +1127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "melt_rollup_1h": _q_melt,
         # mergeable-sketch distinct (HLL; golden-pinned, deterministic)
         "approx_distinct_users": _q_approx_distinct,
+        # range join: events BETWEEN session intervals
+        "events_in_sessions": _q_events_in_sessions,
     }
 
 
@@ -1533,6 +1564,32 @@ FROM w GROUP BY 1
 SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
 GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 50
+""",
+        "events_in_sessions": f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+), b AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us > {GAP_30M}
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), sess AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+), s AS (
+  SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         MIN(us) AS session_start_us, MAX(us) AS session_end_us
+  FROM sess GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, s.session_id
+FROM events e JOIN s
+  ON e.user_id = s.user_id
+ AND epoch_us(e.ts) BETWEEN s.session_start_us AND s.session_end_us
 """,
         "counter_increase_1h": f"""
 WITH d AS (

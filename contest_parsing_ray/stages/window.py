@@ -156,6 +156,105 @@ def sessionize(
     )
 
 
+def interval_join(
+    events: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    interval_cols: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Range join (the brief's named custom operator alongside as-of):
+    for every interval row, emit one output row per event of the same key
+    with ``lo <= ts <= hi`` (inclusive BETWEEN; overlapping intervals
+    fan events out). Output: event columns + ``interval_cols``.
+
+    Both sides co-locate via ONE hash exchange on the key; per partition
+    the match is two vectorized ``searchsorted`` calls against the
+    (key, ts)-sorted events (a composite key-offset transform makes the
+    pair ordering a single 1-D search) and a ranges-concat expansion —
+    no per-interval Python. Partitioning assumption as for asof_join:
+    one key's rows fit one task.
+    """
+    e_schema = events.schema()
+    ecols = e_schema.names
+    rcols = [key_col, lo_col, hi_col, *interval_cols]
+    types = {n: t for n, t in zip(e_schema.names, e_schema.types)}
+    r_schema = intervals.schema()
+    types.update({n: t for n, t in zip(r_schema.names, r_schema.types)})
+    all_cols = ecols + [c for c in rcols if c not in ecols]
+
+    def tag(side: int, cols: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.select([c for c in cols if c in b.column_names])
+            for c in all_cols:
+                if c not in b.column_names:
+                    b = b.append_column(c, pa.nulls(len(b), type=types[c]))
+            b = b.select(all_cols)
+            return b.append_column(
+                "__side", pa.array(np.full(len(b), side, dtype=np.int8))
+            )
+
+        return fn
+
+    both = events.map_batches(tag(0, ecols), batch_format="pyarrow").union(
+        intervals.map_batches(tag(1, rcols), batch_format="pyarrow")
+    )
+
+    out_cols = ecols + [c for c in interval_cols if c not in ecols]
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df[df["__side"] == 0]
+        iv = df[df["__side"] == 1]
+        if len(ev) == 0 or len(iv) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=df[c].dtype)
+                                 for c in out_cols})
+        # shared key codes across both sides
+        codes, _ = pd.factorize(
+            pd.concat([ev[key_col], iv[key_col]], ignore_index=True),
+            sort=False, use_na_sentinel=False,
+        )
+        ek, ik = codes[: len(ev)].astype(np.int64), codes[len(ev):].astype(np.int64)
+        ets = ev[ts_col].to_numpy().astype(np.int64)
+        lo = iv[lo_col].to_numpy().astype(np.int64)
+        hi = iv[hi_col].to_numpy().astype(np.int64)
+        # composite (key, ts) -> single sortable int64: shift ts into a
+        # per-key band. Falls back is unnecessary: band fits int64 for
+        # any real (n_keys x time-span) because ts is rebased to 0 first.
+        base = min(int(ets.min()), int(lo.min()))
+        span = max(int(ets.max()), int(hi.max())) - base + 2
+        n_keys = int(codes.max()) + 1
+        if span * n_keys >= 2**62:
+            raise ValueError("interval_join: key x time-span exceeds int64 banding")
+        ev_comp = ek * span + (ets - base)
+        order = np.argsort(ev_comp, kind="stable")
+        ev_sorted = ev_comp[order]
+        start = np.searchsorted(ev_sorted, ik * span + (lo - base), side="left")
+        end = np.searchsorted(ev_sorted, ik * span + (hi - base), side="right")
+        cnt = end - start
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=df[c].dtype)
+                                 for c in out_cols})
+        iv_rep = np.repeat(np.arange(len(iv)), cnt)
+        # concatenated ranges [start_i, end_i) per interval
+        offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        ev_pos = order[np.repeat(start, cnt) + (np.arange(total) - np.repeat(offs, cnt))]
+        out = ev.iloc[ev_pos][ecols].reset_index(drop=True)
+        ivr = iv.iloc[iv_rep].reset_index(drop=True)
+        for c in interval_cols:
+            if c not in out.columns:
+                out[c] = ivr[c].to_numpy()
+        return out[out_cols]
+
+    return hash_partitioned_map(
+        both, [key_col], match,
+        num_partitions=num_partitions, batch_format="pandas",
+    )
+
+
 def topn_per_key(
     ds: ray.data.Dataset,
     key_col: str,

@@ -171,6 +171,32 @@ def test_broadcast_semi_and_anti_join():
     assert sorted(semi_n["id"]) == [2, 4]
 
 
+def test_interval_join():
+    from contest_parsing_ray.stages.window import interval_join
+
+    ev = pd.DataFrame(
+        {"eid": [1, 2, 3, 4, 5], "u": ["a", "a", "a", "b", "b"],
+         "ts": [5, 10, 20, 10, 99]}
+    )
+    iv = pd.DataFrame(
+        {"u": ["a", "a", "b"], "lo": [5, 9, 0], "hi": [10, 25, 50],
+         "tag": [100, 200, 300]}
+    )
+    got = (
+        interval_join(
+            ray.data.from_pandas(ev), ray.data.from_pandas(iv),
+            key_col="u", ts_col="ts", lo_col="lo", hi_col="hi",
+            interval_cols=["tag"], num_partitions=2,
+        )
+        .to_pandas().sort_values(["eid", "tag"]).reset_index(drop=True)
+    )
+    # inclusive bounds; eid 1,2 match interval 100; eid 2,3 match 200
+    # (overlap fans out eid 2); eid 4 matches 300; eid 5 matches nothing
+    assert got[["eid", "tag"]].values.tolist() == [
+        [1, 100], [2, 100], [2, 200], [3, 200], [4, 300]
+    ]
+
+
 def test_counter_rate_resets():
     from contest_parsing_ray.stages.ohlc import counter_rate
 
