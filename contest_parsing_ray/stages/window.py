@@ -220,19 +220,21 @@ def interval_join(
         ets = ev[ts_col].to_numpy().astype(np.int64)
         lo = iv[lo_col].to_numpy().astype(np.int64)
         hi = iv[hi_col].to_numpy().astype(np.int64)
-        # composite (key, ts) -> single sortable int64: shift ts into a
-        # per-key band. Falls back is unnecessary: band fits int64 for
-        # any real (n_keys x time-span) because ts is rebased to 0 first.
-        base = min(int(ets.min()), int(lo.min()))
-        span = max(int(ets.max()), int(hi.max())) - base + 2
-        n_keys = int(codes.max()) + 1
-        if span * n_keys >= 2**62:
-            raise ValueError("interval_join: key x time-span exceeds int64 banding")
-        ev_comp = ek * span + (ets - base)
+        # composite (key, ts) -> single sortable int64: rank-compress all
+        # time values first (order-preserving, exact — every lo/hi/ts is
+        # present in the rank table), so the per-key band is at most
+        # (rows-in-partition + 1) wide and n_keys x band can never
+        # overflow int64 regardless of the raw epoch range
+        uniq = np.unique(np.concatenate([ets, lo, hi]))
+        ets_r = np.searchsorted(uniq, ets)
+        lo_r = np.searchsorted(uniq, lo)
+        hi_r = np.searchsorted(uniq, hi)
+        span = len(uniq) + 1
+        ev_comp = ek * span + ets_r
         order = np.argsort(ev_comp, kind="stable")
         ev_sorted = ev_comp[order]
-        start = np.searchsorted(ev_sorted, ik * span + (lo - base), side="left")
-        end = np.searchsorted(ev_sorted, ik * span + (hi - base), side="right")
+        start = np.searchsorted(ev_sorted, ik * span + lo_r, side="left")
+        end = np.searchsorted(ev_sorted, ik * span + hi_r, side="right")
         cnt = end - start
         total = int(cnt.sum())
         if total == 0:
