@@ -206,8 +206,8 @@ def interval_join(
     out_cols = ecols + [c for c in interval_cols if c not in ecols]
 
     def match(df: pd.DataFrame) -> pd.DataFrame:
-        ev = df[df["__side"] == 0]
-        iv = df[df["__side"] == 1]
+        ev = df[df["__side"] == 0].dropna(subset=[ts_col])
+        iv = df[df["__side"] == 1].dropna(subset=[lo_col, hi_col])
         if len(ev) == 0 or len(iv) == 0:
             return pd.DataFrame({c: pd.Series([], dtype=df[c].dtype)
                                  for c in out_cols})
@@ -235,7 +235,9 @@ def interval_join(
         ev_sorted = ev_comp[order]
         start = np.searchsorted(ev_sorted, ik * span + lo_r, side="left")
         end = np.searchsorted(ev_sorted, ik * span + hi_r, side="right")
-        cnt = end - start
+        # inverted intervals (hi < lo) match nothing; without the clamp
+        # their negative counts would crash the repeat expansion
+        cnt = np.maximum(end - start, 0)
         total = int(cnt.sum())
         if total == 0:
             return pd.DataFrame({c: pd.Series([], dtype=df[c].dtype)

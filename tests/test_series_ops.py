@@ -196,6 +196,15 @@ def test_interval_join():
         [1, 100], [2, 100], [2, 200], [3, 200], [4, 300]
     ]
 
+    # inverted interval (hi < lo) matches nothing instead of crashing
+    bad = pd.DataFrame({"u": ["a"], "lo": [50], "hi": [10], "tag": [9]})
+    got2 = interval_join(
+        ray.data.from_pandas(ev), ray.data.from_pandas(bad),
+        key_col="u", ts_col="ts", lo_col="lo", hi_col="hi",
+        interval_cols=["tag"], num_partitions=2,
+    ).to_pandas()
+    assert len(got2) == 0
+
 
 def test_counter_rate_resets():
     from contest_parsing_ray.stages.ohlc import counter_rate
