@@ -1492,9 +1492,11 @@ WHERE r.bucket_us >= b.mn + (((b.mx - b.mn) // (4 * {W1H})) * {W1H})
         "trace_one_row": _trace_one_row_sql(),
         "ohlc_rate_1h": f"""
 WITH e AS (
+  -- engine semantics: null samples carry no value for OHLC (dropped
+  -- before open/close/cnt — stages/ohlc.py::ohlc_rollup partial)
   SELECT event_type, epoch_us(ts) AS us, value, event_id,
          ((epoch_us(ts) // {W1H}) * {W1H}) AS bucket_us
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), w AS (
   SELECT event_type, bucket_us, us, value,
          first_value(value) OVER win AS open_v,
@@ -1593,12 +1595,14 @@ FROM events e JOIN s
 """,
         "counter_increase_1h": f"""
 WITH d AS (
+  -- engine semantics: null samples are dropped BEFORE deltas, so a
+  -- counter bridges across a null gap (stages/ohlc.py::counter_rate)
   SELECT event_type,
          ((epoch_us(ts) // {W1H}) * {W1H}) AS bucket_us,
          value - lag(value) OVER (
            PARTITION BY event_type, ((epoch_us(ts) // {W1H}) * {W1H})
            ORDER BY epoch_us(ts), event_id) AS delta
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type, bucket_us,
        CAST(COUNT(*) AS BIGINT) AS n_samples,

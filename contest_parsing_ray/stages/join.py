@@ -143,9 +143,19 @@ def broadcast_semi_join(
         if hashed:
             probe = hash64_column(col)
         else:
-            probe = (
+            pcol = (
                 col.cast(pa.int64()) if pa.types.is_timestamp(col.type) else col
-            ).to_numpy(zero_copy_only=False)
+            )
+            if pcol.null_count:
+                # fill nulls with a sentinel so a nullable int64 column
+                # keeps its exact integer dtype — to_numpy on a nullable
+                # array falls back to float64, which rounds values above
+                # 2^53 and can spuriously match/miss; the null rows are
+                # masked out below via is_valid regardless of sentinel
+                pcol = pcol.fill_null(
+                    0 if pa.types.is_integer(pcol.type) else 0.0
+                )
+            probe = pcol.to_numpy(zero_copy_only=False)
         if len(ks):
             idx = np.minimum(np.searchsorted(ks, probe), len(ks) - 1)
             hit = ks[idx] == probe

@@ -180,6 +180,14 @@ def interval_join(
     """
     e_schema = events.schema()
     ecols = e_schema.names
+    clash = sorted(set(interval_cols) & set(ecols))
+    if clash:
+        # the output keeps event columns by name; a same-named interval
+        # column would be silently dropped — make it a loud error
+        raise ValueError(
+            f"interval_cols {clash} collide with event columns; rename the "
+            "interval side (e.g. select with a suffix) before joining"
+        )
     rcols = [key_col, lo_col, hi_col, *interval_cols]
     types = {n: t for n, t in zip(e_schema.names, e_schema.types)}
     r_schema = intervals.schema()
@@ -327,8 +335,11 @@ def ewma(
         df = df.sort_values([key_col, ts_col], kind="stable").reset_index(
             drop=True
         )
+        # dropna=False: a null key is a REAL group (module-wide policy —
+        # sessionize/ohlc/histogram all smooth null keys as their own
+        # series rather than emitting NaN)
         df[f"{value_col}_ewma"] = (
-            df.groupby(key_col, sort=False)[value_col]
+            df.groupby(key_col, sort=False, dropna=False)[value_col]
             .transform(lambda s: s.astype(np.float64).ewm(
                 alpha=alpha, adjust=False).mean())
         )
