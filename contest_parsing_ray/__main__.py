@@ -38,6 +38,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tiers", default="1m,5m,1h",
                    help="comma-separated rounding grids (e.g. 30s,5m,1h)")
     p.add_argument("--dedup-keep", choices=["first", "none"], default="first")
+    p.add_argument("--dedup-materialize",
+                   choices=["deletion_vector", "rewrite"],
+                   default="deletion_vector",
+                   help="deletion_vector (default): merge-on-read — per-file "
+                   "deletion vectors + stats sidecar, payload never "
+                   "rewritten; rewrite: physically write the deduped table")
     p.add_argument("--gapfill", choices=["locf", "linear", "off"],
                    default="locf")
     p.add_argument("--no-compression", action="store_true",
@@ -83,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
         batch_size=args.batch_size,
         out_dir=args.out,
         ingest_tokens=not args.no_tokens,
+        dedup_materialize=args.dedup_materialize,
     )
     metrics = run_rollup_pipeline(
         args.input,

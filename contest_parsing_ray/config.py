@@ -93,14 +93,33 @@ class PipelineConfig:
     # points) at or below this row count are merged/written driver-side —
     # the coordinator-side combiner collapse — instead of paying a
     # distributed shuffle whose fixed cost exceeds the work. Above it, the
-    # hash-partitioned distributed path runs (identical results, tested).
-    local_merge_threshold: int = 2_000_000
+    # raw-task hash exchange runs (identical results, tested). 200k is the
+    # measured crossover: at 749k partials (10M-row flagship) the driver
+    # merge is ~16-21 s single-threaded and FLAT across CPU counts (it was
+    # the pipeline's Amdahl cap), while the raw-task exchange does the same
+    # merge in a few seconds and scales.
+    local_merge_threshold: int = 200_000
 
     # Flagship ingest: carry the token payload through dedup and write the
     # deduped sequences table (the engine's primary data product at scale);
     # per-source token-integrity checksums go into the lineage manifest.
     # False = rollup-only mode (tokens pruned at the read).
     ingest_tokens: bool = True
+
+    # How the deduped table is materialized (ingest_tokens=True only):
+    #   'deletion_vector' (default): merge-on-read — the input payload files
+    #     stay in place; the pipeline writes per-file deletion vectors
+    #     (Iceberg/Delta positional-delete style) plus a ~30 B/row stats
+    #     sidecar (source, n_tok, event_time_us, token_ck). ONE full decode
+    #     of the payload, ZERO payload re-encode/re-write — at 100 TB this
+    #     avoids rewriting ~99 TB of untouched bytes, and on a fixed node it
+    #     removes the memory-bandwidth-bound encode+write leg that caps
+    #     scaling (BASELINE.md round-2 analysis).
+    #   'rewrite': physically write the deduped sequences table (hive by
+    #     source) — for consumers that need a standalone copy-on-write
+    #     corpus. Streams ~100% of payload bytes through decode+encode.
+    # Both modes produce bit-identical rollup tiers (equality-tested).
+    dedup_materialize: str = "deletion_vector"
 
     # Output
     out_dir: str = "/tmp/cpr_out"
@@ -123,3 +142,7 @@ class PipelineConfig:
             raise ValueError("gapfill_mode must be 'locf' or 'linear'")
         if self.salt != "auto" and (not isinstance(self.salt, int) or self.salt < 1):
             raise ValueError("salt must be a positive int or 'auto'")
+        if self.dedup_materialize not in ("deletion_vector", "rewrite"):
+            raise ValueError(
+                "dedup_materialize must be 'deletion_vector' or 'rewrite'"
+            )

@@ -10,15 +10,24 @@ fixed costs are the serial fraction that caps scaling efficiency):
 
   [exec 1]  pruned pass over doc_id → duplicated-key set (broadcast as an
             exact Arrow array, or a Bloom filter at 100 TB scale).
-  [exec 2]  read(sequences, WITH tokens) → derive event_time → SPLIT on the
-            duplicate probe: ~99% of payload bytes pass through without
-            shuffling; only flagged rows take the hash-partition dedup →
-            per-row token checksums → write out/deduped/ (partitioned).
-  [exec 3]  pruned read of out/deduped/ (source, n_tok, event_time_us,
-            token_ck — the token payload stays on disk) → per-batch
-            partial rollup for ALL tiers (+ per-group checksum sums) →
-            materialize partials. Token-integrity totals come off the
-            materialized partials (driver-side wrap-sum, no extra pass).
+  [exec 2]  two materializations (cfg.dedup_materialize):
+            'deletion_vector' (default): ONE streaming decode of the
+            payload computes token checksums + duplicate flags and writes
+            the ~30 B/row stats sidecar; duplicate losers become per-file
+            deletion vectors. The payload is never re-encoded or
+            re-written — at 100 TB this skips rewriting ~99 TB of
+            untouched bytes (see stages/deletion_vector.py).
+            'rewrite': split on the duplicate probe — ~99% of payload
+            bytes stream straight into their final partitions; only
+            flagged rows take the hash-partition dedup → write
+            out/deduped/data/ (hive by source).
+  [exec 3]  pruned read (the sidecar in deletion_vector mode; pruned
+            columns of out/deduped/data/ in rewrite mode — either way
+            (source, n_tok, event_time_us, token_ck), the token payload
+            stays on disk) → per-batch partial rollup for ALL tiers
+            (+ per-group checksum sums) → materialize partials.
+            Token-integrity totals come off the materialized partials
+            (driver-side wrap-sum, no extra pass).
   [exec 4]  per-tier merge + gap-fill chains, UNIONed and written
             hive-partitioned (tier, source) in one execution.
   [exec 5]  compress: read tiers → one delta-of-delta/Gorilla pass →
@@ -59,6 +68,23 @@ def _build_deduped(
 ) -> None:
     """[exec 1+2] payload-optimized dedup + checksums → partitioned parquet."""
     t0 = time.perf_counter()
+    if cfg.ingest_tokens and cfg.dedup_materialize == "deletion_vector":
+        # merge-on-read: deletion vectors + stats sidecar, no payload
+        # rewrite (see stages/deletion_vector.py module docstring)
+        from ..stages.deletion_vector import build_deduped_dv
+
+        clear_dir(dedup_dir)
+        build_deduped_dv(
+            input_path,
+            dedup_dir,
+            key="doc_id",
+            keep=cfg.dedup_keep,
+            local_threshold=cfg.local_merge_threshold,
+            stage_seconds=stage_seconds,
+        )
+        if stage_seconds is not None:
+            stage_seconds["dedup_exec_write"] = time.perf_counter() - t0
+        return
     events = read_sequences(input_path, with_tokens=cfg.ingest_tokens)
     if cfg.ingest_tokens:
         # probe over a doc_id-only read: the payload never leaves storage;
@@ -130,7 +156,12 @@ def run_rollup_pipeline(
         }
     )
     dedup_fp = fingerprint_config(
-        {"in": input_fp, "keep": cfg.dedup_keep, "tokens": cfg.ingest_tokens}
+        {
+            "in": input_fp,
+            "keep": cfg.dedup_keep,
+            "tokens": cfg.ingest_tokens,
+            "materialize": cfg.dedup_materialize if cfg.ingest_tokens else "rewrite",
+        }
     )
 
     tiers = dict(zip(cfg.tiers, cfg.tier_widths_us))
@@ -165,14 +196,21 @@ def run_rollup_pipeline(
         )
     metrics["stage_seconds"]["dedup_ingest"] = time.perf_counter() - t0
 
-    # [exec 3] partials over pruned columns of the deduped table
+    # [exec 3] partials over pruned columns of the deduped table. In
+    # deletion_vector mode the stats sidecar IS that pruned projection
+    # (~30 B/row — the payload never re-enters the pipeline).
     t0 = time.perf_counter()
     pruned_cols = ["source", "n_tok", "event_time_us"] + (
         ["token_ck"] if cfg.ingest_tokens else []
     )
-    deduped = ray.data.read_parquet(
-        os.path.join(dedup_dir, "data"), columns=pruned_cols
-    )
+    if cfg.ingest_tokens and cfg.dedup_materialize == "deletion_vector":
+        from ..stages.deletion_vector import read_sidecar
+
+        deduped = read_sidecar(dedup_dir, columns=pruned_cols)
+    else:
+        deduped = ray.data.read_parquet(
+            os.path.join(dedup_dir, "data"), columns=pruned_cols
+        )
     salt = cfg.salt
     if salt == "auto":
         # measured skew mitigation: top-key share over the deduped table →
@@ -245,17 +283,24 @@ def run_rollup_pipeline(
             frames, cfg.out_dir, input_fp, config_fp, extra_manifest=extra
         )
     else:
+        # raw-task exchange, not Ray's sort-based groupby shuffle: the
+        # partial state is small (~#sources x #buckets x #blocks rows) but
+        # the sort shuffle's per-partition overhead measured 50.9 s at 10M
+        # rows where the same movement via split/reduce tasks takes ~4 s
+        # (see _shuffle.raw_hash_exchange).
+        from ..stages._shuffle import raw_hash_exchange
+
         tier_dss = {}
         for name, width in todo.items():
             bcol = f"bucket_{name}"
-            tier_ds = hash_partitioned_map(
+            refs = raw_hash_exchange(
                 partials,
                 ["source", bcol],
-                lambda df, _b=bcol: _merge_partition(
-                    df, "source", _b, cfg.quantile_cap, 0.95, False
+                lambda t, _b=bcol: _merge_partition(
+                    t.to_pandas(), "source", _b, cfg.quantile_cap, 0.95, False
                 ),
-                batch_format="pandas",
             )
+            tier_ds = ray.data.from_arrow_refs(refs)
             if with_gapfill:
                 tier_ds = gapfill(tier_ds, width, mode=cfg.gapfill_mode)
             tier_dss[name] = tier_ds

@@ -253,3 +253,66 @@ def choose_salt(hist: "pd.DataFrame", num_partitions: int | None = None) -> int:
     import math
 
     return max(1, math.ceil(top_share * num_partitions))
+
+
+def raw_hash_exchange(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    fn: Callable[[pa.Table], pa.Table],
+    num_partitions: int | None = None,
+) -> list["ray.ObjectRef"]:
+    """Hash-partitioned map over a MATERIALIZED Dataset via raw Ray tasks.
+
+    Same contract as :func:`hash_partitioned_map` (all rows with equal
+    ``cols`` co-locate into one ``fn`` call) but built as a direct
+    map/reduce: each block splits into P sub-tables (one vectorized
+    argsort + zero-copy slices), each reduce task concatenates its shard
+    from every block and applies ``fn``. No sort exchange, no block
+    accounting — measured 50.9 s -> ~4 s for the 10M-row tier merge vs
+    ``groupby("__part").map_groups`` (Ray's sort-based shuffle pays per-
+    partition overhead far above the ~90 MB of actual partial-state
+    movement). Use for SMALL aggregate states that are already
+    materialized; the Dataset path remains right for streaming inputs.
+
+    Returns one ObjectRef[pa.Table] per partition (wrap with
+    ``ray.data.from_arrow_refs`` to continue as a Dataset).
+    """
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    P = num_partitions
+    blocks = ds.to_arrow_refs()
+    if not blocks:
+        return []
+
+    @ray.remote(num_cpus=1, num_returns=P)
+    def split(t: pa.Table):
+        t = add_hash_partition(t, cols, P)
+        part = t["__part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(part, kind="stable")
+        ts = t.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(P + 1))
+        out = [ts.slice(lo, hi - lo) for lo, hi in zip(bounds[:-1], bounds[1:])]
+        return out if P > 1 else out[0]
+
+    @ray.remote(num_cpus=1)
+    def reduce(*parts):
+        ts = [p for p in parts if p is not None and len(p)]
+        if not ts:
+            t = parts[0].schema.empty_table() if parts else None
+        else:
+            t = pa.concat_tables(ts).combine_chunks()
+        if t is None:
+            return None
+        out = fn(t.drop_columns(["__part"]))
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        return out
+
+    shard_refs: list[list] = [[] for _ in range(P)]
+    for b in blocks:
+        refs = split.remote(b)
+        if P == 1:
+            refs = [refs]
+        for s, r in enumerate(refs):
+            shard_refs[s].append(r)
+    return [reduce.remote(*shard_refs[s]) for s in range(P)]

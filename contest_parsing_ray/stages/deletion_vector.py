@@ -1,0 +1,415 @@
+"""Merge-on-read dedup: deletion vectors + stats sidecar, no payload rewrite.
+
+The rewrite-mode flagship (``dedup.dedup_payload_write``) streams the WHOLE
+token payload through parquet decode → checksum → re-encode → re-write to
+drop ~1% duplicate rows. At 100 TB that rewrites 99 TB of bytes nobody
+touched — and on any fixed box the re-encode+write leg is memory-bandwidth
+bound, the one resource more vCPUs cannot buy (BASELINE.md round-2 scaling
+analysis). The lakehouse answer (Iceberg positional deletes / Delta deletion
+vectors) is merge-on-read: leave the payload files in place and record which
+row POSITIONS are deleted.
+
+Reference analog: the reference materializes every intermediate to disk
+(``JoinManager.py:32-57`` stage-by-stage parquet); this module is the
+opposite end of that trade, chosen deliberately for the 100 TB tier.
+
+Artifacts (under ``out_dir``):
+
+    sidecar/data/*.parquet          (source, n_tok, event_time_us, token_ck)
+                                    one row per SURVIVING input row — the
+                                    pruned projection every rollup pass
+                                    needs, ~30 B/row vs ~2 KB payload rows
+    deletion_vectors/*.parquet      (file_idx:int32, pos:int64) deleted
+                                    row positions, sorted
+    dv_manifest.json                ordered file list + policy + counts
+
+Execution (two passes, ONE full decode, nothing heavy ever re-encoded):
+
+    exec 1  doc_id-only probe → duplicated key hashes (broadcast; exact
+            array or ShardedBloom — ``dedup.duplicated_key_probe_files``)
+    exec 2  per-file streaming scan (Ray Data over the file list,
+            row-group batches): token_ck + event_time_us + probe flag;
+            sink-fused hive write partitioned by flag. Flagged rows carry
+            (key, file_idx, pos); clean rows land directly as final
+            sidecar files (metadata rename, no bytes copied).
+    driver  the flagged slice (~1-2%) decides winners by the ACTUAL key
+            (hash collisions survive): keep='first' keeps the minimum
+            (file_idx, pos) per key — deterministic because the file list
+            is sorted — keep='none' drops every copy. Winner stats append
+            to the sidecar; loser positions become the deletion vectors.
+            Above ``local_threshold`` the decision runs distributed
+            (hash-partitioned on key), same semantics.
+
+Duplicate copies carry identical payloads for identical doc_ids by the
+input contract (doc_id is the content identity), so rollups over the
+sidecar match the rewrite mode bit-for-bit regardless of which copy wins
+(equality-tested in tests/test_deletion_vector.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ._shuffle import hash64_strings, hash_partitioned_map
+from .dedup import BloomFilter, ShardedBloom, duplicated_key_probe_files
+
+_FLAG = "__dup"
+_SIDECAR_COLS = ["source", "n_tok", "event_time_us", "token_ck"]
+_DUP_COLS = ["key", "file_idx", "pos"]
+
+
+def _list_files(input_path: str) -> list[str]:
+    """Deterministic (sorted) parquet fragment list — the file order IS the
+    keep='first' tie-break, so it must be stable across runs/clusters."""
+    return sorted(f.path for f in pads.dataset(input_path).get_fragments())
+
+
+def dv_manifest_file(out_dir: str) -> str:
+    return os.path.join(out_dir, "dv_manifest.json")
+
+
+def sidecar_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "sidecar", "data")
+
+
+def dv_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "deletion_vectors")
+
+
+def _probe_mask(probe, keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    h = hash64_strings(keys)
+    if isinstance(probe, (BloomFilter, ShardedBloom)):
+        return probe.contains_hashes(h)
+    if not len(probe):
+        return np.zeros(len(h), dtype=bool)
+    pos = np.clip(np.searchsorted(probe, h), 0, len(probe) - 1)
+    return probe[pos] == h
+
+
+class _ScanFile:
+    """Per-file streaming scan: decode row-group batches, emit the stats
+    sidecar row for every input row, flag duplicate suspects. Stateless
+    per call but holds the probe ref (fetched once per actor/worker).
+
+    ``decode_rows`` is deliberately CACHE-sized, not throughput-sized: the
+    checksum's temporaries are ~8 B/token, so a 65536-row batch churns
+    ~1.5 GB of DRAM per batch and N concurrent scanners collapse to ~1.5
+    effective cores (measured: 32 files / 16 CPUs ran 19 s at 65536 rows
+    vs 1.4 s at 2048 rows — per-task CPU inflates 30x when the working set
+    leaves L2/L3). Output tables are coalesced to ``yield_rows`` before
+    leaving the task so the sidecar doesn't fragment into tiny blocks."""
+
+    def __init__(self, probe_ref, decode_rows: int = 2048,
+                 yield_rows: int = 65536):
+        self._probe_ref = probe_ref
+        self._probe = None
+        self.decode_rows = decode_rows
+        self.yield_rows = yield_rows
+
+    def __call__(self, files: pa.Table) -> Iterator[pa.Table]:
+        from ..sources.ingest import derive_event_time, token_checksum
+
+        if self._probe is None:
+            self._probe = ray.get(self._probe_ref)
+        for path, fidx in zip(
+            files["path"].to_pylist(), files["file_idx"].to_pylist()
+        ):
+            pf = pq.ParquetFile(path)
+            offset = 0
+            pending: list[pa.Table] = []
+            pending_rows = 0
+            for rb in pf.iter_batches(
+                batch_size=self.decode_rows,
+                columns=["doc_id", "tokens", "n_tok", "source"],
+                use_threads=False,
+            ):
+                t = pa.Table.from_batches([rb])
+                t = token_checksum(derive_event_time(t))
+                mask = _probe_mask(self._probe, t["doc_id"])
+                n = len(t)
+                valid = pa.array(mask)
+                out = pa.table(
+                    {
+                        "source": t["source"],
+                        "n_tok": t["n_tok"],
+                        "event_time_us": t["event_time_us"],
+                        "token_ck": t["token_ck"],
+                        # suspect-only columns: null on clean rows so the
+                        # sidecar stays ~30 B/row
+                        "key": pa.compute.if_else(
+                            valid, t["doc_id"], pa.scalar(None, pa.string())
+                        ),
+                        "file_idx": pa.array(
+                            np.full(n, fidx, dtype=np.int32), mask=~mask
+                        ),
+                        "pos": pa.array(
+                            offset + np.arange(n, dtype=np.int64), mask=~mask
+                        ),
+                        _FLAG: pa.compute.if_else(
+                            valid, pa.scalar("dup"), pa.scalar("ok")
+                        ),
+                    }
+                )
+                offset += n
+                pending.append(out)
+                pending_rows += n
+                if pending_rows >= self.yield_rows:
+                    yield pa.concat_tables(pending).combine_chunks()
+                    pending, pending_rows = [], 0
+            if pending:
+                yield pa.concat_tables(pending).combine_chunks()
+
+
+def _decide_losers(df: pd.DataFrame, keep: str) -> np.ndarray:
+    """Row indices of DELETED occurrences within the flagged frame.
+
+    Operates on the ACTUAL key strings, so probe false positives (hash
+    collisions, Bloom hits) with a global count of 1 always survive."""
+    counts = df.groupby("key", sort=False)["key"].transform("size").to_numpy()
+    if keep == "none":
+        return np.flatnonzero(counts > 1)
+    ordered = df.sort_values(["key", "file_idx", "pos"], kind="stable")
+    winners = ordered.drop_duplicates(subset="key", keep="first").index.to_numpy()
+    lose = np.ones(len(df), dtype=bool)
+    lose[winners] = False
+    lose[counts == 1] = False
+    return np.flatnonzero(lose)
+
+
+def build_deduped_dv(
+    input_path: str,
+    out_dir: str,
+    key: str = "doc_id",
+    keep: str = "first",
+    local_threshold: int = 2_000_000,
+    bloom_threshold: int = 50_000_000,
+    decode_rows: int = 2048,
+    stage_seconds: dict | None = None,
+) -> dict:
+    """Build the merge-on-read deduped view of a sequences parquet dir:
+    stats sidecar + deletion vectors + manifest. Returns counts."""
+    import time
+
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    files = _list_files(input_path)
+
+    t0 = time.perf_counter()
+    probe = duplicated_key_probe_files(
+        input_path, key, exact_threshold=bloom_threshold
+    )
+    probe_ref = ray.put(probe)
+    if stage_seconds is not None:
+        stage_seconds["dedup_probe"] = time.perf_counter() - t0
+
+    # exec 2: one full streaming decode, sink-fused hive split on the flag
+    t0 = time.perf_counter()
+    raw_dir = os.path.join(out_dir, "_sidecar_raw")
+    shutil.rmtree(raw_dir, ignore_errors=True)
+    shutil.rmtree(sidecar_dir(out_dir), ignore_errors=True)
+    shutil.rmtree(dv_dir(out_dir), ignore_errors=True)
+    # one block per file so the per-file scan tasks actually fan out
+    # (from_items packs items into few blocks by default -> serial scan)
+    file_items = ray.data.from_items(
+        [{"path": p, "file_idx": i} for i, p in enumerate(files)],
+        override_num_blocks=len(files),
+    )
+    file_items.map_batches(
+        _ScanFile(probe_ref, decode_rows),
+        batch_size=1,
+        batch_format="pyarrow",
+    ).write_parquet(raw_dir, partition_cols=[_FLAG])
+    if stage_seconds is not None:
+        stage_seconds["dv_scan_write"] = time.perf_counter() - t0
+
+    # promote clean sidecar files into the final layout (metadata renames)
+    t0 = time.perf_counter()
+    os.makedirs(sidecar_dir(out_dir), exist_ok=True)
+    ok_root = os.path.join(raw_dir, f"{_FLAG}=ok")
+    if os.path.isdir(ok_root):
+        for f in os.listdir(ok_root):
+            os.rename(
+                os.path.join(ok_root, f), os.path.join(sidecar_dir(out_dir), f)
+            )
+
+    # flagged slice → winners/losers by actual key
+    n_deleted = 0
+    n_suspects = 0
+    os.makedirs(dv_dir(out_dir), exist_ok=True)
+    dup_root = os.path.join(raw_dir, f"{_FLAG}=dup")
+    if os.path.isdir(dup_root):
+        dup_ds = pads.dataset(dup_root)
+        # cheap metadata row count decides the branch; the local branch
+        # then reads the slice once
+        n_suspects = dup_ds.count_rows()
+        if n_suspects <= local_threshold:
+            t = dup_ds.to_table(use_threads=True)
+            df = t.select(_DUP_COLS).to_pandas()
+            losers = _decide_losers(df, keep)
+            lose_mask = np.zeros(len(df), dtype=bool)
+            lose_mask[losers] = True
+            winners_t = t.filter(pa.array(~lose_mask))
+            if len(winners_t):
+                pq.write_table(
+                    winners_t,
+                    os.path.join(sidecar_dir(out_dir), "winners-0000.parquet"),
+                )
+            dv = df.iloc[losers].sort_values(["file_idx", "pos"], kind="stable")
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_idx": pa.array(
+                            dv["file_idx"].to_numpy(dtype=np.int32)
+                        ),
+                        "pos": pa.array(dv["pos"].to_numpy(dtype=np.int64)),
+                    }
+                ),
+                os.path.join(dv_dir(out_dir), "dv-0000.parquet"),
+            )
+            n_deleted = len(dv)
+        else:
+            # distributed decision: hash-partition the flagged slice on the
+            # key; each partition holds every occurrence of its keys, so the
+            # same vectorized decision runs per partition (100 TB path)
+            suspects = ray.data.read_parquet(dup_root)
+
+            def split_partition(t: pa.Table) -> pa.Table:
+                df = t.select(_DUP_COLS).to_pandas()
+                losers = _decide_losers(df, keep)
+                lose_mask = np.zeros(len(df), dtype=bool)
+                lose_mask[losers] = True
+                return t.append_column("__lose", pa.array(lose_mask))
+
+            decided = hash_partitioned_map(
+                suspects, ["key"], split_partition, batch_format="pyarrow"
+            ).materialize()
+
+            def take(want: bool, cols: list[str]):
+                def fn(t: pa.Table) -> pa.Table:
+                    m = t["__lose"].to_numpy(zero_copy_only=False)
+                    return t.filter(pa.array(m if want else ~m)).select(cols)
+
+                return fn
+
+            decided.map_batches(
+                take(False, _SIDECAR_COLS + _DUP_COLS), batch_format="pyarrow"
+            ).write_parquet(sidecar_dir(out_dir))
+            losers_ds = decided.map_batches(
+                take(True, ["file_idx", "pos"]), batch_format="pyarrow"
+            )
+            losers_ds.write_parquet(dv_dir(out_dir))
+            n_deleted = int(
+                pads.dataset(dv_dir(out_dir)).count_rows()
+            )
+    shutil.rmtree(raw_dir, ignore_errors=True)
+    if stage_seconds is not None:
+        stage_seconds["dv_decide_write"] = time.perf_counter() - t0
+
+    manifest = {
+        "mode": "deletion_vector",
+        "input": input_path,
+        "files": files,
+        "keep": keep,
+        "n_suspects": int(n_suspects),
+        "n_deleted": int(n_deleted),
+        "completed": True,
+    }
+    tmp = dv_manifest_file(out_dir) + ".tmp"
+    os.makedirs(out_dir, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, dv_manifest_file(out_dir))
+    return manifest
+
+
+def load_deletion_vectors(out_dir: str) -> dict[int, np.ndarray]:
+    """DV dataset → {file_idx: sorted positions}. DVs are ~1% of row COUNT
+    at 12 B each, so this is broadcastable at any scale where the flagged
+    fraction is small; per-file readers only index their own entry."""
+    d = dv_dir(out_dir)
+    if not os.path.isdir(d) or not any(
+        f.endswith(".parquet") for f in os.listdir(d)
+    ):
+        return {}
+    t = pads.dataset(d).to_table()
+    fi = t["file_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = t["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pos, fi))
+    fi, pos = fi[order], pos[order]
+    bounds = np.flatnonzero(np.diff(fi)) + 1
+    out: dict[int, np.ndarray] = {}
+    for lo, hi in zip(
+        np.concatenate([[0], bounds]), np.concatenate([bounds, [len(fi)]])
+    ):
+        if lo < hi:
+            out[int(fi[lo])] = pos[lo:hi]
+    return out
+
+
+def read_sidecar(out_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """The pruned survivor projection (what rollup passes read)."""
+    return ray.data.read_parquet(
+        sidecar_dir(out_dir), columns=columns or _SIDECAR_COLS
+    )
+
+
+class _ReadDeduped:
+    """Merge-on-read payload reader: input file minus its deleted positions
+    (full rows, tokens byte-identical to the input — the token-array
+    equality invariant holds by construction)."""
+
+    def __init__(self, dv_ref, batch_rows: int = 65536):
+        self._dv_ref = dv_ref
+        self._dv = None
+        self.batch_rows = batch_rows
+
+    def __call__(self, files: pa.Table) -> Iterator[pa.Table]:
+        from ..sources.ingest import derive_event_time
+
+        if self._dv is None:
+            self._dv = ray.get(self._dv_ref)
+        for path, fidx in zip(
+            files["path"].to_pylist(), files["file_idx"].to_pylist()
+        ):
+            deleted = self._dv.get(int(fidx), np.array([], dtype=np.int64))
+            pf = pq.ParquetFile(path)
+            offset = 0
+            for rb in pf.iter_batches(
+                batch_size=self.batch_rows, use_threads=False
+            ):
+                t = pa.Table.from_batches([rb])
+                n = len(t)
+                lo = np.searchsorted(deleted, offset)
+                hi = np.searchsorted(deleted, offset + n)
+                if hi > lo:
+                    m = np.ones(n, dtype=bool)
+                    m[deleted[lo:hi] - offset] = False
+                    t = t.filter(pa.array(m))
+                offset += n
+                if len(t):
+                    yield derive_event_time(t)
+
+
+def read_deduped_dv(out_dir: str, batch_rows: int = 65536) -> ray.data.Dataset:
+    """Full-payload deduped Dataset from (input files, deletion vectors)."""
+    with open(dv_manifest_file(out_dir)) as f:
+        manifest = json.load(f)
+    dv_ref = ray.put(load_deletion_vectors(out_dir))
+    file_items = ray.data.from_items(
+        [{"path": p, "file_idx": i} for i, p in enumerate(manifest["files"])],
+        override_num_blocks=max(1, len(manifest["files"])),
+    )
+    return file_items.map_batches(
+        _ReadDeduped(dv_ref, batch_rows), batch_size=1, batch_format="pyarrow"
+    )

@@ -191,6 +191,56 @@ class PartialRollup:
         return pa.table(out)
 
 
+def _gather_exact_values(
+    blob_series, gcodes: np.ndarray, n_groups: int
+) -> "tuple[np.ndarray, np.ndarray] | None":
+    """Vectorized decode of an all-exact qsum blob column.
+
+    Returns ``(flat_values, group_starts)`` where ``flat_values`` holds
+    every blob's float64 payload ordered by group (blob order preserved
+    within a group — the same concatenation order the per-group loop
+    produced), or None when any blob is non-exact / unaligned (caller
+    falls back to the per-blob loop).
+
+    Rationale: the merge's cost at scale is ~#partials blob decodes; a
+    Python ``int.from_bytes`` + ``np.frombuffer`` pair per blob measured
+    ~25 s driver-side at 580k partials x 3 tiers (10M-row flagship). Here
+    the whole column decodes as ONE int64 view + fancy-gather.
+    """
+    if len(blob_series) == 0:
+        return np.empty(0, dtype=np.float64), np.zeros(
+            n_groups + 1, dtype=np.int64
+        )
+    binarr = pa.array(blob_series, type=pa.binary())
+    offs = np.frombuffer(binarr.buffers()[1], dtype=np.int32)
+    offs = offs[binarr.offset : binarr.offset + len(binarr) + 1]
+    if len(offs) == 0 or (offs % 8).any():
+        return None
+    data = binarr.buffers()[2]
+    words = np.frombuffer(data, dtype=np.int64, count=int(offs[-1]) // 8)
+    start = offs[:-1].astype(np.int64) // 8
+    n = words[start]
+    flags = words[start + 1]
+    lengths = (offs[1:] - offs[:-1]).astype(np.int64)
+    # exact blob layout: 16-byte header + n float64 values
+    if not ((flags == 1).all() and (lengths == 16 + 8 * n).all()):
+        return None
+    order = np.argsort(gcodes, kind="stable")  # group-major, blob order kept
+    start, n = start[order], n[order]
+    total = int(n.sum())
+    cum0 = np.zeros(len(n), dtype=np.int64)
+    np.cumsum(n[:-1], out=cum0[1:])
+    base = np.repeat(start + 2, n)
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum0, n)
+    flat = words[base + within].view(np.float64)
+    counts = np.bincount(gcodes[order], weights=n, minlength=n_groups).astype(
+        np.int64
+    )
+    gstarts = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(counts, out=gstarts[1:])
+    return flat, gstarts
+
+
 def _merge_partition(
     df: pd.DataFrame,
     key_col: str,
@@ -200,8 +250,28 @@ def _merge_partition(
     keep_summary: bool = False,
 ) -> pd.DataFrame:
     """Merge ALL (key, bucket) groups co-located in one hash partition —
-    vectorized pandas for cnt/sum/min/max, a local loop only for the
-    quantile-summary merges (one per output point, not per input row)."""
+    vectorized pandas for cnt/sum/min/max, one vectorized decode of the
+    quantile blobs, and per-OUTPUT-POINT finalization (a few thousand
+    groups, never per input partial)."""
+    if len(df) == 0:
+        # typed empty output so an empty exchange partition cannot poison
+        # a downstream union's schema (key assumed string — every engine
+        # key column is; non-string keys never see empty partitions in
+        # practice because P << #groups)
+        out = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype="string"),
+                "bucket_us": pd.Series([], dtype=np.int64),
+                "cnt": pd.Series([], dtype=np.int64),
+                "sum_v": pd.Series([], dtype=np.float64),
+                "min_v": pd.Series([], dtype=np.float64),
+                "max_v": pd.Series([], dtype=np.float64),
+                "p95_v": pd.Series([], dtype=np.float64),
+            }
+        )
+        if keep_summary:
+            out["qsum"] = pd.Series([], dtype=object)
+        return out
     gb = df.groupby([key_col, bucket_col], sort=False)
     agg = gb.agg(
         cnt=("cnt", "sum"),
@@ -209,37 +279,36 @@ def _merge_partition(
         min_v=("min_v", "min"),
         max_v=("max_v", "max"),
     ).reset_index()
+    n_groups = len(agg)
     p95s: list[float] = []
     blobs: list[bytes] = []
-    all_blobs = df["qsum"].to_numpy()
-    indices = gb.indices  # group key tuple -> row positions
-    for gkey in zip(agg[key_col], agg[bucket_col]):
-        # iterate in agg's row order explicitly so p95s aligns with agg
-        group_blobs = all_blobs[indices[gkey]]
-        # fast path: every partial summary exact (weights all 1 — the
-        # common case below the cap) -> just concatenate the raw float64
-        # payloads and take the quantile; no object churn
-        exact = True
-        arrays = []
-        for b in group_blobs:
-            n = int.from_bytes(b[:8], "little", signed=True)
-            flag = int.from_bytes(b[8:16], "little", signed=True)
-            if flag != 1:
-                exact = False
-                break
-            arrays.append(np.frombuffer(b, dtype=np.float64, count=n, offset=16))
-        if exact:
-            vals = np.concatenate(arrays) if arrays else np.empty(0)
+    gcodes = gb.ngroup().to_numpy()  # first-appearance order == agg order
+    qsum_arr = df["qsum"].to_numpy()
+    if len(gcodes) and gcodes.min() < 0:  # null group keys (dropped by agg)
+        keep = gcodes >= 0
+        qsum_arr, gcodes = qsum_arr[keep], gcodes[keep]
+    fast = _gather_exact_values(qsum_arr, gcodes, n_groups)
+    if fast is not None:
+        flat, gstarts = fast
+        for g in range(n_groups):
+            vals = flat[gstarts[g] : gstarts[g + 1]]
             if len(vals) > cap:
                 merged = QuantileSummary(vals.copy()).compact(cap)
                 p95s.append(merged.quantile(p))
                 if keep_summary:
                     blobs.append(merged.to_bytes())
             else:
-                p95s.append(float(np.quantile(vals, p)) if len(vals) else float("nan"))
+                p95s.append(
+                    float(np.quantile(vals, p)) if len(vals) else float("nan")
+                )
                 if keep_summary:
                     blobs.append(QuantileSummary(vals.copy()).to_bytes())
-        else:
+    else:
+        all_blobs = df["qsum"].to_numpy()
+        indices = gb.indices  # group key tuple -> row positions
+        for gkey in zip(agg[key_col], agg[bucket_col]):
+            # iterate in agg's row order explicitly so p95s aligns with agg
+            group_blobs = all_blobs[indices[gkey]]
             merged = QuantileSummary.merge_all(
                 [QuantileSummary.from_bytes(b) for b in group_blobs], cap=cap
             )

@@ -19,7 +19,11 @@ def out_dir(tmp_path):
 
 
 def test_pipeline_end_to_end_and_resume(sequences_dir, out_dir):
-    cfg = PipelineConfig(tiers=("1m", "1h"), out_dir=out_dir)
+    # rewrite mode: the physical deduped-table layout (the default
+    # deletion_vector layout is covered by tests/test_deletion_vector.py)
+    cfg = PipelineConfig(
+        tiers=("1m", "1h"), out_dir=out_dir, dedup_materialize="rewrite"
+    )
     m1 = run_rollup_pipeline(sequences_dir, cfg)
     assert set(m1["tiers"]) == {"1m", "1h"}
     # deduped table written with token checksums in tier manifests
