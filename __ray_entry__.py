@@ -563,6 +563,39 @@ def _q_multimodal(sf_dir: str):
     return out.select_columns(["doc_id", "n_bytes"])
 
 
+def _q_multimodal_wav(sf_dir: str):
+    """REAL media decode: deterministic per-doc WAV payloads (RIFF/PCM16,
+    parameters a pure function of doc_id) decoded by the stdlib-struct +
+    numpy WAV parser; features (rms/peak/zcr/duration) come from the actual
+    decoded samples. Deterministic -> golden-pinned oracle."""
+    import pyarrow as pa
+
+    from contest_parsing_ray.stages.multimodal import (
+        decode_wav_features,
+        synth_wav_payloads,
+    )
+
+    docs = _docs(sf_dir)
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.string())  # buffer-hash needs strings
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(synth_wav_payloads(ids), type=pa.binary()),
+                "media_type": pa.array(["audio/wav"] * len(t)),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    out = decode_wav_features(media, concurrency=2, batch_size=128)
+    out = _round_cols(out, ["rms", "peak", "zcr", "dc_mean", "duration_s"])
+    return out.select_columns(
+        ["doc_id", "sample_rate", "n_samples", "duration_s", "rms", "peak",
+         "zcr"]
+    )
+
+
 
 def _q_compress_roundtrip(sf_dir: str):
     """Gorilla/delta-of-delta encode the 1h rollup series then decode —
@@ -1094,6 +1127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_cosine": _q_ivf,
         # multimodal plumbing (stubbed decode)
         "multimodal_decode_stub": _q_multimodal,
+        # REAL WAV codec: RIFF/PCM parse + sample features (golden oracle)
+        "multimodal_decode_wav": _q_multimodal_wav,
         # Gorilla compression roundtrip (SQL-checkable: decode == rollup)
         "compress_roundtrip_1h": _q_compress_roundtrip,
         "range_read_1h": _q_range_read,
@@ -1714,6 +1749,7 @@ GOLDEN_ORACLE_KEYS = (
     "lsh_neardup_pairs",
     "lang_id_docs",
     "multimodal_decode_stub",
+    "multimodal_decode_wav",
     "telemetry_join_fixture",
     "corpus_end_to_end",
     "ivf_topk_cosine",

@@ -229,6 +229,33 @@ def run_scaling() -> dict:
         if all(calib[lo]) and all(calib[hi])
         else None
     )
+    # per-stage efficiency table: min stage time per level across reps ->
+    # per-stage speedup / efficiency, plus the hi-level time share so the
+    # Amdahl decomposition is explicit in the recorded artifact
+    stage_names = sorted(
+        {k for r in reps for k in r.get("stage_seconds", {})}
+        - {"dedup_ingest"}  # envelope of dedup_probe+scan+decide (double count)
+    )
+    stage_eff = {}
+    hi_total = sum(
+        min(r["stage_seconds"].get(s, 0.0) for r in reps if r["num_cpus"] == hi)
+        for s in stage_names
+    )
+    for s in stage_names:
+        t_l = min(r["stage_seconds"].get(s, 0.0) for r in reps if r["num_cpus"] == lo)
+        t_h = min(r["stage_seconds"].get(s, 0.0) for r in reps if r["num_cpus"] == hi)
+        if t_h <= 0:
+            continue
+        stage_eff[s] = {
+            f"sec_{lo}": round(t_l, 2),
+            f"sec_{hi}": round(t_h, 2),
+            "speedup": round(t_l / t_h, 2),
+            "efficiency": round((t_l / t_h) / (hi / lo), 3),
+            "calib_normalized": (
+                round((t_l / t_h) / calib_speedup, 3) if calib_speedup else None
+            ),
+            f"share_of_{hi}cpu_wall": round(t_h / hi_total, 3) if hi_total else None,
+        }
     return {
         "metric": "scaling efficiency (same pipeline, fresh processes, "
         f"num_cpus={lo} vs {hi}, min of {repeats} runs per level)",
@@ -246,6 +273,7 @@ def run_scaling() -> dict:
         "calib_normalized_efficiency": (
             round((t_lo / t_hi) / calib_speedup, 3) if calib_speedup else None
         ),
+        "stage_efficiency": stage_eff,
         "sf": sf,
         "reps": reps,
     }

@@ -100,6 +100,11 @@ class PipelineConfig:
     # merge in a few seconds and scales.
     local_merge_threshold: int = 200_000
 
+    # Above this partial count the pipeline stops gathering merged rollup
+    # points on the driver (they may no longer be "tiny") and switches to
+    # the fully streaming merge -> gapfill -> union hive write.
+    streaming_write_threshold: int = 20_000_000
+
     # Flagship ingest: carry the token payload through dedup and write the
     # deduped sequences table (the engine's primary data product at scale);
     # per-source token-integrity checksums go into the lineage manifest.

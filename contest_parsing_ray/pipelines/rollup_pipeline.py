@@ -282,25 +282,65 @@ def run_rollup_pipeline(
         manifests = write_tiers_local(
             frames, cfg.out_dir, input_fp, config_fp, extra_manifest=extra
         )
-    else:
+    elif n_partials <= cfg.streaming_write_threshold:
         # raw-task exchange, not Ray's sort-based groupby shuffle: the
         # partial state is small (~#sources x #buckets x #blocks rows) but
         # the sort shuffle's per-partition overhead measured 50.9 s at 10M
         # rows where the same movement via split/reduce tasks takes ~4 s
-        # (see _shuffle.raw_hash_exchange).
-        from ..stages._shuffle import raw_hash_exchange
+        # (see _shuffle.raw_hash_exchange). All tiers' exchanges are
+        # launched before any gather so the reduce waves overlap. The
+        # MERGED points are bounded by #(source x bucket) — orders of
+        # magnitude below the partials — so gap-fill + hive write run
+        # driver-side (write_tiers_local), which saves two more
+        # distributed executions of pure fixed cost per run.
+        import pandas as pd
 
-        tier_dss = {}
-        for name, width in todo.items():
-            bcol = f"bucket_{name}"
-            refs = raw_hash_exchange(
+        from ..stages._shuffle import raw_hash_exchange
+        from ..stages.gapfill import fill_group_pandas
+        from ..stages.retention import write_tiers_local
+
+        tier_refs = {
+            name: raw_hash_exchange(
                 partials,
-                ["source", bcol],
-                lambda t, _b=bcol: _merge_partition(
+                ["source", f"bucket_{name}"],
+                lambda t, _b=f"bucket_{name}": _merge_partition(
                     t.to_pandas(), "source", _b, cfg.quantile_cap, 0.95, False
                 ),
             )
-            tier_ds = ray.data.from_arrow_refs(refs)
+            for name in todo
+        }
+        frames = {}
+        for name, width in todo.items():
+            parts = [t.to_pandas() for t in ray.get(tier_refs[name]) if t is not None]
+            merged = pd.concat(
+                [p for p in parts if len(p)], ignore_index=True
+            ) if parts else pd.DataFrame()
+            if with_gapfill:
+                merged = pd.concat(
+                    [
+                        fill_group_pandas(g, width, cfg.gapfill_mode)
+                        for _, g in merged.groupby("source", sort=False)
+                    ],
+                    ignore_index=True,
+                )
+            frames[name] = merged
+        manifests = write_tiers_local(
+            frames, cfg.out_dir, input_fp, config_fp, extra_manifest=extra
+        )
+    else:
+        # 100 TB path: rollup points themselves are too many to pass the
+        # driver — fully streaming merge + gap-fill + ONE union hive write
+        tier_dss = {}
+        for name, width in todo.items():
+            bcol = f"bucket_{name}"
+            tier_ds = hash_partitioned_map(
+                partials,
+                ["source", bcol],
+                lambda df, _b=bcol: _merge_partition(
+                    df, "source", _b, cfg.quantile_cap, 0.95, False
+                ),
+                batch_format="pandas",
+            )
             if with_gapfill:
                 tier_ds = gapfill(tier_ds, width, mode=cfg.gapfill_mode)
             tier_dss[name] = tier_ds

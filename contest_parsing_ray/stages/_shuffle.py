@@ -285,7 +285,8 @@ def raw_hash_exchange(
         return []
 
     @ray.remote(num_cpus=1, num_returns=P)
-    def split(t: pa.Table):
+    def split(*tables: pa.Table):
+        t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
         t = add_hash_partition(t, cols, P)
         part = t["__part"].to_numpy(zero_copy_only=False)
         order = np.argsort(part, kind="stable")
@@ -308,9 +309,18 @@ def raw_hash_exchange(
             out = pa.Table.from_pandas(out, preserve_index=False)
         return out
 
+    # group tiny blocks into ~2P split tasks: a materialized aggregate often
+    # lands as hundreds of KB-sized blocks (one per upstream task), and one
+    # split task per block costs more in dispatch + per-reduce object fan-in
+    # than the split work itself (measured: 227 blocks -> 681 tasks/5.4k
+    # return objects for a 3-tier merge; grouped: 48 tasks/1.2k objects)
+    n_split = max(1, min(len(blocks), 2 * P))
+    bounds = np.linspace(0, len(blocks), n_split + 1, dtype=np.int64)
     shard_refs: list[list] = [[] for _ in range(P)]
-    for b in blocks:
-        refs = split.remote(b)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi == lo:
+            continue
+        refs = split.remote(*blocks[lo:hi])
         if P == 1:
             refs = [refs]
         for s, r in enumerate(refs):

@@ -193,3 +193,42 @@ def test_telemetry_join_golden(fixture_dir):
     # system-wide means broadcast onto buckets
     assert out.loc["s1", "systemWide-node_network_receive_bytes_total"] == 100.0
     assert out.loc["s2", "systemWide-node_network_receive_bytes_total"] == 200.0
+
+
+def test_ael_reconcile_merges_variable_token(tmp_path):
+    """AEL reconcile (LogsParser.py:28-29 semantics: merge_percent=0.5,
+    minEventCount=2): templates in one bin differing in <= 50% of token
+    positions merge into one event (the differing position wildcards),
+    while templates differing in more positions stay separate."""
+    from contest_parsing_ray.sources.logs import read_structured_logs
+
+    log = tmp_path / "ts-pay-service.log"
+    log.write_text(
+        "2023-01-01 10:00:00 INFO 1---[ main] a.B: connection to alpha lost\n"
+        "2023-01-01 10:00:01 INFO 2---[ main] a.B: connection to beta lost\n"
+        "2023-01-01 10:00:02 INFO 3---[ main] a.B: connection to gamma lost\n"
+        # same bin (4 tokens, 0 params) but 3/4 tokens differ -> no merge
+        "2023-01-01 10:00:03 INFO 4---[ main] a.B: shutdown of gamma node\n"
+    )
+    df = read_structured_logs(str(log), 30_000_000).to_pandas()
+    eids = df.set_index("content")["event_id"]
+    assert eids["connection to alpha lost"] == eids["connection to beta lost"]
+    assert eids["connection to alpha lost"] == eids["connection to gamma lost"]
+    assert eids["shutdown of gamma node"] != eids["connection to alpha lost"]
+
+
+def test_ael_number_masking_and_determinism(tmp_path):
+    """Anonymize step: numeric/hex/uuid/key=value fragments mask to the
+    param token BEFORE binning, and two mining runs of the same file give
+    identical ids (per-file mining is self-contained)."""
+    from contest_parsing_ray.sources.logs import read_structured_logs
+
+    log = tmp_path / "ts-x-service.log"
+    log.write_text(
+        "2023-01-01 10:00:00 INFO 1---[ main] a.B: took 15ms for user=u1\n"
+        "2023-01-01 10:00:01 INFO 2---[ main] a.B: took 3200ms for user=zz\n"
+    )
+    a = read_structured_logs(str(log), 30_000_000).to_pandas()
+    b = read_structured_logs(str(log), 30_000_000).to_pandas()
+    assert a["event_id"].nunique() == 1
+    assert list(a["event_id"]) == list(b["event_id"])

@@ -46,3 +46,101 @@ def test_decode_features_dataset():
     out = decode_features(ds, fake=True, concurrency=2, batch_size=2).to_pandas()
     assert len(out) == 4
     assert set(out.columns) >= {"doc_id", "media_type", "n_bytes", "features"}
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec
+# ---------------------------------------------------------------------------
+
+def _sine_pcm16(freq=440.0, sr=8000, n=8000, amp=0.5):
+    import numpy as np
+
+    t = np.arange(n) / sr
+    x = amp * np.sin(2 * np.pi * freq * t)
+    return np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+
+
+def test_wav_roundtrip_sine_features():
+    import numpy as np
+
+    from contest_parsing_ray.stages.multimodal import decode_wav, encode_wav_pcm16
+
+    s = _sine_pcm16(freq=440.0, sr=8000, n=8000, amp=0.5)
+    meta, x = decode_wav(encode_wav_pcm16(s, 8000))
+    assert meta["sample_rate"] == 8000 and meta["n_channels"] == 1
+    assert len(x) == 8000
+    np.testing.assert_allclose(x, s / 32768.0, atol=1e-12)
+    # a 0.5-amplitude sine has RMS ~ 0.5/sqrt(2)
+    assert abs(float(np.sqrt(np.mean(x * x))) - 0.5 / np.sqrt(2)) < 0.01
+
+
+def test_wav_multichannel_and_extra_chunks():
+    import struct
+
+    import numpy as np
+
+    from contest_parsing_ray.stages.multimodal import decode_wav, encode_wav_pcm16
+
+    stereo = np.stack([_sine_pcm16(n=100), _sine_pcm16(n=100)], axis=1)
+    payload = encode_wav_pcm16(stereo, 16000)
+    meta, x = decode_wav(payload)
+    assert meta["n_channels"] == 2 and len(x) == 100
+    # inject an unknown chunk between WAVE and fmt — parser must skip it
+    junk = b"LIST" + struct.pack("<I", 5) + b"abcde" + b"\x00"  # odd size+pad
+    patched = payload[:12] + junk + payload[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    meta2, x2 = decode_wav(patched)
+    np.testing.assert_array_equal(x, x2)
+
+
+def test_wav_rejects_garbage():
+    import pytest
+
+    from contest_parsing_ray.stages.multimodal import decode_wav
+
+    for bad in (b"", b"RIFFxxxx", b"RIFF\x10\x00\x00\x00WAVE"):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_wav_decode_stage_and_batching_invariance():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from contest_parsing_ray.stages.multimodal import (
+        decode_wav_features,
+        synth_wav_payloads,
+    )
+    import pyarrow as pa
+
+    ids = pa.array([f"doc-{i}" for i in range(50)])
+    payloads = synth_wav_payloads(ids)
+    media = pd.DataFrame(
+        {"doc_id": ids.to_pylist(), "payload": payloads,
+         "media_type": "audio/wav"}
+    )
+    got = {}
+    for bs in (7, 50):
+        out = (
+            decode_wav_features(
+                ray.data.from_pandas(media), concurrency=2, batch_size=bs
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        got[bs] = out
+    pd.testing.assert_frame_equal(got[7], got[50])
+    out = got[50]
+    assert set(out["sample_rate"]) <= {8000, 16000}
+    assert (out["n_samples"] >= 400).all()
+    assert (out["rms"] > 0).all() and (out["peak"] <= 1.0).all()
+    # strict=False on a corrupted payload -> null row, others intact
+    media.loc[0, "payload"] = b"not a wav"
+    lax = (
+        decode_wav_features(
+            ray.data.from_pandas(media), strict=False, concurrency=1,
+            batch_size=50,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert np.isnan(lax.loc[0, "rms"]) and not np.isnan(lax.loc[1, "rms"])

@@ -32,6 +32,7 @@ GOLDEN_QUERIES = [
     "lsh_neardup_pairs",
     "lang_id_docs",
     "multimodal_decode_stub",
+    "multimodal_decode_wav",
     "telemetry_join_fixture",
     "corpus_end_to_end",
     "ivf_topk_cosine",
