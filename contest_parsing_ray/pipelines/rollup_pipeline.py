@@ -59,7 +59,12 @@ from ..stages.retention import (
     write_tiers,
 )
 from ..stages.rollup import PartialRollup, _merge_partition
-from ..state.manifest import clear_dir, fingerprint_config, fingerprint_input
+from ..state.manifest import (
+    clear_dir,
+    fingerprint_config,
+    fingerprint_input,
+    input_file_fingerprints,
+)
 
 
 def _build_deduped(
@@ -175,6 +180,17 @@ def run_rollup_pipeline(
         metrics["total_seconds"] = time.perf_counter() - t_start
         return metrics
 
+    # incremental append (continuous aggregate): when the prior build's
+    # files are all unchanged and only NEW files appeared, merge delta
+    # partials into the stored tier STATE instead of rebuilding
+    if resume and not metrics["tiers_skipped_by_resume"]:
+        appended = _try_incremental_append(
+            input_path, cfg, tiers, with_gapfill, with_compression,
+            input_fp, config_fp, metrics,
+        )
+        if appended is not None:
+            return appended
+
     # [exec 1-2] deduped table (skipped when a matching one already exists)
     dedup_dir = os.path.join(cfg.out_dir, "deduped")
     t0 = time.perf_counter()
@@ -255,17 +271,27 @@ def run_rollup_pipeline(
     # layouts and are equality-tested against each other.
     t0 = time.perf_counter()
     n_partials = partials.count()
-    extra = {"token_checksums": token_totals}
+    extra = {
+        "token_checksums": token_totals,
+        "input_files": input_file_fingerprints(input_path),
+    }
     if n_partials <= cfg.local_merge_threshold:
         import pandas as pd
+
+        from ..stages.retention import write_tier_state_local
 
         pdf_all = partials.to_pandas()
         frames = {}
         for name, width in todo.items():
             bcol = f"bucket_{name}"
+            # keep_summary: the qsum blobs become the tier's mergeable
+            # STATE (continuous aggregate) so later appends can combine
+            # delta partials without a from-scratch rebuild
             merged = _merge_partition(
-                pdf_all, "source", bcol, cfg.quantile_cap, 0.95, False
+                pdf_all, "source", bcol, cfg.quantile_cap, 0.95, True
             )
+            write_tier_state_local(cfg.out_dir, name, merged)
+            merged = merged.drop(columns=["qsum"])
             if with_gapfill:
                 from ..stages.gapfill import fill_group_pandas
 
@@ -297,25 +323,56 @@ def run_rollup_pipeline(
 
         from ..stages._shuffle import raw_hash_exchange
         from ..stages.gapfill import fill_group_pandas
-        from ..stages.retention import write_tiers_local
+        from ..stages.retention import write_tier_state_local, write_tiers_local
 
-        tier_refs = {
-            name: raw_hash_exchange(
-                partials,
-                ["source", f"bucket_{name}"],
-                lambda t, _b=f"bucket_{name}": _merge_partition(
-                    t.to_pandas(), "source", _b, cfg.quantile_cap, 0.95, False
-                ),
-            )
-            for name in todo
-        }
+        # ONE fused exchange for ALL tiers, partitioned by the finest
+        # tier's key: the finest tier's groups are complete per partition
+        # (final points), while coarser tiers come out as CONSOLIDATED
+        # mergeable slices (same schema: stats + qsum) that the driver
+        # combines with one more vectorized _merge_partition over ~P x
+        # #coarse_groups rows. Replaces one exchange per tier — exchange
+        # fixed cost was the dominant flat term in tiers_write.
+        tier_names = list(todo)
+        finest = tier_names[
+            int(np.argmin([todo[n] for n in tier_names]))
+        ]
+
+        def fused_merge(t: "pa.Table") -> pd.DataFrame:
+            df = t.to_pandas()
+            outs = []
+            for name in tier_names:
+                m = _merge_partition(
+                    df, "source", f"bucket_{name}", cfg.quantile_cap, 0.95,
+                    True,
+                )
+                m.insert(0, "tier", name)
+                outs.append(m)
+            return pd.concat(outs, ignore_index=True)
+
+        refs = raw_hash_exchange(
+            partials, ["source", f"bucket_{finest}"], fused_merge
+        )
+        parts = [t.to_pandas() for t in ray.get(refs) if t is not None]
+        allm = (
+            pd.concat([p for p in parts if len(p)], ignore_index=True)
+            if parts
+            else pd.DataFrame()
+        )
         frames = {}
         for name, width in todo.items():
-            parts = [t.to_pandas() for t in ray.get(tier_refs[name]) if t is not None]
-            merged = pd.concat(
-                [p for p in parts if len(p)], ignore_index=True
-            ) if parts else pd.DataFrame()
-            if with_gapfill:
+            sl = allm[allm["tier"] == name].drop(columns=["tier"]) if len(allm) else allm
+            if name != finest and len(sl):
+                # coarse tiers: combine the per-partition slices (same
+                # mergeable schema) — final points above the slice cap are
+                # compact-of-compacts: deterministic, exact below cap
+                sl = _merge_partition(
+                    sl, "source", "bucket_us", cfg.quantile_cap, 0.95, True
+                )
+            merged = sl
+            if len(merged):
+                write_tier_state_local(cfg.out_dir, name, merged)
+                merged = merged.drop(columns=["qsum"])
+            if with_gapfill and len(merged):
                 merged = pd.concat(
                     [
                         fill_group_pandas(g, width, cfg.gapfill_mode)
@@ -441,3 +498,229 @@ def run_rollup_pipeline(
 
     metrics["total_seconds"] = time.perf_counter() - t_start
     return metrics
+
+
+def _try_incremental_append(
+    input_path: str,
+    cfg: PipelineConfig,
+    tiers: dict,
+    with_gapfill: bool,
+    with_compression: bool,
+    input_fp: str,
+    config_fp: str,
+    metrics: dict,
+) -> dict | None:
+    """Continuous-aggregate append: when the prior build's input files are
+    all unchanged and only NEW files appeared, process ONLY the delta —
+    extend the DV/sidecar build, roll the new rows into partials, merge
+    them into the stored per-tier STATE (the qsum blobs make every
+    aggregate mergeable), and regenerate data files for the affected
+    sources only. Returns metrics on success, None when not applicable
+    (caller falls through to the full build).
+
+    Applicability: deletion_vector mode, keep='first' (stable winners —
+    keep='none' is retroactive and rebuilds), unchanged config, all prior
+    files byte-stable, tier state present. Runtime ∝ delta plus one
+    doc_id-only probe pass over the corpus. Exactness: identical to a
+    from-scratch rebuild while merged value counts stay under
+    quantile_cap; beyond it both paths are deterministic compactions
+    (documented divergence in the last ulp of p95).
+    """
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.deletion_vector import append_deduped_dv, sidecar_dir
+    from ..stages.gapfill import fill_group_pandas
+    from ..stages.retention import (
+        read_tier_manifest,
+        read_tier_state,
+        tier_data_dir,
+        tier_state_dir,
+        write_tier_manifest,
+    )
+
+    if not (
+        cfg.ingest_tokens
+        and cfg.dedup_materialize == "deletion_vector"
+        and cfg.dedup_keep == "first"
+    ):
+        return None
+    current_files = input_file_fingerprints(input_path)
+    manifests = {}
+    for name in tiers:
+        m = read_tier_manifest(cfg.out_dir, name)
+        if not (
+            m
+            and m.get("completed")
+            and m.get("config_fingerprint") == config_fp
+            and m.get("input_files")
+        ):
+            return None
+        if not os.path.isdir(tier_state_dir(cfg.out_dir, name)):
+            return None
+        manifests[name] = m
+    prior = manifests[next(iter(tiers))]["input_files"]
+    if not set(prior).issubset(current_files):
+        return None  # files removed/renamed -> rebuild
+    if any(current_files[p] != fp for p, fp in prior.items()):
+        return None  # a prior file changed in place -> rebuild
+    new_files = sorted(set(current_files) - set(prior))
+    if not new_files:
+        return None  # nothing new; plain resume handles the no-op
+
+    t_start = time.perf_counter()
+    dedup_dir = os.path.join(cfg.out_dir, "deduped")
+    t0 = time.perf_counter()
+    app = append_deduped_dv(
+        input_path, dedup_dir, keep="first",
+        stage_seconds=metrics["stage_seconds"],
+    )
+    metrics["stage_seconds"]["append_dedup"] = time.perf_counter() - t0
+    sidecar_files = [
+        os.path.join(sidecar_dir(dedup_dir), f)
+        for f in app.get("appended_sidecar", [])
+    ]
+    metrics["appended_input_files"] = new_files
+    if not sidecar_files:
+        metrics["total_seconds"] = time.perf_counter() - t_start
+        return metrics
+
+    # delta partials (the appended sidecar rows only)
+    t0 = time.perf_counter()
+    pruned_cols = ["source", "n_tok", "event_time_us", "token_ck"]
+    delta = ray.data.read_parquet(sidecar_files, columns=pruned_cols)
+    pdf = delta.map_batches(
+        PartialRollup(
+            dict(tiers), "n_tok", "source", "event_time_us",
+            cfg.quantile_cap, "nearest", 1, checksum_col="token_ck",
+        ),
+        batch_format="pyarrow",
+        batch_size=32768,
+    ).to_pandas()
+    metrics["stage_seconds"]["append_partials"] = time.perf_counter() - t0
+
+    # per-source token checksum totals: wrap-add the delta into manifests
+    with np.errstate(over="ignore"):
+        delta_ck = {
+            str(k): int(v)
+            for k, v in pdf.groupby("source")["ck_v"]
+            .agg(lambda s: int(np.sum(s.to_numpy().view(np.uint64), dtype=np.uint64)))
+            .items()
+        }
+
+    t0 = time.perf_counter()
+    import pyarrow.parquet as pq
+
+    for name, width in tiers.items():
+        merged_delta = _merge_partition(
+            pdf, "source", f"bucket_{name}", cfg.quantile_cap, 0.95, True
+        )
+        affected_sources = sorted(set(merged_delta["source"]))
+        state = read_tier_state(cfg.out_dir, name, affected_sources)
+        combined = _merge_partition(
+            pd.concat([state, merged_delta], ignore_index=True),
+            "source", "bucket_us", cfg.quantile_cap, 0.95, True,
+        )
+        # rewrite state + regenerate data for the affected sources only
+        man = manifests[name]
+        for src, g in combined.groupby("source", sort=False):
+            sdir = os.path.join(tier_state_dir(cfg.out_dir, name), f"source={src}")
+            os.makedirs(sdir, exist_ok=True)
+            tmp = os.path.join(sdir, "state-0000.parquet.tmp")
+            pq.write_table(
+                pa.Table.from_pandas(
+                    g.drop(columns=["source"]), preserve_index=False
+                ),
+                tmp,
+            )
+            os.replace(tmp, os.path.join(sdir, "state-0000.parquet"))
+            data = g.drop(columns=["qsum"])
+            if with_gapfill:
+                data = fill_group_pandas(data, width, cfg.gapfill_mode)
+            ddir = os.path.join(tier_data_dir(cfg.out_dir, name), f"source={src}")
+            os.makedirs(ddir, exist_ok=True)
+            out = data.drop(columns=["source"])
+            tmp = os.path.join(ddir, "part-0000.parquet.tmp")
+            pq.write_table(
+                pa.Table.from_pandas(out, preserve_index=False), tmp
+            )
+            os.replace(tmp, os.path.join(ddir, "part-0000.parquet"))
+            num = data.select_dtypes(include=[np.number]).to_numpy(
+                dtype=np.float64
+            )
+            ck = int(np.abs(np.nan_to_num(num)).sum() * 1000) & 0xFFFFFFFFFFFF
+            man["partitions"][str(src)] = {
+                "rows": int(len(data)), "checksum": ck
+            }
+        with np.errstate(over="ignore"):
+            for src, d in delta_ck.items():
+                old = int(man.get("token_checksums", {}).get(src, 0))
+                man.setdefault("token_checksums", {})[src] = int(
+                    np.uint64(old) + np.uint64(d & 0xFFFFFFFFFFFFFFFF)
+                )
+        man["total_rows"] = int(
+            sum(p["rows"] for p in man["partitions"].values())
+        )
+        man["input_fingerprint"] = input_fp
+        man["input_files"] = current_files
+        man.setdefault("appends", []).append(
+            {"new_files": new_files, "sources": affected_sources}
+        )
+        write_tier_manifest(cfg.out_dir, name, man)
+        metrics["tiers"][name] = {
+            "points": man["total_rows"],
+            "partitions": len(man["partitions"]),
+            "appended_sources": affected_sources,
+        }
+    metrics["stage_seconds"]["append_merge_write"] = time.perf_counter() - t0
+
+    if with_compression:
+        # chunks are a pure function of the (small) tiers; regenerate them
+        t0 = time.perf_counter()
+        _recompress_tiers(cfg, tiers)
+        metrics["stage_seconds"]["append_compress"] = time.perf_counter() - t0
+    metrics["incremental_append"] = True
+    metrics["total_seconds"] = time.perf_counter() - t_start
+    return metrics
+
+
+def _recompress_tiers(cfg: PipelineConfig, tiers: dict) -> None:
+    """Driver-side chunk rebuild over the (compact) tier data — shared by
+    the append path; mirrors the pipeline's local compress branch."""
+    import pandas as pd
+    import pyarrow as pa_mod
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..stages.compress import encode_chunk
+    from ..stages.retention import tier_data_dir
+
+    chunk_dir = os.path.join(cfg.out_dir, "chunks")
+    clear_dir(chunk_dir)
+    for name in tiers:
+        df = (
+            pads.dataset(tier_data_dir(cfg.out_dir, name), partitioning="hive")
+            .to_table()
+            .to_pandas()
+        )
+        rows = []
+        for src, g in df.groupby("source", sort=False):
+            g = g.sort_values("bucket_us", kind="stable")
+            ts = g["bucket_us"].to_numpy(dtype=np.int64)
+            vals = g["sum_v"].to_numpy(dtype=np.float64)
+            for ci, lo in enumerate(range(0, len(ts), cfg.chunk_points)):
+                c = encode_chunk(
+                    ts[lo : lo + cfg.chunk_points],
+                    vals[lo : lo + cfg.chunk_points],
+                )
+                c["source"] = src
+                c["chunk_id"] = np.int64(ci)
+                rows.append(c)
+        tdir = os.path.join(chunk_dir, f"tier={name}")
+        os.makedirs(tdir, exist_ok=True)
+        pq.write_table(
+            pa_mod.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+            os.path.join(tdir, "chunks-0000.parquet"),
+        )

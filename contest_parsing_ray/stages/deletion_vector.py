@@ -413,3 +413,175 @@ def read_deduped_dv(out_dir: str, batch_rows: int = 65536) -> ray.data.Dataset:
     return file_items.map_batches(
         _ReadDeduped(dv_ref, batch_rows), batch_size=1, batch_format="pyarrow"
     )
+
+
+def _flagged_occurrences(
+    files: list[str], file_idx: list[int], probe_ref, key: str = "doc_id"
+) -> pd.DataFrame:
+    """(file_idx, pos, key) of probe-flagged rows — doc_id-only raw tasks
+    (no payload decode), one per file."""
+
+    @ray.remote(num_cpus=1)
+    def scan(path: str, fidx: int):
+        probe = ray.get(probe_ref)
+        t = pq.read_table(path, columns=[key], use_threads=False)
+        mask = _probe_mask(probe, t[key])
+        pos = np.flatnonzero(mask)
+        keys = t[key].take(pa.array(pos)).to_pylist()
+        return fidx, pos.astype(np.int64), keys
+
+    out = ray.get([scan.remote(p, i) for p, i in zip(files, file_idx)])
+    frames = [
+        pd.DataFrame({"file_idx": np.full(len(pos), fidx, dtype=np.int32),
+                      "pos": pos, "key": keys})
+        for fidx, pos, keys in out
+    ]
+    return (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame({"file_idx": [], "pos": [], "key": []})
+    )
+
+
+def append_deduped_dv(
+    input_path: str,
+    out_dir: str,
+    key: str = "doc_id",
+    keep: str = "first",
+    decode_rows: int = 2048,
+    bloom_threshold: int = 50_000_000,
+    stage_seconds: dict | None = None,
+) -> dict:
+    """Incremental merge-on-read dedup: extend an existing DV build with
+    the NEW parquet files under ``input_path``.
+
+    Contract (keep='first' only): the prior file list keeps its order and
+    its winners — the deterministic (file_idx, pos) minimum can only move
+    EARLIER, and new files append at the end, so every prior survivor
+    stays a survivor and all new deletions land in new files. keep='none'
+    cannot append (a new copy invalidates an old survivor retroactively) —
+    the pipeline falls back to a full rebuild for it.
+
+    Work ∝ delta + one doc_id-only pass over the full corpus (the global
+    duplicate probe — at 100 TB this column is ~0.1% of the bytes; a
+    persistent key sketch would remove even that and slots in behind the
+    same probe interface).
+    """
+    import time
+
+    if keep != "first":
+        raise ValueError("append supports keep='first' only")
+    with open(dv_manifest_file(out_dir)) as f:
+        manifest = json.load(f)
+    if manifest.get("keep") != "first":
+        raise ValueError("existing build used a different keep policy")
+    prior_files = manifest["files"]
+    current = _list_files(input_path)
+    new_files = sorted(set(current) - set(prior_files))
+    if set(prior_files) - set(current):
+        raise ValueError("prior input files were removed; rebuild required")
+    files = prior_files + new_files  # stable order: priors keep their idx
+    if not new_files:
+        return manifest
+
+    t0 = time.perf_counter()
+    probe = duplicated_key_probe_files(
+        input_path, key, exact_threshold=bloom_threshold
+    )
+    probe_ref = ray.put(probe)
+    if stage_seconds is not None:
+        stage_seconds["append_probe"] = time.perf_counter() - t0
+
+    # scan ONLY the new files (payload decode ∝ delta)
+    t0 = time.perf_counter()
+    raw_dir = os.path.join(out_dir, "_sidecar_raw")
+    shutil.rmtree(raw_dir, ignore_errors=True)
+    new_idx = list(range(len(prior_files), len(files)))
+    file_items = ray.data.from_items(
+        [{"path": p, "file_idx": i} for p, i in zip(new_files, new_idx)],
+        override_num_blocks=len(new_files),
+    )
+    file_items.map_batches(
+        _ScanFile(probe_ref, decode_rows), batch_size=1, batch_format="pyarrow"
+    ).write_parquet(raw_dir, partition_cols=[_FLAG])
+    if stage_seconds is not None:
+        stage_seconds["append_scan"] = time.perf_counter() - t0
+
+    # clean new rows -> sidecar (metadata renames, tagged to avoid clashes)
+    t0 = time.perf_counter()
+    seq = len(manifest.get("appends", [])) + 1
+    ok_root = os.path.join(raw_dir, f"{_FLAG}=ok")
+    appended_sidecar: list[str] = []
+    if os.path.isdir(ok_root):
+        for f in os.listdir(ok_root):
+            dst = f"append{seq:04d}-{f}"
+            os.rename(
+                os.path.join(ok_root, f), os.path.join(sidecar_dir(out_dir), dst)
+            )
+            appended_sidecar.append(dst)
+
+    # flagged NEW rows compete with OLD occurrences of the same keys
+    n_deleted_new = 0
+    dup_root = os.path.join(raw_dir, f"{_FLAG}=dup")
+    if os.path.isdir(dup_root):
+        new_flagged = pads.dataset(dup_root).to_table()
+        old_occ = _flagged_occurrences(
+            prior_files, list(range(len(prior_files))), probe_ref, key
+        )
+        nf = new_flagged.select(_DUP_COLS).to_pandas()
+        allocc = pd.concat(
+            [old_occ[["key", "file_idx", "pos"]], nf[["key", "file_idx", "pos"]]],
+            ignore_index=True,
+        )
+        winners = (
+            allocc.sort_values(["key", "file_idx", "pos"], kind="stable")
+            .drop_duplicates(subset="key", keep="first")
+        )
+        win_set = set(zip(winners["file_idx"].astype(int), winners["pos"].astype(int)))
+        lose_mask = np.array(
+            [
+                (int(fi), int(po)) not in win_set
+                for fi, po in zip(nf["file_idx"], nf["pos"])
+            ],
+            dtype=bool,
+        )
+        new_winners = new_flagged.filter(pa.array(~lose_mask))
+        if len(new_winners):
+            name = f"append{seq:04d}-winners.parquet"
+            pq.write_table(
+                new_winners, os.path.join(sidecar_dir(out_dir), name)
+            )
+            appended_sidecar.append(name)
+        losers = nf[lose_mask].sort_values(["file_idx", "pos"], kind="stable")
+        if len(losers):
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_idx": pa.array(
+                            losers["file_idx"].to_numpy(dtype=np.int32)
+                        ),
+                        "pos": pa.array(losers["pos"].to_numpy(dtype=np.int64)),
+                    }
+                ),
+                os.path.join(dv_dir(out_dir), f"append{seq:04d}-dv.parquet"),
+            )
+        n_deleted_new = int(lose_mask.sum())
+    shutil.rmtree(raw_dir, ignore_errors=True)
+    if stage_seconds is not None:
+        stage_seconds["append_decide"] = time.perf_counter() - t0
+
+    manifest["files"] = files
+    manifest["n_deleted"] = int(manifest.get("n_deleted", 0)) + n_deleted_new
+    manifest.setdefault("appends", []).append(
+        {
+            "new_files": new_files,
+            "n_deleted_new": n_deleted_new,
+            "sidecar_files": appended_sidecar,
+        }
+    )
+    tmp = dv_manifest_file(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, dv_manifest_file(out_dir))
+    manifest["appended_sidecar"] = appended_sidecar
+    return manifest

@@ -232,3 +232,52 @@ def apply_retention(
     m["total_rows"] = kept
     write_tier_manifest(out_dir, tier, m)
     return {"dropped": dropped, "kept": kept}
+
+
+def tier_state_dir(out_dir: str, tier: str) -> str:
+    """Mergeable rollup STATE for continuous aggregates: the real (un-gap-
+    filled) points plus their quantile-summary blobs, per source. The
+    public tier data is a pure function of this state (strip qsum +
+    gap-fill), so an append only has to merge delta partials into state
+    rows and regenerate the affected sources' data files."""
+    return os.path.join(out_dir, "rollup", "state", f"tier={tier}")
+
+
+def write_tier_state_local(
+    out_dir: str, tier: str, merged, key_col: str = "source"
+) -> None:
+    """Write per-source state files (driver path; state is rollup-point
+    sized). ``merged`` must include the ``qsum`` column."""
+    import pyarrow.parquet as pq
+
+    sdir = tier_state_dir(out_dir, tier)
+    clear_dir(sdir)
+    for k, g in merged.groupby(key_col, sort=False):
+        pdir = os.path.join(sdir, f"{key_col}={k}")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(g.drop(columns=[key_col]), preserve_index=False),
+            os.path.join(pdir, "state-0000.parquet"),
+        )
+
+
+def read_tier_state(out_dir: str, tier: str, sources: list[str] | None = None):
+    """State rows (pandas) for the given sources (None = all)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    sdir = tier_state_dir(out_dir, tier)
+    if not os.path.isdir(sdir):
+        return None
+    if sources is None:
+        d = pads.dataset(sdir, partitioning="hive")
+        df = d.to_table().to_pandas()
+        return df
+    frames = []
+    for s in sources:
+        pdir = os.path.join(sdir, f"source={s}")
+        if os.path.isdir(pdir):
+            f = pads.dataset(pdir).to_table().to_pandas()
+            f["source"] = s
+            frames.append(f)
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()

@@ -81,3 +81,21 @@ def clear_dir(path: str) -> None:
     one tier directory, used when a stale/partial output must be replaced."""
     if os.path.isdir(path):
         shutil.rmtree(path)
+
+
+def input_file_fingerprints(path: str) -> dict[str, str]:
+    """Per-file fingerprints (size:mtime) keyed by absolute path — the
+    basis for incremental append: a prior build whose recorded files are
+    all unchanged and a superset-free subset of the current listing can be
+    extended by processing only the new files."""
+    out: dict[str, str] = {}
+    if os.path.isdir(path):
+        for root, _, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[os.path.abspath(p)] = f"{st.st_size}:{int(st.st_mtime)}"
+    else:
+        st = os.stat(path)
+        out[os.path.abspath(path)] = f"{st.st_size}:{int(st.st_mtime)}"
+    return out

@@ -1,0 +1,136 @@
+"""Incremental rollup on append (continuous aggregates).
+
+Appending new parquet shards must (a) process only the delta, (b) merge
+into the stored tier state, (c) produce points identical to a from-scratch
+rebuild (exactly, while merged value counts stay under quantile_cap — the
+fixture uses a high cap so every group is exact; above the cap both paths
+are deterministic compactions that may differ in p95's last digits, which
+the module docstring documents), and (d) dedup new rows against OLD
+occurrences (keep='first': prior winners stay, new copies lose).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from contest_parsing_ray.config import PipelineConfig
+from contest_parsing_ray.pipelines.rollup_pipeline import run_rollup_pipeline
+from contest_parsing_ray.sources.synthetic import (
+    make_sequences_table,
+    write_sequences_parquet,
+)
+
+
+def _tier(out_dir: str, tier: str) -> pd.DataFrame:
+    t = pads.dataset(
+        os.path.join(out_dir, "rollup", "data", f"tier={tier}"),
+        partitioning="hive",
+    ).to_table().to_pandas()
+    t = t[sorted(t.columns)]
+    return t.sort_values(["source", "bucket_us"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    d = str(tmp_path / "seq")
+    write_sequences_parquet(d, n_rows=8_000, seed=42, num_files=4)
+    return d
+
+
+CAP = 65536  # every merged group stays exact -> bit-identical paths
+
+
+def test_append_matches_from_scratch(corpus, tmp_path):
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(out_dir=out, quantile_cap=CAP)
+    m1 = run_rollup_pipeline(corpus, cfg)
+    assert m1["tiers"]
+
+    # delta: fresh rows (seed 7) PLUS exact copies of existing rows — the
+    # copies must lose to the prior occurrences (keep='first')
+    extra = make_sequences_table(2_000, seed=7)
+    base0 = pq.read_table(os.path.join(corpus, "part-0000.parquet"))
+    dup_slice = base0.slice(0, 100)
+    pq.write_table(extra, os.path.join(corpus, "part-9000.parquet"))
+    pq.write_table(dup_slice, os.path.join(corpus, "part-9001.parquet"))
+
+    m2 = run_rollup_pipeline(corpus, cfg)
+    assert m2.get("incremental_append") is True
+    assert sorted(m2["appended_input_files"]) == [
+        os.path.join(corpus, "part-9000.parquet"),
+        os.path.join(corpus, "part-9001.parquet"),
+    ]
+
+    out2 = str(tmp_path / "scratch")
+    run_rollup_pipeline(corpus, PipelineConfig(out_dir=out2, quantile_cap=CAP),
+                        resume=False)
+    for tier in ("1m", "5m", "1h"):
+        pd.testing.assert_frame_equal(_tier(out, tier), _tier(out2, tier))
+
+    # token checksums merged exactly
+    ma = json.load(open(os.path.join(out, "manifests", "1m.json")))
+    mb = json.load(open(os.path.join(out2, "manifests", "1m.json")))
+    assert ma["token_checksums"] == mb["token_checksums"]
+    assert ma["appends"], "append recorded in lineage"
+
+    # cross-file dedup: the 100 copied rows all lost; sidecar row counts
+    # match the from-scratch survivor count
+    from contest_parsing_ray.stages.deletion_vector import (
+        dv_manifest_file,
+        read_sidecar,
+    )
+
+    man = json.load(open(dv_manifest_file(os.path.join(out, "deduped"))))
+    assert man["appends"][-1]["n_deleted_new"] >= 100
+    assert (
+        read_sidecar(os.path.join(out, "deduped")).count()
+        == read_sidecar(os.path.join(out2, "deduped")).count()
+    )
+
+    # a third run with nothing new is a plain resume no-op
+    m3 = run_rollup_pipeline(corpus, cfg)
+    assert sorted(m3["tiers_skipped_by_resume"]) == ["1h", "1m", "5m"]
+
+
+def test_append_keep_none_falls_back_to_rebuild(corpus, tmp_path):
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(out_dir=out, dedup_keep="none", quantile_cap=CAP)
+    run_rollup_pipeline(corpus, cfg)
+    pq.write_table(
+        make_sequences_table(1_000, seed=5),
+        os.path.join(corpus, "part-9000.parquet"),
+    )
+    m = run_rollup_pipeline(corpus, cfg)
+    assert not m.get("incremental_append")  # retroactive policy -> rebuild
+    out2 = str(tmp_path / "scratch")
+    run_rollup_pipeline(
+        corpus,
+        PipelineConfig(out_dir=out2, dedup_keep="none", quantile_cap=CAP),
+        resume=False,
+    )
+    for tier in ("1m", "5m", "1h"):
+        pd.testing.assert_frame_equal(_tier(out, tier), _tier(out2, tier))
+
+
+def test_append_modified_prior_file_rebuilds(corpus, tmp_path):
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(out_dir=out, quantile_cap=CAP)
+    run_rollup_pipeline(corpus, cfg)
+    # rewrite a prior file in place (content change) -> full rebuild
+    p = os.path.join(corpus, "part-0000.parquet")
+    t = pq.read_table(p)
+    shutil.copy(p, p + ".bak")
+    pq.write_table(t.slice(0, len(t) - 10), p)
+    m = run_rollup_pipeline(corpus, cfg)
+    assert not m.get("incremental_append")
+    assert m["tiers"], "rebuilt"
