@@ -68,17 +68,59 @@ def read_tier(out_dir: str, tier: str) -> ray.data.Dataset:
     return ray.data.read_parquet(tier_data_dir(out_dir, tier))
 
 
-def _partition_stats_from_disk(data_dir: str, key_col: str) -> dict:
-    import pyarrow.dataset as pads
-
+def _stats_of_frame(df, key_col: str) -> dict:
     stats: dict = {}
-    dset = pads.dataset(data_dir, partitioning="hive")
-    df = dset.to_table().to_pandas()
     for k, g in df.groupby(key_col):
         num = g.select_dtypes(include=[np.number]).to_numpy(dtype=np.float64)
         ck = int(np.abs(np.nan_to_num(num)).sum() * 1000) & 0xFFFFFFFFFFFF
         stats[str(k)] = {"rows": int(len(g)), "checksum": ck}
     return stats
+
+
+def _partition_stats_from_disk(
+    data_dir: str, key_col: str, distributed_threshold_bytes: int = 256 << 20
+) -> dict:
+    """Per-partition (rows, checksum) for the manifest.
+
+    Rollup tiers are compact by design (one row per (key, bucket)), so the
+    default is a single driver read. Above ``distributed_threshold_bytes``
+    of on-disk parquet (pathological key cardinality) the stats compute as
+    ONE Ray task per hive partition dir — each task reads only its
+    partition, so nothing tier-sized ever lands on the driver."""
+    import pyarrow.dataset as pads
+
+    subdirs = sorted(
+        d for d in os.listdir(data_dir)
+        if os.path.isdir(os.path.join(data_dir, d)) and "=" in d
+    )
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(data_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    if total_bytes <= distributed_threshold_bytes or not subdirs:
+        dset = pads.dataset(data_dir, partitioning="hive")
+        return _stats_of_frame(dset.to_table().to_pandas(), key_col)
+
+    @ray.remote(num_cpus=1)
+    def part_stats(pdir: str, key: str) -> tuple[str, dict]:
+        import pyarrow.dataset as pads_r
+
+        df = pads_r.dataset(pdir).to_table().to_pandas()
+        num = df.select_dtypes(include=[np.number]).to_numpy(dtype=np.float64)
+        ck = int(np.abs(np.nan_to_num(num)).sum() * 1000) & 0xFFFFFFFFFFFF
+        return key, {"rows": int(len(df)), "checksum": ck}
+
+    out = ray.get(
+        [
+            part_stats.remote(
+                os.path.join(data_dir, d), d.split("=", 1)[1]
+            )
+            for d in subdirs
+        ]
+    )
+    return {k: v for k, v in out}
 
 
 def write_tiers(
@@ -205,26 +247,48 @@ def apply_retention(
     kept = 0
     if not os.path.isdir(tdir):
         return {"dropped": 0, "kept": 0}
-    for sub in sorted(os.listdir(tdir)):
-        pdir = os.path.join(tdir, sub)
-        if not os.path.isdir(pdir):
-            continue
-        for f in sorted(os.listdir(pdir)):
-            if not f.endswith(".parquet"):
+    # expire the mergeable STATE alongside the data: the public tier is
+    # regenerated from state on incremental append, so a state row that
+    # outlives retention would resurrect its dropped bucket
+    roots = [tdir]
+    sdir = tier_state_dir(out_dir, tier)
+    if os.path.isdir(sdir):
+        roots.append(sdir)
+    jobs: list[tuple[str, bool]] = []  # (file path, counts toward data?)
+    for root in roots:
+        for sub in sorted(os.listdir(root)):
+            pdir = os.path.join(root, sub)
+            if not os.path.isdir(pdir):
                 continue
-            path = os.path.join(pdir, f)
-            t = pq.read_table(path)
-            mask = pa.compute.greater_equal(t["bucket_us"], pa.scalar(cutoff))
-            n_keep = pa.compute.sum(mask.cast(pa.int8())).as_py() or 0
-            if n_keep == len(t):
-                kept += len(t)
-                continue
-            filtered = t.filter(mask)
-            dropped += len(t) - len(filtered)
-            kept += len(filtered)
-            tmp = path + ".tmp"
-            pq.write_table(filtered, tmp)
-            os.replace(tmp, path)
+            for f in sorted(os.listdir(pdir)):
+                if f.endswith(".parquet"):
+                    jobs.append((os.path.join(pdir, f), root == tdir))
+
+    def expire_file(path: str) -> tuple[int, int]:
+        """Atomic per-file expiry; returns (kept, dropped)."""
+        t = pq.read_table(path)
+        mask = pa.compute.greater_equal(t["bucket_us"], pa.scalar(cutoff))
+        n_keep = pa.compute.sum(mask.cast(pa.int8())).as_py() or 0
+        if n_keep == len(t):
+            return len(t), 0
+        filtered = t.filter(mask)
+        tmp = path + ".tmp"
+        pq.write_table(filtered, tmp)
+        os.replace(tmp, path)
+        return len(filtered), len(t) - len(filtered)
+
+    if len(jobs) <= 16:
+        results = [expire_file(p) for p, _ in jobs]
+    else:
+        # many-partition tier: expire files as parallel Ray tasks (each
+        # rewrite is atomic per file, so partial failures only leave some
+        # files un-expired — rerunning converges)
+        expire_remote = ray.remote(num_cpus=1)(expire_file)
+        results = ray.get([expire_remote.remote(p) for p, _ in jobs])
+    for (path, is_data), (n_kept, n_dropped) in zip(jobs, results):
+        if is_data:
+            kept += n_kept
+            dropped += n_dropped
     m = read_tier_manifest(out_dir, tier) or {}
     m.setdefault("retention", []).append(
         {"cutoff_us": cutoff, "dropped": dropped, "kept": kept}

@@ -134,3 +134,58 @@ def test_append_modified_prior_file_rebuilds(corpus, tmp_path):
     m = run_rollup_pipeline(corpus, cfg)
     assert not m.get("incremental_append")
     assert m["tiers"], "rebuilt"
+
+
+def test_distributed_stats_match_driver(corpus, tmp_path):
+    """_partition_stats_from_disk: the per-partition Ray-task branch
+    (threshold=0) produces the identical manifest stats as the driver
+    read (verdict: distributed tier stats)."""
+    from contest_parsing_ray.stages.retention import (
+        _partition_stats_from_disk,
+        tier_data_dir,
+    )
+
+    out = str(tmp_path / "out")
+    run_rollup_pipeline(corpus, PipelineConfig(out_dir=out))
+    tdir = tier_data_dir(out, "1m")
+    a = _partition_stats_from_disk(tdir, "source")
+    b = _partition_stats_from_disk(tdir, "source", distributed_threshold_bytes=0)
+    assert a == b and len(a) == 8
+
+
+def test_distributed_retention_many_partitions(tmp_path):
+    """apply_retention's Ray-task branch (>16 files) matches per-file
+    semantics and also expires the mergeable state."""
+    from contest_parsing_ray.stages.retention import (
+        apply_retention,
+        tier_data_dir,
+        tier_state_dir,
+    )
+
+    out = str(tmp_path / "out")
+    tdir = tier_data_dir(out, "1m")
+    sdir = tier_state_dir(out, "1m")
+    import pyarrow as pa
+
+    # 20 source partitions x (data + state) = 40 files -> distributed branch
+    for i in range(20):
+        for root in (tdir, sdir):
+            pdir = os.path.join(root, f"source=s{i:02d}")
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "bucket_us": pa.array(
+                            [0, 1_000_000, 2_000_000], type=pa.int64()
+                        ),
+                        "cnt": pa.array([1, 1, 1], type=pa.int64()),
+                    }
+                ),
+                os.path.join(pdir, "part-0000.parquet"),
+            )
+    # cutoff 1.5e6: buckets 0 and 1e6 drop, 2e6 stays (per data file)
+    res = apply_retention(out, "1m", keep_us=1_000_000, now_us=2_500_000)
+    assert res["dropped"] == 40 and res["kept"] == 20
+    for root in (tdir, sdir):
+        t = pads.dataset(os.path.join(root, "source=s00")).to_table()
+        assert min(t["bucket_us"].to_pylist()) >= 1_500_000
