@@ -596,6 +596,40 @@ def _q_multimodal_wav(sf_dir: str):
     )
 
 
+def _q_multimodal_png(sf_dir: str):
+    """REAL image decode: deterministic per-doc PNG payloads (gradient +
+    checker pattern, filter type cycling through all five scanline filters)
+    decoded by the stdlib-zlib + numpy PNG parser; features (dimensions,
+    pixel mean/std/min/max) come from the actual decoded pixels.
+    Deterministic -> golden-pinned oracle."""
+    import pyarrow as pa
+
+    from contest_parsing_ray.stages.multimodal import (
+        decode_png_features,
+        synth_png_payloads,
+    )
+
+    docs = _docs(sf_dir)
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.string())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(synth_png_payloads(ids), type=pa.binary()),
+                "media_type": pa.array(["image/png"] * len(t)),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    out = decode_png_features(media, concurrency=2, batch_size=128)
+    out = _round_cols(out, ["mean_px", "std_px"])
+    return out.select_columns(
+        ["doc_id", "width", "height", "n_channels", "mean_px", "std_px",
+         "min_px", "max_px"]
+    )
+
+
 
 def _q_compress_roundtrip(sf_dir: str):
     """Gorilla/delta-of-delta encode the 1h rollup series then decode —
@@ -1129,6 +1163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_stub": _q_multimodal,
         # REAL WAV codec: RIFF/PCM parse + sample features (golden oracle)
         "multimodal_decode_wav": _q_multimodal_wav,
+        # REAL PNG codec: zlib + numpy unfilter + pixel features (golden oracle)
+        "multimodal_decode_png": _q_multimodal_png,
         # Gorilla compression roundtrip (SQL-checkable: decode == rollup)
         "compress_roundtrip_1h": _q_compress_roundtrip,
         "range_read_1h": _q_range_read,
@@ -1750,6 +1786,7 @@ GOLDEN_ORACLE_KEYS = (
     "lang_id_docs",
     "multimodal_decode_stub",
     "multimodal_decode_wav",
+    "multimodal_decode_png",
     "telemetry_join_fixture",
     "corpus_end_to_end",
     "ivf_topk_cosine",

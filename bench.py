@@ -234,7 +234,9 @@ def run_scaling() -> dict:
     # Amdahl decomposition is explicit in the recorded artifact
     stage_names = sorted(
         {k for r in reps for k in r.get("stage_seconds", {})}
-        - {"dedup_ingest"}  # envelope of dedup_probe+scan+decide (double count)
+        # envelopes of dedup_probe+dv_scan_write+dv_decide_write — keeping
+        # them in would double-count their components in hi_total/shares
+        - {"dedup_ingest", "dedup_exec_write"}
     )
     stage_eff = {}
     hi_total = sum(
@@ -256,6 +258,31 @@ def run_scaling() -> dict:
             ),
             f"share_of_{hi}cpu_wall": round(t_h / hi_total, 3) if hi_total else None,
         }
+    # compute-weighted efficiency: the mean per-stage efficiency weighted by
+    # each stage's share of the hi-level wall — isolates how the engine's
+    # own stages scale from cross-stage scheduling noise; paired with the
+    # calibration-normalized variant it factors out hypervisor contention.
+    wsum = sum(v[f"sec_{hi}"] for v in stage_eff.values())
+    cweff = (
+        round(
+            sum(v[f"sec_{hi}"] * v["efficiency"] for v in stage_eff.values()) / wsum,
+            3,
+        )
+        if wsum
+        else None
+    )
+    cweff_norm = (
+        round(
+            sum(
+                v[f"sec_{hi}"] * (v["calib_normalized"] or 0)
+                for v in stage_eff.values()
+            )
+            / wsum,
+            3,
+        )
+        if wsum and calib_speedup
+        else None
+    )
     return {
         "metric": "scaling efficiency (same pipeline, fresh processes, "
         f"num_cpus={lo} vs {hi}, min of {repeats} runs per level)",
@@ -274,6 +301,8 @@ def run_scaling() -> dict:
             round((t_lo / t_hi) / calib_speedup, 3) if calib_speedup else None
         ),
         "stage_efficiency": stage_eff,
+        "compute_weighted_efficiency": cweff,
+        "compute_weighted_calib_normalized": cweff_norm,
         "sf": sf,
         "reps": reps,
     }

@@ -91,46 +91,52 @@ def cumulative_log_features(
         return pa.Table.from_pandas(df[[f.name for f in out_schema]], schema=out_schema, preserve_index=False)
 
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["bucket_us"] = df["timestamp_us"]
-        outs = []
-        for svc, g in df.groupby("service", sort=False):
-            counts = (
-                g.pivot_table(
-                    index="bucket_us", columns="level", values="event_id",
-                    aggfunc="count",
-                )
-                .reindex(columns=["WARN", "ERROR", "INFO"])
-                .fillna(0)
-                .astype(np.int64)
-            )
-            counts["all"] = g.groupby("bucket_us").size()
-            counts = counts.sort_index()
-            first_seen = g.groupby("event_id")["bucket_us"].min()
-            new_distinct = first_seen.value_counts().reindex(counts.index).fillna(0)
-            out = pd.DataFrame(
-                {
-                    "service": svc,
-                    "bucket_us": counts.index.to_numpy(dtype=np.int64),
-                    "running_all": counts["all"].cumsum().to_numpy(dtype=np.int64),
-                    "running_warn": counts["WARN"].cumsum().to_numpy(dtype=np.int64),
-                    "running_error": counts["ERROR"].cumsum().to_numpy(dtype=np.int64),
-                    "running_info": counts["INFO"].cumsum().to_numpy(dtype=np.int64),
-                    "running_distinct_events": new_distinct.cumsum().to_numpy(
-                        dtype=np.int64
-                    ),
-                }
-            )
-            outs.append(out)
-        return (
-            pd.concat(outs, ignore_index=True)
-            if outs
-            else pd.DataFrame(
+        # ONE grouped pass for every service in the partition — no
+        # per-service Python loop (round-2 verdict). Semantics preserved
+        # exactly: per-level counts are of NON-NULL event_ids (the old
+        # pivot_table aggfunc="count"), "all" counts every row, services
+        # emit in first-appearance order with buckets ascending inside.
+        if len(df) == 0:
+            return pd.DataFrame(
                 columns=[
                     "service", "bucket_us", "running_all", "running_warn",
                     "running_error", "running_info", "running_distinct_events",
                 ]
             )
+        df = df.assign(bucket_us=df["timestamp_us"])
+        # factorize = first-appearance rank, so sorted group order == the
+        # old loop's emit order (use_na_sentinel=False: codes index uniques)
+        codes, uniques = pd.factorize(df["service"], use_na_sentinel=False)
+        df["_svc"] = codes
+        counts = (
+            df.groupby(["_svc", "bucket_us"], sort=True).size().rename("all").to_frame()
+        )
+        lv = (
+            df.groupby(["_svc", "bucket_us", "level"], sort=True)["event_id"]
+            .count()
+            .unstack("level")
+            .reindex(columns=["WARN", "ERROR", "INFO"])
+        )
+        counts = counts.join(lv).fillna(0)
+        first_seen = df.groupby(["_svc", "event_id"], sort=False)["bucket_us"].min()
+        nd = (
+            first_seen.reset_index()
+            .groupby(["_svc", "bucket_us"], sort=True)
+            .size()
+        )
+        counts["nd"] = nd.reindex(counts.index).fillna(0)
+        cum = counts.groupby(level=0, sort=True).cumsum()
+        idx = counts.index
+        return pd.DataFrame(
+            {
+                "service": uniques[idx.get_level_values(0)],
+                "bucket_us": idx.get_level_values(1).to_numpy(dtype=np.int64),
+                "running_all": cum["all"].to_numpy(dtype=np.int64),
+                "running_warn": cum["WARN"].to_numpy(dtype=np.int64),
+                "running_error": cum["ERROR"].to_numpy(dtype=np.int64),
+                "running_info": cum["INFO"].to_numpy(dtype=np.int64),
+                "running_distinct_events": cum["nd"].to_numpy(dtype=np.int64),
+            }
         )
 
     # all rows of one service must co-locate (running sums are per service)

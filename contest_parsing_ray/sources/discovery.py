@@ -8,15 +8,23 @@ missing either a monitoring or a traces stream; ``test_mode`` truncates to
 the first two services.
 
 This is driver-side metadata work (file listing, not data): at 100 TB the
-listing itself is thousands of paths, not bytes — a plain os.scandir is the
-right tool, and the RESULT feeds ``read_binary_files``/``read_text`` so the
-data itself never touches the driver.
+listing itself is thousands of paths, not bytes. Listing goes through
+``pyarrow.fs`` (SURVEY S1's own recommendation), so ``source_dir`` may be a
+plain local path or an ``s3://``-style URI — sizes come back with the
+listing (one round trip on object stores, no per-file stat). The RESULT
+feeds ``read_binary_files``/``read_text`` so the data itself never touches
+the driver; when the input was a URI, returned paths keep the scheme so
+the Ray readers resolve the same filesystem.
 """
 
 from __future__ import annotations
 
-import os
+import posixpath
 from dataclasses import dataclass, field
+
+from pyarrow import fs as pafs
+
+from ..fsutil import is_uri, resolve_fs
 
 
 @dataclass
@@ -37,37 +45,46 @@ def find_files(
     Services missing monitoring OR traces are dropped (``FilepathFinder.py:
     53-59``); ``test_mode`` keeps the first ``max_test_services`` in
     directory order (``:61-63``)."""
+    fsys, root = resolve_fs(source_dir)
+    prefix = source_dir.split("://", 1)[0] + "://" if is_uri(source_dir) else ""
 
-    def _sized(paths: list[str]) -> list[str]:
+    def _out(fs_path: str) -> str:
+        return prefix + fs_path
+
+    def _ls(path: str) -> list[pafs.FileInfo]:
         return sorted(
-            p for p in paths
-            if os.path.isfile(p) and os.path.getsize(p) > min_bytes
+            fsys.get_file_info(pafs.FileSelector(path)), key=lambda i: i.path
+        )
+
+    def _sized(infos: list[pafs.FileInfo], suffix: str) -> list[str]:
+        return sorted(
+            _out(i.path)
+            for i in infos
+            if i.is_file and i.path.endswith(suffix) and (i.size or 0) > min_bytes
         )
 
     out: dict[str, ServiceStreams] = {}
-    for service in sorted(os.listdir(source_dir)):
-        sdir = os.path.join(source_dir, service)
-        if not os.path.isdir(sdir):
+    for svc_info in _ls(root):
+        if svc_info.type != pafs.FileType.Directory:
             continue
+        service = posixpath.basename(svc_info.path)
         streams = ServiceStreams()
-        for entry in sorted(os.listdir(sdir)):
-            path = os.path.join(sdir, entry)
-            low = entry.lower()
-            if os.path.isfile(path):
+        for entry in _ls(svc_info.path):
+            low = posixpath.basename(entry.path).lower()
+            if entry.is_file:
                 # logs may live in one top-level logs*.txt (reference :24-29)
                 if low.startswith("logs") and low.endswith(".txt"):
-                    streams.logs.append(path)
+                    streams.logs.append(_out(entry.path))
                 continue
-            files_in = [os.path.join(path, f) for f in os.listdir(path)]
+            if entry.type != pafs.FileType.Directory:
+                continue
+            files_in = _ls(entry.path)
             if low.startswith("logs"):
-                streams.logs.extend(
-                    _sized([p for p in files_in if p.endswith(".log")])
-                )
-            json_files = _sized([p for p in files_in if p.endswith(".json")])
+                streams.logs.extend(_sized(files_in, ".log"))
             if low.startswith("monitor"):
-                streams.monitoring.extend(json_files)
+                streams.monitoring.extend(_sized(files_in, ".json"))
             if low.startswith("ts") or low.startswith("trace"):
-                streams.traces.extend(json_files)
+                streams.traces.extend(_sized(files_in, ".json"))
         if streams.monitoring and streams.traces:
             out[service] = streams
     if test_mode:
@@ -78,11 +95,19 @@ def find_files(
 def corpus_stats(path_list: dict[str, ServiceStreams]) -> dict[str, dict[str, float]]:
     """Per-service stream sizes in MB (reference ``__print_statistics``,
     ``JoinManager.py:197-214``)."""
-    stats = {}
-    for name, s in path_list.items():
-        stats[name] = {
-            "monitoring_mb": sum(os.path.getsize(p) for p in s.monitoring) / 1e6,
-            "traces_mb": sum(os.path.getsize(p) for p in s.traces) / 1e6,
-            "logs_mb": sum(os.path.getsize(p) for p in s.logs) / 1e6,
+
+    def _mb(paths: list[str]) -> float:
+        total = 0
+        for p in paths:
+            fsys, fp = resolve_fs(p)
+            total += fsys.get_file_info(fp).size or 0
+        return total / 1e6
+
+    return {
+        name: {
+            "monitoring_mb": _mb(s.monitoring),
+            "traces_mb": _mb(s.traces),
+            "logs_mb": _mb(s.logs),
         }
-    return stats
+        for name, s in path_list.items()
+    }

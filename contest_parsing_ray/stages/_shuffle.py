@@ -37,12 +37,43 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
+def _hash_equal_len_block(mat: np.ndarray) -> np.ndarray:
+    """Equal-length fast path: ``mat`` is the zero-copy (n, L) byte matrix
+    of n strings of length L. Same math as :func:`_hash_strings_block`
+    (bit-identical, property-tested): per-position mix then sum — but as L
+    column passes over contiguous arrays instead of the per-byte
+    expansion + gather + reduceat, which is ~2-4x less memory traffic.
+    Fixed-length id columns (doc_id) are the dedup probe's hot path."""
+    n, L = mat.shape
+    with np.errstate(over="ignore"):
+        PRIME = np.uint64(0x100000001B3)
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(L):
+            w = (np.uint64(j) + np.uint64(0x9E3779B9)) * PRIME
+            mixed = (mat[:, j].astype(np.uint64) + np.uint64(1)) * w
+            mixed ^= mixed >> np.uint64(29)
+            mixed *= np.uint64(0xBF58476D1CE4E5B9)
+            acc += mixed
+        if L == 0:
+            acc[:] = np.uint64(0xCBF29CE484222325)
+        acc ^= np.uint64(L) * np.uint64(0x9E3779B97F4A7C15)
+        acc ^= acc >> np.uint64(32)
+    return acc
+
+
 def _hash_strings_block(
     buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray
 ) -> np.ndarray:
     """One block of the string hash (same math for any block split)."""
     total = int(lengths.sum())
     n = len(lengths)
+    if n and lengths[0] > 0 and (lengths == lengths[0]).all():
+        L = int(lengths[0])
+        # contiguous equal-length strings (the usual case for a sliced
+        # offsets buffer) reshape zero-copy into an (n, L) byte matrix
+        if starts[-1] - starts[0] == (n - 1) * L:
+            mat = buf[starts[0] : starts[0] + n * L].reshape(n, L)
+            return _hash_equal_len_block(mat)
     seg_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=seg_off[1:])
     with np.errstate(over="ignore"):
@@ -141,20 +172,38 @@ def add_hash_partition(
     return batch.append_column(out_col, pa.array(part, type=pa.int64()))
 
 
-def default_num_partitions() -> int:
-    """Partition count for hash-partitioned exchanges: ~CPUs/2, clamped.
+# Upper bound on what one partition may hold: groupby("__part").map_groups
+# materializes a whole partition as ONE in-memory table in a worker, so the
+# partition count must grow with data volume, not just cluster width.
+TARGET_PARTITION_BYTES = 256 << 20
 
-    Measured on this Ray version (sort-based shuffle): P=64 on a 32-CPU
-    node took 50s for a 1M-row dedup, P=16 took 7s — the per-partition
-    task/block overhead of the sort shuffle dominates well before data
-    volume does, so never default to more partitions than ~half the
-    cluster's cores.
+
+def default_num_partitions(
+    input_bytes: int | None = None,
+    target_partition_bytes: int = TARGET_PARTITION_BYTES,
+) -> int:
+    """Partition count for hash-partitioned exchanges.
+
+    Base: ~CPUs/2, clamped. Measured on this Ray version (sort-based
+    shuffle): P=64 on a 32-CPU node took 50s for a 1M-row dedup, P=16 took
+    7s — the per-partition task/block overhead of the sort shuffle
+    dominates well before data volume does, so never default to more
+    partitions than ~half the cluster's cores.
+
+    When ``input_bytes`` is known, the count is additionally floored at
+    ``ceil(input_bytes / target_partition_bytes)`` so one partition never
+    exceeds a worker-heap-sized table at 100x the data — the CPU-derived
+    cap is an overhead trade-off, not a memory-safety bound, so the bytes
+    floor may exceed it (clamped at 4096 partitions as a runaway guard).
     """
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(4, min(64, cpus // 2))
+    p = max(4, min(64, cpus // 2))
+    if input_bytes:
+        p = max(p, min(4096, -(-int(input_bytes) // target_partition_bytes)))
+    return p
 
 
 def hash_partitioned_map(
@@ -163,16 +212,19 @@ def hash_partitioned_map(
     fn: Callable,
     num_partitions: int | None = None,
     batch_format: str = "pyarrow",
+    input_bytes: int | None = None,
 ) -> ray.data.Dataset:
     """Shuffle by hash(cols) % P and apply ``fn`` once per partition.
 
     ``fn`` receives the whole partition (pa.Table or pd.DataFrame incl. the
     ``__part`` column — drop not needed, it is removed after) and must
     handle ALL groups inside vectorized. All rows with equal ``cols`` values
-    are guaranteed co-located in one call.
+    are guaranteed co-located in one call. Callers that shuffle unreduced
+    data (not pre-aggregated partials) should pass ``input_bytes`` so the
+    partition count scales with volume (see :func:`default_num_partitions`).
     """
     if num_partitions is None:
-        num_partitions = default_num_partitions()
+        num_partitions = default_num_partitions(input_bytes)
     parted = ds.map_batches(
         lambda b: add_hash_partition(b, cols, num_partitions), batch_format="pyarrow"
     )
@@ -260,6 +312,7 @@ def raw_hash_exchange(
     cols: list[str],
     fn: Callable[[pa.Table], pa.Table],
     num_partitions: int | None = None,
+    input_bytes: int | None = None,
 ) -> list["ray.ObjectRef"]:
     """Hash-partitioned map over a MATERIALIZED Dataset via raw Ray tasks.
 
@@ -278,7 +331,7 @@ def raw_hash_exchange(
     ``ray.data.from_arrow_refs`` to continue as a Dataset).
     """
     if num_partitions is None:
-        num_partitions = default_num_partitions()
+        num_partitions = default_num_partitions(input_bytes)
     P = num_partitions
     blocks = ds.to_arrow_refs()
     if not blocks:

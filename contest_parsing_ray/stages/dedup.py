@@ -70,9 +70,15 @@ def dedup(
     keep: str = "first",
     tiebreak_cols: tuple[str, ...] = (),
     num_partitions: int | None = None,
+    input_bytes: int | None = None,
 ) -> ray.data.Dataset:
     """Exact dedup on ``key``. keep='first' (deterministic min-tiebreak) or
-    keep='none' (drop every copy of a duplicated key)."""
+    keep='none' (drop every copy of a duplicated key).
+
+    This exchange moves UNREDUCED rows, so at scale pass ``input_bytes``
+    (e.g. the on-disk parquet size) — the partition count then grows with
+    volume so no partition exceeds a worker-heap-sized table
+    (``_shuffle.default_num_partitions``)."""
     if keep not in ("first", "none"):
         raise ValueError("keep must be 'first' or 'none'")
 
@@ -91,7 +97,8 @@ def dedup(
         return t.take(idx)
 
     return hash_partitioned_map(
-        ds, [key], dedup_partition, num_partitions=num_partitions, batch_format="pyarrow"
+        ds, [key], dedup_partition, num_partitions=num_partitions,
+        batch_format="pyarrow", input_bytes=input_bytes,
     )
 
 
@@ -267,7 +274,12 @@ def duplicated_key_probe_files(
     """
     import pyarrow.dataset as pads
 
-    frag_paths = [f.path for f in pads.dataset(input_path).get_fragments()]
+    dset = pads.dataset(input_path)
+    # thread the dataset's filesystem into the read tasks so s3://-style
+    # URIs work end-to-end (pyarrow filesystems are picklable); local
+    # paths resolve to LocalFileSystem and behave as before
+    fsys = dset.filesystem
+    frag_paths = [f.path for f in dset.get_fragments()]
     if not frag_paths:
         return np.array([], dtype=np.uint64)
     if num_shards is None:
@@ -280,7 +292,7 @@ def duplicated_key_probe_files(
         # each task reserves 1 CPU, but pyarrow's internal read pool spawns
         # a thread per HOST core — N concurrent reads × host threads thrash
         # (measured: the probe ran 7x SLOWER at 16 CPUs than at 4)
-        t = pq.read_table(path, columns=[key], use_threads=False)
+        t = pq.read_table(path, columns=[key], use_threads=False, filesystem=fsys)
         h = hash64_strings(t[key])
         uniq, cnt = np.unique(h, return_counts=True)
         sid = (uniq % np.uint64(num_shards)).astype(np.int64)

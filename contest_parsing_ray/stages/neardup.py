@@ -305,31 +305,45 @@ def minhash_lsh_pairs(
 class SimHash:
     """64-bit SimHash over hashed word features (Charikar 2002).
 
-    Vectorized per batch: ONE buffer-level hash over all words of all docs,
-    then segmented bit votes with reduceat — no per-document Python loop."""
+    Vectorized per batch: ONE Arrow regex split (RE2, no per-row Python),
+    ONE buffer-level hash over all words of all docs, then segmented bit
+    votes with reduceat — no per-document Python loop and no
+    interpreter-level word list (the round-2 `.str.findall` + flatten)."""
 
     def __init__(self, text_col="text"):
-        import re
-
         self.text_col = text_col
-        self.word = re.compile(r"[A-Za-z0-9_]+")
+        # complement of the word class [A-Za-z0-9_]: splitting lowered text
+        # on runs of non-word chars yields exactly findall's token stream,
+        # plus empty strings at the doc edges which we mask out below
+        self.sep = "[^a-z0-9_]+"
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        words_per_doc = (
-            batch[self.text_col].fillna("").str.lower().str.findall(self.word)
+        import pyarrow.compute as pc
+
+        col = pc.utf8_lower(
+            pc.fill_null(pa.array(batch[self.text_col], from_pandas=True), "")
         )
-        lengths = words_per_doc.str.len().to_numpy(dtype=np.int64)
-        flat: list[str] = [w for ws in words_per_doc for w in ws]
-        n_docs = len(lengths)
-        if not flat:
+        words = pc.split_pattern_regex(col, pattern=self.sep)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        off_dtype = np.int64 if pa.types.is_large_list(words.type) else np.int32
+        raw_off = np.frombuffer(words.buffers()[1], dtype=off_dtype)[
+            words.offset : words.offset + len(words) + 1
+        ].astype(np.int64)
+        n_docs = len(words)
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        parent = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(raw_off))
+        lengths = np.bincount(parent[keep], minlength=n_docs).astype(np.int64)
+        if not keep.any():
             batch["simhash"] = np.zeros(n_docs, dtype=np.int64)
             return batch
-        hs = hash64_strings(pa.array(flat, type=pa.string()))
+        hs = hash64_strings(flat.filter(pa.array(keep)))
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
             np.int64
         )
-        offsets = np.zeros(n_docs + 1, dtype=np.int64)
-        np.cumsum(lengths, out=offsets[1:])
         # sentinel row so trailing empty docs keep reduceat in range
         bits = np.vstack([bits, np.zeros((1, 64), dtype=np.int64)])
         votes = np.add.reduceat(bits, offsets[:-1], axis=0)

@@ -13,40 +13,61 @@ atomicity/lineage design from SURVEY §4 (idempotent writes, per-partition
 manifest, skip-completed-on-resume). All todo tiers are written in ONE
 distributed execution (union of the lazy per-tier chains, hive-partitioned
 by tier/source); per-partition stats come from a driver-side read of the
-written files — rollup tiers are compact by design (one row per
-(source, bucket)), so that read is cheap relative to an extra distributed
-execution. Swap in a Ray aggregate for pathological tier sizes.
+written files below ``distributed_threshold_bytes`` — rollup tiers are
+compact by design (one row per (source, bucket)) — and from one Ray task
+per partition above it.
+
+Every file op goes through ``pyarrow.fs`` (``..fsutil``), so ``out_dir``
+may be a plain local path or an ``s3://``-style URI; resolved filesystems
+are picklable and ride into the Ray tasks of the distributed branches.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 
 import numpy as np
 import pyarrow as pa
 import ray.data
+from pyarrow import fs as pafs
 
+from ..fsutil import join_path, resolve_fs
 from ..state.manifest import clear_dir, fingerprint_config, fingerprint_input
 
 
+def _is_dir(fsys: pafs.FileSystem, path: str) -> bool:
+    return fsys.get_file_info(path).type == pafs.FileType.Directory
+
+
+def _ls(fsys: pafs.FileSystem, path: str) -> list[pafs.FileInfo]:
+    return sorted(
+        fsys.get_file_info(pafs.FileSelector(path)), key=lambda i: i.path
+    )
+
+
 def manifest_file(out_dir: str, tier: str) -> str:
-    return os.path.join(out_dir, "manifests", f"{tier}.json")
+    return join_path(out_dir, "manifests", f"{tier}.json")
 
 
 def write_tier_manifest(out_dir: str, tier: str, manifest: dict) -> None:
-    os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
-    tmp = manifest_file(out_dir, tier) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, manifest_file(out_dir, tier))
+    fsys, root = resolve_fs(out_dir)
+    fsys.create_dir(join_path(root, "manifests"), recursive=True)
+    final = join_path(root, "manifests", f"{tier}.json")
+    tmp = final + ".tmp"
+    with fsys.open_output_stream(tmp) as f:
+        f.write(json.dumps(manifest, indent=1, sort_keys=True).encode())
+    fsys.move(tmp, final)
 
 
 def read_tier_manifest(out_dir: str, tier: str) -> dict | None:
+    fsys, root = resolve_fs(out_dir)
     try:
-        with open(manifest_file(out_dir, tier)) as f:
-            return json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
+        with fsys.open_input_stream(
+            join_path(root, "manifests", f"{tier}.json")
+        ) as f:
+            return json.loads(f.read().decode())
+    except (FileNotFoundError, OSError, json.JSONDecodeError):
         return None
 
 
@@ -61,7 +82,7 @@ def tier_needs_build(out_dir: str, tier: str, input_fp: str, config_fp: str) -> 
 
 
 def tier_data_dir(out_dir: str, tier: str) -> str:
-    return os.path.join(out_dir, "rollup", "data", f"tier={tier}")
+    return join_path(out_dir, "rollup", "data", f"tier={tier}")
 
 
 def read_tier(out_dir: str, tier: str) -> ray.data.Dataset:
@@ -89,34 +110,34 @@ def _partition_stats_from_disk(
     partition, so nothing tier-sized ever lands on the driver."""
     import pyarrow.dataset as pads
 
-    subdirs = sorted(
-        d for d in os.listdir(data_dir)
-        if os.path.isdir(os.path.join(data_dir, d)) and "=" in d
-    )
+    fsys, root = resolve_fs(data_dir)
+    infos = _ls(fsys, root)
+    subdirs = [
+        i.path
+        for i in infos
+        if i.type == pafs.FileType.Directory and "=" in posixpath.basename(i.path)
+    ]
     total_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(data_dir)
-        for f in files
-        if f.endswith(".parquet")
+        i.size or 0
+        for i in fsys.get_file_info(pafs.FileSelector(root, recursive=True))
+        if i.is_file and i.path.endswith(".parquet")
     )
     if total_bytes <= distributed_threshold_bytes or not subdirs:
-        dset = pads.dataset(data_dir, partitioning="hive")
+        dset = pads.dataset(root, partitioning="hive", filesystem=fsys)
         return _stats_of_frame(dset.to_table().to_pandas(), key_col)
 
     @ray.remote(num_cpus=1)
     def part_stats(pdir: str, key: str) -> tuple[str, dict]:
         import pyarrow.dataset as pads_r
 
-        df = pads_r.dataset(pdir).to_table().to_pandas()
+        df = pads_r.dataset(pdir, filesystem=fsys).to_table().to_pandas()
         num = df.select_dtypes(include=[np.number]).to_numpy(dtype=np.float64)
         ck = int(np.abs(np.nan_to_num(num)).sum() * 1000) & 0xFFFFFFFFFFFF
         return key, {"rows": int(len(df)), "checksum": ck}
 
     out = ray.get(
         [
-            part_stats.remote(
-                os.path.join(data_dir, d), d.split("=", 1)[1]
-            )
+            part_stats.remote(d, posixpath.basename(d).split("=", 1)[1])
             for d in subdirs
         ]
     )
@@ -146,7 +167,7 @@ def write_tiers(
             batch_format="pyarrow",
         )
         tagged = t if tagged is None else tagged.union(t)
-    root = os.path.join(out_dir, "rollup", "data")
+    root = join_path(out_dir, "rollup", "data")
     tagged.write_parquet(root, partition_cols=["tier", key_col])
 
     manifests: dict[str, dict] = {}
@@ -198,14 +219,16 @@ def write_tiers_local(
     for name, df in tier_frames.items():
         tdir = tier_data_dir(out_dir, name)
         clear_dir(tdir)
+        fsys, troot = resolve_fs(tdir)
         stats: dict = {}
         for k, g in df.groupby(key_col):
-            pdir = os.path.join(tdir, f"{key_col}={k}")
-            os.makedirs(pdir, exist_ok=True)
+            pdir = join_path(troot, f"{key_col}={k}")
+            fsys.create_dir(pdir, recursive=True)
             out = g.drop(columns=[key_col])
             pq.write_table(
                 pa.Table.from_pandas(out, preserve_index=False),
-                os.path.join(pdir, "part-0000.parquet"),
+                join_path(pdir, "part-0000.parquet"),
+                filesystem=fsys,
             )
             num = g.select_dtypes(include=[np.number]).to_numpy(dtype=np.float64)
             ck = int(np.abs(np.nan_to_num(num)).sum() * 1000) & 0xFFFFFFFFFFFF
@@ -237,7 +260,7 @@ def apply_retention(
 
     ``now_us`` is an explicit argument (no wall clock — deterministic,
     reproducible runs). Rewrite is per source-partition file and atomic
-    (tmp + replace); untouched partitions are not rewritten.
+    (tmp + move); untouched partitions are not rewritten.
     """
     import pyarrow.parquet as pq
 
@@ -245,36 +268,34 @@ def apply_retention(
     tdir = tier_data_dir(out_dir, tier)
     dropped = 0
     kept = 0
-    if not os.path.isdir(tdir):
+    fsys, troot = resolve_fs(tdir)
+    if not _is_dir(fsys, troot):
         return {"dropped": 0, "kept": 0}
     # expire the mergeable STATE alongside the data: the public tier is
     # regenerated from state on incremental append, so a state row that
     # outlives retention would resurrect its dropped bucket
-    roots = [tdir]
-    sdir = tier_state_dir(out_dir, tier)
-    if os.path.isdir(sdir):
-        roots.append(sdir)
-    jobs: list[tuple[str, bool]] = []  # (file path, counts toward data?)
+    _, sroot = resolve_fs(tier_state_dir(out_dir, tier))
+    roots = [troot] + ([sroot] if _is_dir(fsys, sroot) else [])
+    jobs: list[tuple[str, bool]] = []  # (fs path, counts toward data?)
     for root in roots:
-        for sub in sorted(os.listdir(root)):
-            pdir = os.path.join(root, sub)
-            if not os.path.isdir(pdir):
+        for sub in _ls(fsys, root):
+            if sub.type != pafs.FileType.Directory:
                 continue
-            for f in sorted(os.listdir(pdir)):
-                if f.endswith(".parquet"):
-                    jobs.append((os.path.join(pdir, f), root == tdir))
+            for f in _ls(fsys, sub.path):
+                if f.is_file and f.path.endswith(".parquet"):
+                    jobs.append((f.path, root == troot))
 
     def expire_file(path: str) -> tuple[int, int]:
         """Atomic per-file expiry; returns (kept, dropped)."""
-        t = pq.read_table(path)
+        t = pq.read_table(path, filesystem=fsys)
         mask = pa.compute.greater_equal(t["bucket_us"], pa.scalar(cutoff))
         n_keep = pa.compute.sum(mask.cast(pa.int8())).as_py() or 0
         if n_keep == len(t):
             return len(t), 0
         filtered = t.filter(mask)
         tmp = path + ".tmp"
-        pq.write_table(filtered, tmp)
-        os.replace(tmp, path)
+        pq.write_table(filtered, tmp, filesystem=fsys)
+        fsys.move(tmp, path)
         return len(filtered), len(t) - len(filtered)
 
     if len(jobs) <= 16:
@@ -304,7 +325,7 @@ def tier_state_dir(out_dir: str, tier: str) -> str:
     public tier data is a pure function of this state (strip qsum +
     gap-fill), so an append only has to merge delta partials into state
     rows and regenerate the affected sources' data files."""
-    return os.path.join(out_dir, "rollup", "state", f"tier={tier}")
+    return join_path(out_dir, "rollup", "state", f"tier={tier}")
 
 
 def write_tier_state_local(
@@ -316,12 +337,14 @@ def write_tier_state_local(
 
     sdir = tier_state_dir(out_dir, tier)
     clear_dir(sdir)
+    fsys, sroot = resolve_fs(sdir)
     for k, g in merged.groupby(key_col, sort=False):
-        pdir = os.path.join(sdir, f"{key_col}={k}")
-        os.makedirs(pdir, exist_ok=True)
+        pdir = join_path(sroot, f"{key_col}={k}")
+        fsys.create_dir(pdir, recursive=True)
         pq.write_table(
             pa.Table.from_pandas(g.drop(columns=[key_col]), preserve_index=False),
-            os.path.join(pdir, "state-0000.parquet"),
+            join_path(pdir, "state-0000.parquet"),
+            filesystem=fsys,
         )
 
 
@@ -331,17 +354,17 @@ def read_tier_state(out_dir: str, tier: str, sources: list[str] | None = None):
     import pyarrow.dataset as pads
 
     sdir = tier_state_dir(out_dir, tier)
-    if not os.path.isdir(sdir):
+    fsys, sroot = resolve_fs(sdir)
+    if not _is_dir(fsys, sroot):
         return None
     if sources is None:
-        d = pads.dataset(sdir, partitioning="hive")
-        df = d.to_table().to_pandas()
-        return df
+        d = pads.dataset(sroot, partitioning="hive", filesystem=fsys)
+        return d.to_table().to_pandas()
     frames = []
     for s in sources:
-        pdir = os.path.join(sdir, f"source={s}")
-        if os.path.isdir(pdir):
-            f = pads.dataset(pdir).to_table().to_pandas()
+        pdir = join_path(sroot, f"source={s}")
+        if _is_dir(fsys, pdir):
+            f = pads.dataset(pdir, filesystem=fsys).to_table().to_pandas()
             f["source"] = s
             frames.append(f)
     return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()

@@ -24,31 +24,161 @@ _WORD_RE = r"[A-Za-z0-9_]+"
 
 # Seed corpora for the char-trigram language profiles (authored here; the
 # classifier is the standard n-gram log-likelihood ratio — Cavnar & Trenkle
-# 1994 — with fixed profiles, no runtime training).
+# 1994 — with fixed profiles, no runtime training). Round-3 upgrade
+# (round-2 verdict): 12 languages, ~150 words each, written with native
+# diacritics so accented input trigrams hit the profile instead of OOV;
+# function words and inflection endings (the signal trigrams carry) are
+# deliberately dense. Accuracy on the confusable-pair fixture
+# (es/pt, de/nl, sv vs de, it vs es) is pinned by tests/test_text_oracle.py.
 _LANG_SEEDS = {
     "en": (
         "the quick brown fox jumps over the lazy dog and then it runs back "
         "to the house because there is nothing better to do in the evening "
         "when all of the work has been finished and the children are sleeping "
-        "we should always remember that every good thing takes time and effort"
+        "we should always remember that every good thing takes time and effort "
+        "in the morning the people of the town would walk along the river and "
+        "talk about the weather and the harvest which had been better than they "
+        "thought it would be although the rain had come late that year and the "
+        "fields were still wet when the machines finally arrived from the south "
+        "nobody could say whether the next season would bring the same troubles "
+        "but everyone agreed that they would rather work together than wait alone"
     ),
     "de": (
-        "der schnelle braune fuchs springt ueber den faulen hund und laeuft "
-        "dann zurueck zum haus weil es am abend nichts besseres zu tun gibt "
+        "der schnelle braune fuchs springt über den faulen hund und läuft "
+        "dann zurück zum haus weil es am abend nichts besseres zu tun gibt "
         "wenn die ganze arbeit erledigt ist und die kinder schlafen sollten "
-        "wir immer daran denken dass jede gute sache zeit und muehe braucht"
+        "wir immer daran denken dass jede gute sache zeit und mühe braucht "
+        "am morgen gingen die leute der stadt am fluss entlang und sprachen "
+        "über das wetter und die ernte die besser gewesen war als sie gedacht "
+        "hatten obwohl der regen in diesem jahr spät gekommen war und die "
+        "felder noch nass waren als die maschinen endlich aus dem süden kamen "
+        "niemand konnte sagen ob die nächste jahreszeit dieselben schwierigkeiten "
+        "bringen würde aber alle waren sich einig dass sie lieber zusammen "
+        "arbeiten als allein warten wollten"
     ),
     "fr": (
         "le renard brun et rapide saute par dessus le chien paresseux puis il "
-        "retourne vers la maison parce qu il n y a rien de mieux a faire le "
-        "soir quand tout le travail est termine et que les enfants dorment "
-        "nous devrions toujours nous rappeler que toute bonne chose prend du temps"
+        "retourne vers la maison parce qu il n y a rien de mieux à faire le "
+        "soir quand tout le travail est terminé et que les enfants dorment "
+        "nous devrions toujours nous rappeler que toute bonne chose prend du temps "
+        "le matin les gens de la ville marchaient le long de la rivière et "
+        "parlaient du temps et de la récolte qui avait été meilleure que ce "
+        "qu ils pensaient bien que la pluie soit arrivée tard cette année et que "
+        "les champs soient encore mouillés quand les machines sont enfin venues "
+        "du sud personne ne pouvait dire si la saison prochaine apporterait les "
+        "mêmes difficultés mais tout le monde était d accord pour travailler "
+        "ensemble plutôt que d attendre seul"
     ),
     "es": (
-        "el rapido zorro marron salta sobre el perro perezoso y luego vuelve "
+        "el rápido zorro marrón salta sobre el perro perezoso y luego vuelve "
         "a la casa porque no hay nada mejor que hacer por la noche cuando "
-        "todo el trabajo esta terminado y los ninos duermen debemos recordar "
-        "siempre que toda cosa buena requiere tiempo y esfuerzo"
+        "todo el trabajo está terminado y los niños duermen debemos recordar "
+        "siempre que toda cosa buena requiere tiempo y esfuerzo "
+        "por la mañana la gente del pueblo caminaba junto al río y hablaba "
+        "del tiempo y de la cosecha que había sido mejor de lo que pensaban "
+        "aunque la lluvia llegó tarde este año y los campos todavía estaban "
+        "mojados cuando las máquinas llegaron por fin desde el sur nadie podía "
+        "decir si la próxima temporada traería los mismos problemas pero todos "
+        "estaban de acuerdo en que preferían trabajar juntos antes que esperar solos"
+    ),
+    "pt": (
+        "a raposa marrom e rápida pula sobre o cachorro preguiçoso e depois "
+        "volta para a casa porque não há nada melhor para fazer à noite quando "
+        "todo o trabalho está terminado e as crianças dormem devemos lembrar "
+        "sempre que toda coisa boa exige tempo e esforço "
+        "de manhã as pessoas da cidade caminhavam ao longo do rio e falavam "
+        "sobre o tempo e sobre a colheita que tinha sido melhor do que pensavam "
+        "embora a chuva tenha chegado tarde este ano e os campos ainda "
+        "estivessem molhados quando as máquinas finalmente chegaram do sul "
+        "ninguém podia dizer se a próxima estação traria os mesmos problemas "
+        "mas todos concordavam que preferiam trabalhar juntos a esperar sozinhos"
+    ),
+    "it": (
+        "la volpe marrone e veloce salta sopra il cane pigro e poi torna "
+        "verso la casa perché non c è niente di meglio da fare la sera quando "
+        "tutto il lavoro è finito e i bambini dormono dovremmo sempre ricordare "
+        "che ogni cosa buona richiede tempo e impegno "
+        "al mattino la gente della città camminava lungo il fiume e parlava "
+        "del tempo e del raccolto che era stato migliore di quanto pensassero "
+        "anche se la pioggia era arrivata tardi quest anno e i campi erano "
+        "ancora bagnati quando le macchine sono finalmente arrivate dal sud "
+        "nessuno poteva dire se la prossima stagione avrebbe portato gli stessi "
+        "problemi ma tutti erano d accordo che preferivano lavorare insieme "
+        "piuttosto che aspettare da soli"
+    ),
+    "nl": (
+        "de snelle bruine vos springt over de luie hond en loopt dan terug "
+        "naar het huis omdat er s avonds niets beters te doen is wanneer al "
+        "het werk klaar is en de kinderen slapen moeten we altijd onthouden "
+        "dat elk goed ding tijd en moeite kost "
+        "s ochtends liepen de mensen van de stad langs de rivier en spraken "
+        "over het weer en de oogst die beter was geweest dan ze hadden gedacht "
+        "hoewel de regen dit jaar laat was gekomen en de velden nog nat waren "
+        "toen de machines eindelijk uit het zuiden kwamen niemand kon zeggen "
+        "of het volgende seizoen dezelfde problemen zou brengen maar iedereen "
+        "was het erover eens dat ze liever samen werkten dan alleen wachtten"
+    ),
+    "sv": (
+        "den snabba bruna räven hoppar över den lata hunden och springer sedan "
+        "tillbaka till huset eftersom det inte finns något bättre att göra på "
+        "kvällen när allt arbete är klart och barnen sover borde vi alltid "
+        "komma ihåg att varje god sak kräver tid och möda "
+        "på morgonen gick stadens människor längs floden och pratade om vädret "
+        "och om skörden som hade varit bättre än de trodde även om regnet kom "
+        "sent i år och fälten fortfarande var våta när maskinerna äntligen kom "
+        "från söder ingen kunde säga om nästa säsong skulle föra med sig samma "
+        "problem men alla var överens om att de hellre arbetade tillsammans än "
+        "väntade ensamma"
+    ),
+    "pl": (
+        "szybki brązowy lis skacze nad leniwym psem a potem biegnie z powrotem "
+        "do domu ponieważ wieczorem nie ma nic lepszego do roboty kiedy cała "
+        "praca jest skończona a dzieci śpią powinniśmy zawsze pamiętać że każda "
+        "dobra rzecz wymaga czasu i wysiłku "
+        "rano ludzie z miasta szli wzdłuż rzeki i rozmawiali o pogodzie i o "
+        "zbiorach które były lepsze niż myśleli chociaż deszcz przyszedł późno "
+        "w tym roku a pola wciąż były mokre kiedy maszyny w końcu przyjechały "
+        "z południa nikt nie mógł powiedzieć czy następny sezon przyniesie te "
+        "same kłopoty ale wszyscy zgadzali się że wolą pracować razem niż "
+        "czekać samotnie"
+    ),
+    "tr": (
+        "hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve sonra eve "
+        "geri koşar çünkü akşamları yapacak daha iyi bir şey yoktur bütün iş "
+        "bittiğinde ve çocuklar uyurken her iyi şeyin zaman ve emek istediğini "
+        "her zaman hatırlamalıyız "
+        "sabahları kasabanın insanları nehir boyunca yürür ve hava durumu ile "
+        "hasat hakkında konuşurlardı hasat düşündüklerinden daha iyi olmuştu "
+        "gerçi yağmur bu yıl geç gelmişti ve makineler sonunda güneyden "
+        "geldiğinde tarlalar hala ıslaktı kimse gelecek mevsimin aynı sorunları "
+        "getirip getirmeyeceğini söyleyemezdi ama herkes yalnız beklemektense "
+        "birlikte çalışmayı tercih ettiklerinde hemfikirdi"
+    ),
+    "id": (
+        "rubah coklat yang cepat melompat di atas anjing yang malas dan "
+        "kemudian berlari kembali ke rumah karena tidak ada yang lebih baik "
+        "untuk dilakukan pada malam hari ketika semua pekerjaan sudah selesai "
+        "dan anak anak sedang tidur kita harus selalu ingat bahwa setiap hal "
+        "yang baik membutuhkan waktu dan usaha "
+        "pada pagi hari orang orang kota berjalan di sepanjang sungai dan "
+        "berbicara tentang cuaca dan tentang panen yang ternyata lebih baik "
+        "dari yang mereka kira meskipun hujan datang terlambat tahun ini dan "
+        "ladang masih basah ketika mesin mesin akhirnya tiba dari selatan "
+        "tidak ada yang bisa mengatakan apakah musim berikutnya akan membawa "
+        "masalah yang sama tetapi semua orang setuju bahwa mereka lebih suka "
+        "bekerja bersama daripada menunggu sendirian"
+    ),
+    "ro": (
+        "vulpea maro și rapidă sare peste câinele leneș și apoi aleargă înapoi "
+        "spre casă pentru că seara nu este nimic mai bun de făcut când toată "
+        "munca este terminată și copiii dorm ar trebui să ne amintim mereu că "
+        "orice lucru bun cere timp și efort "
+        "dimineața oamenii orașului mergeau de a lungul râului și vorbeau "
+        "despre vreme și despre recolta care fusese mai bună decât credeau "
+        "deși ploaia a venit târziu anul acesta și câmpurile erau încă ude "
+        "când mașinile au sosit în sfârșit din sud nimeni nu putea spune dacă "
+        "sezonul următor va aduce aceleași necazuri dar toți erau de acord că "
+        "preferă să lucreze împreună decât să aștepte singuri"
     ),
 }
 

@@ -105,3 +105,48 @@ def test_trace_one_row_basic():
     # tied modes: sorted ascending, " - "-joined
     assert t2["a-mode_code"] == "200 - 404"
     assert np.isnan(t2["b-mean_v"])  # t2 has no service b
+
+
+def test_find_files_uri_inputs(corpus):
+    """pyarrow.fs end-to-end (round-2 verdict): a file:// URI root lists
+    identically to the plain path and returns scheme-qualified paths that
+    pyarrow/Ray readers resolve to the same bytes."""
+    import pyarrow.parquet  # noqa: F401  (ensures pyarrow present)
+
+    plain = find_files(corpus)
+    uri = find_files("file://" + corpus)
+    assert set(uri) == set(plain)
+    for svc in plain:
+        for stream in ("monitoring", "traces", "logs"):
+            ps = getattr(plain[svc], stream)
+            us = getattr(uri[svc], stream)
+            assert us == ["file://" + p for p in ps]
+    stats_uri = corpus_stats(uri)
+    assert stats_uri == corpus_stats(plain)
+
+
+def test_manifest_roundtrip_uri(tmp_path):
+    from contest_parsing_ray.state.manifest import (
+        clear_dir,
+        fingerprint_input,
+        input_file_fingerprints,
+        read_manifest,
+        tier_is_complete,
+        write_manifest,
+    )
+
+    d = tmp_path / "tier"
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "a.parquet").write_bytes(b"x" * 10)
+    uri = "file://" + str(d)
+    write_manifest(uri, {"completed": True, "input_fingerprint": "f",
+                         "config_fingerprint": "c"})
+    assert read_manifest(str(d))["completed"] is True  # plain path reads it
+    assert tier_is_complete(uri, "f", "c")
+    # fingerprints agree between plain and URI forms of the same input
+    fin = str(tmp_path / "in")
+    assert fingerprint_input(fin) == fingerprint_input("file://" + fin)
+    ff = input_file_fingerprints("file://" + fin)
+    assert len(ff) == 1 and list(ff.values())[0].startswith("10:")
+    clear_dir(uri)
+    assert read_manifest(str(d)) is None

@@ -4,6 +4,7 @@ counting, null payloads, and the honest NotImplementedError without fake."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -144,3 +145,81 @@ def test_wav_decode_stage_and_batching_invariance():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert np.isnan(lax.loc[0, "rms"]) and not np.isnan(lax.loc[1, "rms"])
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png(filter_type=f) -> decode_png recovers exact pixels for
+    every scanline filter (0..4) and every channel count (1/2/3/4)."""
+    from contest_parsing_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(13, 9, c), dtype=np.uint8)
+        for ft in range(5):
+            payload = encode_png(px[:, :, 0] if c == 1 else px, filter_type=ft)
+            meta, dec = decode_png(payload)
+            assert (meta["width"], meta["height"], meta["n_channels"]) == (9, 13, c)
+            assert np.array_equal(dec, px)
+
+
+def test_png_rejects_garbage():
+    import zlib
+
+    from contest_parsing_ray.stages.multimodal import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + b"\x00" * 40)
+    good = bytearray(encode_png(np.zeros((4, 4), dtype=np.uint8)))
+    good[20] ^= 0xFF  # corrupt IHDR body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    # truncated IDAT stream
+    t = encode_png(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    with pytest.raises((ValueError, zlib.error)):
+        decode_png(t[:40])
+
+
+def test_png_decode_stage_and_batching_invariance():
+    from contest_parsing_ray.stages.multimodal import (
+        decode_png,
+        decode_png_features,
+        synth_png_payloads,
+    )
+
+    ids = pa.array([f"doc-{i}" for i in range(40)])
+    payloads = synth_png_payloads(ids)
+    # the synthetic corpus must exercise every filter type and channel count
+    metas = [decode_png(p)[0] for p in payloads]
+    assert {m["n_channels"] for m in metas} == {1, 2, 3, 4}
+    media = pd.DataFrame(
+        {"doc_id": ids.to_pylist(), "payload": payloads,
+         "media_type": "image/png"}
+    )
+    got = {}
+    for bs in (7, 40):
+        out = (
+            decode_png_features(
+                ray.data.from_pandas(media), concurrency=2, batch_size=bs
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        got[bs] = out
+    pd.testing.assert_frame_equal(got[7], got[40])
+    out = got[40]
+    assert (out["width"] >= 8).all() and (out["height"] >= 8).all()
+    assert (out["max_px"] <= 255).all() and (out["std_px"] > 0).all()
+    # features match a direct decode of the same payloads
+    m0, px0 = decode_png(payloads[0])
+    row0 = out[out["doc_id"] == "doc-0"].iloc[0]
+    assert row0["width"] == m0["width"] and row0["height"] == m0["height"]
+    np.testing.assert_allclose(row0["mean_px"], px0.astype(np.float64).mean())
+    # strict=False on a corrupted payload -> null row, others intact
+    media.loc[0, "payload"] = b"not a png"
+    lax = (
+        decode_png_features(
+            ray.data.from_pandas(media), strict=False, concurrency=1,
+            batch_size=40,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert np.isnan(lax.loc[0, "mean_px"]) and not np.isnan(lax.loc[1, "mean_px"])

@@ -80,3 +80,23 @@ def test_blocked_hash_property(values, block_bytes):
     ref = hash64_strings(arr, block_bytes=1 << 30)
     got = hash64_strings(arr, block_bytes=block_bytes)
     assert (got == ref).all()
+
+
+def test_default_num_partitions_bytes_floor():
+    """Partition count grows with input volume (verdict: auto-size hash
+    partitions): the CPU-derived default is only an overhead trade-off; the
+    bytes floor keeps one partition under a worker-heap-sized table."""
+    from contest_parsing_ray.stages._shuffle import default_num_partitions
+
+    base = default_num_partitions()
+    assert 4 <= base <= 64
+    # small input: CPU-based default wins
+    assert default_num_partitions(input_bytes=1 << 20) == base
+    # 10 GiB at 256 MiB target -> at least 40 partitions
+    assert default_num_partitions(input_bytes=10 << 30) == max(base, 40)
+    # the bytes floor may exceed the CPU cap, clamped at 4096
+    assert default_num_partitions(input_bytes=1 << 50) == 4096
+    # explicit target honored, exact ceiling division
+    assert default_num_partitions(
+        input_bytes=(1 << 30) + 1, target_partition_bytes=1 << 30
+    ) == max(base, 2)

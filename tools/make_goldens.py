@@ -33,6 +33,7 @@ GOLDEN_QUERIES = [
     "lang_id_docs",
     "multimodal_decode_stub",
     "multimodal_decode_wav",
+    "multimodal_decode_png",
     "telemetry_join_fixture",
     "corpus_end_to_end",
     "ivf_topk_cosine",
