@@ -100,6 +100,13 @@ class PipelineConfig:
     # merge in a few seconds and scales.
     local_merge_threshold: int = 200_000
 
+    # Companion BYTES gate for the driver-side merge: partial rows carry
+    # variable-size quantile blobs (bigger per row with bigger partial
+    # batches), so row count alone under-estimates driver work. Above this
+    # materialized-partials size the distributed exchange runs even when
+    # the row count is under local_merge_threshold.
+    local_merge_bytes: int = 24 << 20
+
     # Above this partial count the pipeline stops gathering merged rollup
     # points on the driver (they may no longer be "tiny") and switches to
     # the fully streaming merge -> gapfill -> union hive write.

@@ -280,7 +280,16 @@ def run_rollup_pipeline(
         "token_checksums": token_totals,
         "input_files": input_file_fingerprints(input_path),
     }
-    if n_partials <= cfg.local_merge_threshold:
+    # the driver-local combiner collapse is gated on BYTES as well as rows:
+    # partial ROWS stopped tracking driver work once the partials stage
+    # moved to 256k batches — each partial row carries a ~8x bigger qsum
+    # blob, and a 112k-row / 90 MB partial state measured 17-43 s in the
+    # single-threaded driver merge vs ~3 s through the distributed exchange
+    partials_bytes = partials.size_bytes() or 0
+    if (
+        n_partials <= cfg.local_merge_threshold
+        and partials_bytes <= cfg.local_merge_bytes
+    ):
         import pandas as pd
 
         from ..stages.retention import write_tier_state_local
@@ -358,6 +367,7 @@ def run_rollup_pipeline(
             partials, ["source", f"bucket_{finest}"], fused_merge
         )
         parts = [t.to_pandas() for t in ray.get(refs) if t is not None]
+        metrics["stage_seconds"]["tiers_exchange"] = time.perf_counter() - t0
         allm = (
             pd.concat([p for p in parts if len(p)], ignore_index=True)
             if parts
