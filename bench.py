@@ -234,9 +234,9 @@ def run_scaling() -> dict:
     # Amdahl decomposition is explicit in the recorded artifact
     stage_names = sorted(
         {k for r in reps for k in r.get("stage_seconds", {})}
-        # envelopes of dedup_probe+dv_scan_write+dv_decide_write — keeping
-        # them in would double-count their components in hi_total/shares
-        - {"dedup_ingest", "dedup_exec_write"}
+        # envelopes (dedup_* of probe+scan+decide, tiers_exchange inside
+        # tiers_write) — keeping them would double-count in hi_total/shares
+        - {"dedup_ingest", "dedup_exec_write", "tiers_exchange"}
     )
     stage_eff = {}
     hi_total = sum(
