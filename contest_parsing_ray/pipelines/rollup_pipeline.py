@@ -364,7 +364,10 @@ def run_rollup_pipeline(
             return pd.concat(outs, ignore_index=True)
 
         refs = raw_hash_exchange(
-            partials, ["source", f"bucket_{finest}"], fused_merge
+            partials,
+            ["source", f"bucket_{finest}"],
+            fused_merge,
+            input_bytes=partials_bytes,
         )
         parts = [t.to_pandas() for t in ray.get(refs) if t is not None]
         metrics["stage_seconds"]["tiers_exchange"] = time.perf_counter() - t0

@@ -331,7 +331,21 @@ def raw_hash_exchange(
     ``ray.data.from_arrow_refs`` to continue as a Dataset).
     """
     if num_partitions is None:
-        num_partitions = default_num_partitions(input_bytes)
+        # default_num_partitions' cpus/2 cap guards the SORT shuffle's
+        # per-partition overhead; raw tasks have none, so use ~1 reduce
+        # task per core — the reduce wave fills the cluster and each
+        # task's partition (hence its cold-page first-touch cost, the
+        # dominant merge cost on this host) halves.
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(4, min(128, cpus))
+        if input_bytes:
+            num_partitions = max(
+                num_partitions,
+                min(4096, -(-int(input_bytes) // TARGET_PARTITION_BYTES)),
+            )
     P = num_partitions
     blocks = ds.to_arrow_refs()
     if not blocks:

@@ -228,16 +228,33 @@ def _gather_exact_values(
     order = np.argsort(gcodes, kind="stable")  # group-major, blob order kept
     start, n = start[order], n[order]
     total = int(n.sum())
-    cum0 = np.zeros(len(n), dtype=np.int64)
-    np.cumsum(n[:-1], out=cum0[1:])
-    base = np.repeat(start + 2, n)
-    within = np.arange(total, dtype=np.int64) - np.repeat(cum0, n)
-    flat = words[base + within].view(np.float64)
     counts = np.bincount(gcodes[order], weights=n, minlength=n_groups).astype(
         np.int64
     )
     gstarts = np.zeros(n_groups + 1, dtype=np.int64)
     np.cumsum(counts, out=gstarts[1:])
+    fwords = words.view(np.float64)
+    flat = np.empty(total, dtype=np.float64)
+    if len(n) * 24 < total:
+        # few-blobs/long-runs shape (exchange partitions: ~100+ values per
+        # blob): copy each blob's contiguous run directly. The vectorized
+        # gather below builds THREE total-sized int64 index temporaries —
+        # ~4x this path's allocation — and fresh-page first-touch on this
+        # host is the merge's real cost (~40 MB/s cold vs GB/s warm), so
+        # fewer/smaller allocations beat "no Python loop" here (measured:
+        # 3.8 s -> 0.9 s cold for a 30 MB partition).
+        pos = 0
+        for s, c in zip(start.tolist(), n.tolist()):
+            flat[pos : pos + c] = fwords[s + 2 : s + 2 + c]
+            pos += c
+    else:
+        # many tiny blobs (driver-local merge of raw partials): per-blob
+        # Python looping would dominate; one fancy-gather wins.
+        cum0 = np.zeros(len(n), dtype=np.int64)
+        np.cumsum(n[:-1], out=cum0[1:])
+        base = np.repeat(start + 2, n)
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum0, n)
+        np.take(words, base + within, out=flat.view(np.int64))
     return flat, gstarts
 
 
@@ -293,7 +310,7 @@ def _merge_partition(
         for g in range(n_groups):
             vals = flat[gstarts[g] : gstarts[g + 1]]
             if len(vals) > cap:
-                merged = QuantileSummary(vals.copy()).compact(cap)
+                merged = QuantileSummary.compact_exact(vals, cap)
                 p95s.append(merged.quantile(p))
                 if keep_summary:
                     blobs.append(merged.to_bytes())
@@ -302,7 +319,14 @@ def _merge_partition(
                     float(np.quantile(vals, p)) if len(vals) else float("nan")
                 )
                 if keep_summary:
-                    blobs.append(QuantileSummary(vals.copy()).to_bytes())
+                    # exact blob built directly (same bytes as
+                    # QuantileSummary(vals).to_bytes()) — the constructor's
+                    # ones-weights array would total another flat-sized
+                    # allocation across the loop
+                    blobs.append(
+                        np.array([len(vals), 1], dtype=np.int64).tobytes()
+                        + vals.tobytes()
+                    )
     else:
         all_blobs = df["qsum"].to_numpy()
         indices = gb.indices  # group key tuple -> row positions

@@ -58,6 +58,28 @@ class QuantileSummary:
 
     # -- merge -------------------------------------------------------------
     @classmethod
+    def compact_exact(cls, values: np.ndarray, cap: int) -> "QuantileSummary":
+        """``QuantileSummary(values).compact(cap)`` specialized to unit
+        weights — bit-identical output (``x * 1.0 == x`` exactly, and the
+        all-ones run-weight sums equal the computed run lengths), without
+        allocating the per-value weights array. The merge stage calls this
+        per above-cap group; the weights allocation there measured as large
+        as the values themselves."""
+        values = np.asarray(values, dtype=np.float64)
+        if len(values) <= cap:
+            return cls(values)
+        v = np.sort(values, kind="stable")
+        k = int(np.ceil(len(v) / (cap // 2)))
+        n_runs = int(np.ceil(len(v) / k))
+        pad = n_runs * k - len(v)
+        vw = np.concatenate([v, np.zeros(pad)])
+        run_w = np.full(n_runs, float(k))
+        if pad:
+            run_w[-1] = float(k - pad)
+        run_v = vw.reshape(n_runs, k).sum(axis=1) / np.maximum(run_w, 1e-300)
+        return cls(run_v, run_w)
+
+    @classmethod
     def merge_all(cls, summaries: list["QuantileSummary"], cap: int = 4096) -> "QuantileSummary":
         if not summaries:
             return cls()
