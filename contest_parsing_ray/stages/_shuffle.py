@@ -313,6 +313,7 @@ def raw_hash_exchange(
     fn: Callable[[pa.Table], pa.Table],
     num_partitions: int | None = None,
     input_bytes: int | None = None,
+    pass_partition: bool = False,
 ) -> list["ray.ObjectRef"]:
     """Hash-partitioned map over a MATERIALIZED Dataset via raw Ray tasks.
 
@@ -363,7 +364,7 @@ def raw_hash_exchange(
         return out if P > 1 else out[0]
 
     @ray.remote(num_cpus=1)
-    def reduce(*parts):
+    def reduce(part_idx, *parts):
         ts = [p for p in parts if p is not None and len(p)]
         if not ts:
             t = parts[0].schema.empty_table() if parts else None
@@ -371,7 +372,8 @@ def raw_hash_exchange(
             t = pa.concat_tables(ts).combine_chunks()
         if t is None:
             return None
-        out = fn(t.drop_columns(["__part"]))
+        t = t.drop_columns(["__part"])
+        out = fn(t, part_idx) if pass_partition else fn(t)
         if isinstance(out, pd.DataFrame):
             out = pa.Table.from_pandas(out, preserve_index=False)
         return out
@@ -392,4 +394,4 @@ def raw_hash_exchange(
             refs = [refs]
         for s, r in enumerate(refs):
             shard_refs[s].append(r)
-    return [reduce.remote(*shard_refs[s]) for s in range(P)]
+    return [reduce.remote(s, *shard_refs[s]) for s in range(P)]

@@ -61,7 +61,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ._shuffle import hash64_strings, hash_partitioned_map
+from ._shuffle import hash64_strings
 from .dedup import BloomFilter, ShardedBloom, duplicated_key_probe_files
 
 _FLAG = "__dup"
@@ -280,37 +280,57 @@ def build_deduped_dv(
             n_deleted = len(dv)
         else:
             # distributed decision: hash-partition the flagged slice on the
-            # key; each partition holds every occurrence of its keys, so the
-            # same vectorized decision runs per partition (100 TB path)
-            suspects = ray.data.read_parquet(dup_root)
+            # key via the raw-task exchange (all occurrences of a key
+            # co-locate); each partition decides vectorized and writes its
+            # winners/dv shard DIRECTLY — no second Dataset execution, no
+            # driver gather, and the work runs under the cluster's CPU
+            # budget (the driver-local pandas path rides pyarrow's host
+            # thread pool outside it). Shard sets differ with P but their
+            # union — the deleted (file_idx, pos) set and the winner rows —
+            # is P-invariant: the per-key decision needs only its own key's
+            # occurrences. (100 TB path)
+            from ._shuffle import raw_hash_exchange
 
-            def split_partition(t: pa.Table) -> pa.Table:
+            suspects = ray.data.read_parquet(dup_root).materialize()
+            win_cols = _SIDECAR_COLS + _DUP_COLS
+            sdir, ddir = sidecar_dir(out_dir), dv_dir(out_dir)
+
+            def decide_shard(t: pa.Table, part: int) -> pa.Table:
                 df = t.select(_DUP_COLS).to_pandas()
                 losers = _decide_losers(df, keep)
                 lose_mask = np.zeros(len(df), dtype=bool)
                 lose_mask[losers] = True
-                return t.append_column("__lose", pa.array(lose_mask))
+                win = t.filter(pa.array(~lose_mask)).select(win_cols)
+                if len(win):
+                    pq.write_table(
+                        win, os.path.join(sdir, f"winners-{part:04d}.parquet")
+                    )
+                dv = df.iloc[losers].sort_values(
+                    ["file_idx", "pos"], kind="stable"
+                )
+                if len(dv):
+                    pq.write_table(
+                        pa.table(
+                            {
+                                "file_idx": pa.array(
+                                    dv["file_idx"].to_numpy(dtype=np.int32)
+                                ),
+                                "pos": pa.array(
+                                    dv["pos"].to_numpy(dtype=np.int64)
+                                ),
+                            }
+                        ),
+                        os.path.join(ddir, f"dv-{part:04d}.parquet"),
+                    )
+                return pa.table({"n_deleted": pa.array([len(dv)], pa.int64())})
 
-            decided = hash_partitioned_map(
-                suspects, ["key"], split_partition, batch_format="pyarrow"
-            ).materialize()
-
-            def take(want: bool, cols: list[str]):
-                def fn(t: pa.Table) -> pa.Table:
-                    m = t["__lose"].to_numpy(zero_copy_only=False)
-                    return t.filter(pa.array(m if want else ~m)).select(cols)
-
-                return fn
-
-            decided.map_batches(
-                take(False, _SIDECAR_COLS + _DUP_COLS), batch_format="pyarrow"
-            ).write_parquet(sidecar_dir(out_dir))
-            losers_ds = decided.map_batches(
-                take(True, ["file_idx", "pos"]), batch_format="pyarrow"
+            counts = ray.get(
+                raw_hash_exchange(
+                    suspects, ["key"], decide_shard, pass_partition=True
+                )
             )
-            losers_ds.write_parquet(dv_dir(out_dir))
             n_deleted = int(
-                pads.dataset(dv_dir(out_dir)).count_rows()
+                sum(c["n_deleted"][0].as_py() for c in counts if c is not None)
             )
     shutil.rmtree(raw_dir, ignore_errors=True)
     if stage_seconds is not None:
