@@ -7,9 +7,11 @@ plus per-query seconds over $GRAFT_SF_DIR.
     GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
     RAY_GRAFT_CPUS parallelism (default 32)
 
---scaling: run the headline pipeline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and report both throughputs
-plus scaling efficiency = (t_8 / t_32) / (32 / 8).
+--scaling: run the headline pipeline in FRESH processes at two CPU levels
+(default 4 vs 16 — see run_scaling's docstring for why not 8-vs-32 on this
+host) on the same input, interleaved min-of-N per level, and report both
+throughputs plus scaling efficiency = (t_lo / t_hi) / (hi / lo), a
+machine-calibration-normalized variant, and a per-stage efficiency table.
 """
 
 from __future__ import annotations
