@@ -67,6 +67,41 @@ from ..state.manifest import (
 )
 
 
+def _fused_partials_fp(cfg: PipelineConfig) -> str:
+    """Fingerprint of the rollup config the scan-fused partials depend on —
+    must cover everything that changes PartialRollup's output."""
+    return fingerprint_config(
+        {
+            "tiers": dict(zip(cfg.tiers, cfg.tier_widths_us)),
+            "cap": cfg.quantile_cap,
+            "mode": "nearest",
+            "salt": cfg.salt,
+            "value": "n_tok",
+            "ck": cfg.ingest_tokens,
+        }
+    )
+
+
+def _fused_partial_fn(cfg: PipelineConfig):
+    """PartialRollup instance for scan-fused partials, or None when the
+    salt is data-derived (salt='auto' needs the deduped key histogram,
+    which only exists after the scan)."""
+    if cfg.salt == "auto":
+        return None
+    from ..stages.rollup import PartialRollup
+
+    return PartialRollup(
+        dict(zip(cfg.tiers, cfg.tier_widths_us)),
+        "n_tok",
+        "source",
+        "event_time_us",
+        cfg.quantile_cap,
+        "nearest",
+        int(cfg.salt),
+        checksum_col="token_ck" if cfg.ingest_tokens else None,
+    )
+
+
 def _build_deduped(
     input_path: str, cfg: PipelineConfig, dedup_dir: str,
     stage_seconds: dict | None = None,
@@ -79,6 +114,7 @@ def _build_deduped(
         from ..stages.deletion_vector import build_deduped_dv
 
         clear_dir(dedup_dir)
+        partial_fn = _fused_partial_fn(cfg)
         build_deduped_dv(
             input_path,
             dedup_dir,
@@ -86,6 +122,10 @@ def _build_deduped(
             keep=cfg.dedup_keep,
             local_threshold=cfg.local_merge_threshold,
             stage_seconds=stage_seconds,
+            partial_fn=partial_fn,
+            partials_fingerprint=(
+                _fused_partials_fp(cfg) if partial_fn is not None else None
+            ),
         )
         if stage_seconds is not None:
             stage_seconds["dedup_exec_write"] = time.perf_counter() - t0
@@ -219,43 +259,57 @@ def run_rollup_pipeline(
     pruned_cols = ["source", "n_tok", "event_time_us"] + (
         ["token_ck"] if cfg.ingest_tokens else []
     )
+    fused = None
     if cfg.ingest_tokens and cfg.dedup_materialize == "deletion_vector":
-        from ..stages.deletion_vector import read_sidecar
+        from ..stages.deletion_vector import read_fused_partials
 
-        deduped = read_sidecar(dedup_dir, columns=pruned_cols)
+        if cfg.salt != "auto":
+            # scan-fused partials: the dedup scan already computed the
+            # per-file partial-rollup rows (clean files) and the decide
+            # stage the survivors' — exec 3 collapses to a small read, no
+            # second pass over the stats projection
+            fused = read_fused_partials(dedup_dir, _fused_partials_fp(cfg))
+    if fused is not None:
+        partials = fused.materialize()
     else:
-        deduped = ray.data.read_parquet(
-            os.path.join(dedup_dir, "data"), columns=pruned_cols
-        )
-    salt = cfg.salt
-    if salt == "auto":
-        # measured skew mitigation: top-key share over the deduped table →
-        # salt factor (1 unless one source would overflow a partition's
-        # fair share even AFTER per-batch partial combining)
-        from ..stages._shuffle import choose_salt, key_histogram
+        if cfg.ingest_tokens and cfg.dedup_materialize == "deletion_vector":
+            from ..stages.deletion_vector import read_sidecar
 
-        salt = choose_salt(key_histogram(deduped, "source"))
-        metrics["salt"] = salt
-    partials = deduped.map_batches(
-        PartialRollup(
-            todo,
-            "n_tok",
-            "source",
-            "event_time_us",
-            cfg.quantile_cap,
-            "nearest",
-            salt,
-            checksum_col="token_ck" if cfg.ingest_tokens else None,
-        ),
-        batch_format="pyarrow",
-        batch_size=262144,  # big batches -> real per-batch combining (the
-        # default 1024-row batches emit nearly one partial per input row).
-        # The input here is the ~30 B/row pruned projection (~8 MB/batch),
-        # so batches can be 8x the round-2 32k: partial-row count out of
-        # this stage ~= batches x sources x buckets-per-batch, and the tier
-        # exchange downstream moves proportionally fewer rows (measured at
-        # 30M rows: ~9M -> ~1.2M partials).
-    ).materialize()
+            deduped = read_sidecar(dedup_dir, columns=pruned_cols)
+        else:
+            deduped = ray.data.read_parquet(
+                os.path.join(dedup_dir, "data"), columns=pruned_cols
+            )
+        salt = cfg.salt
+        if salt == "auto":
+            # measured skew mitigation: top-key share over the deduped
+            # table → salt factor (1 unless one source would overflow a
+            # partition's fair share even AFTER per-batch combining)
+            from ..stages._shuffle import choose_salt, key_histogram
+
+            salt = choose_salt(key_histogram(deduped, "source"))
+            metrics["salt"] = salt
+        partials = deduped.map_batches(
+            PartialRollup(
+                todo,
+                "n_tok",
+                "source",
+                "event_time_us",
+                cfg.quantile_cap,
+                "nearest",
+                salt,
+                checksum_col="token_ck" if cfg.ingest_tokens else None,
+            ),
+            batch_format="pyarrow",
+            batch_size=262144,  # big batches -> real per-batch combining
+            # (the default 1024-row batches emit nearly one partial per
+            # input row). The input here is the ~30 B/row pruned projection
+            # (~8 MB/batch), so batches can be 8x the round-2 32k:
+            # partial-row count out of this stage ~= batches x sources x
+            # buckets-per-batch, and the tier exchange downstream moves
+            # proportionally fewer rows (measured at 30M rows: ~9M -> ~1.2M
+            # partials).
+        ).materialize()
     token_totals: dict[str, int] = {}
     if cfg.ingest_tokens:
         pdf = partials.select_columns(["source", "ck_v"]).to_pandas()

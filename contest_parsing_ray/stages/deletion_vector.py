@@ -87,6 +87,30 @@ def dv_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "deletion_vectors")
 
 
+def fused_partials_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "partials")
+
+
+def read_fused_partials(out_dir: str, expected_fp: str):
+    """Dataset over the scan-fused rollup partials, or None when absent /
+    built under a different rollup config (the caller then recomputes
+    partials from the sidecar — the two paths merge to identical tier
+    points below the quantile cap)."""
+    try:
+        with open(dv_manifest_file(out_dir)) as f:
+            manifest = json.load(f)
+    except OSError:
+        return None
+    if manifest.get("partials_fingerprint") != expected_fp:
+        return None
+    d = fused_partials_dir(out_dir)
+    if not os.path.isdir(d) or not any(
+        f.endswith(".parquet") for f in os.listdir(d)
+    ):
+        return None
+    return ray.data.read_parquet(d)
+
+
 def _probe_mask(probe, keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
     h = hash64_strings(keys)
     if isinstance(probe, (BloomFilter, ShardedBloom)):
@@ -111,11 +135,20 @@ class _ScanFile:
     leaving the task so the sidecar doesn't fragment into tiny blocks."""
 
     def __init__(self, probe_ref, decode_rows: int = 2048,
-                 yield_rows: int = 65536):
+                 yield_rows: int = 65536, partial_fn=None,
+                 partials_dir: str | None = None):
         self._probe_ref = probe_ref
         self._probe = None
         self.decode_rows = decode_rows
         self.yield_rows = yield_rows
+        # fused rollup partials: the scan already holds every stats column
+        # in memory, so computing the per-file partial-rollup rows here
+        # removes exec 3's full sidecar re-read from the pipeline (at 100 TB
+        # that pass re-reads the ~1.5% stats projection of the corpus).
+        # Clean rows only — suspects' survivors get their partials from the
+        # decide stage, which holds exactly the winner rows.
+        self.partial_fn = partial_fn
+        self.partials_dir = partials_dir
 
     def __call__(self, files: pa.Table) -> Iterator[pa.Table]:
         from ..sources.ingest import derive_event_time, token_checksum
@@ -129,6 +162,7 @@ class _ScanFile:
             offset = 0
             pending: list[pa.Table] = []
             pending_rows = 0
+            clean_stats: list[pa.Table] = []
             for rb in pf.iter_batches(
                 batch_size=self.decode_rows,
                 columns=["doc_id", "tokens", "n_tok", "source"],
@@ -139,6 +173,17 @@ class _ScanFile:
                 mask = _probe_mask(self._probe, t["doc_id"])
                 n = len(t)
                 valid = pa.array(mask)
+                if self.partial_fn is not None:
+                    clean_stats.append(
+                        pa.table(
+                            {
+                                "source": t["source"],
+                                "n_tok": t["n_tok"],
+                                "event_time_us": t["event_time_us"],
+                                "token_ck": t["token_ck"],
+                            }
+                        ).filter(pa.compute.invert(valid))
+                    )
                 out = pa.table(
                     {
                         "source": t["source"],
@@ -169,6 +214,17 @@ class _ScanFile:
                     pending, pending_rows = [], 0
             if pending:
                 yield pa.concat_tables(pending).combine_chunks()
+            if self.partial_fn is not None:
+                stats = pa.concat_tables(clean_stats).combine_chunks()
+                if len(stats):
+                    rows = self.partial_fn(stats)
+                    if len(rows):
+                        pq.write_table(
+                            rows,
+                            os.path.join(
+                                self.partials_dir, f"clean-{fidx:04d}.parquet"
+                            ),
+                        )
 
 
 def _decide_losers(df: pd.DataFrame, keep: str) -> np.ndarray:
@@ -196,13 +252,25 @@ def build_deduped_dv(
     bloom_threshold: int = 50_000_000,
     decode_rows: int = 2048,
     stage_seconds: dict | None = None,
+    partial_fn=None,
+    partials_fingerprint: str | None = None,
 ) -> dict:
     """Build the merge-on-read deduped view of a sequences parquet dir:
-    stats sidecar + deletion vectors + manifest. Returns counts."""
+    stats sidecar + deletion vectors + manifest. Returns counts.
+
+    ``partial_fn`` (a picklable per-batch combiner, e.g.
+    ``rollup.PartialRollup``) fuses rollup-partial computation into the
+    scan and decide stages: clean rows emit per-file partial shards, the
+    decide stage emits the survivors' shards, all under
+    ``fused_partials_dir``; ``partials_fingerprint`` records the rollup
+    config they were built under (checked by :func:`read_fused_partials`).
+    """
     import time
 
     if keep not in ("first", "none"):
         raise ValueError("keep must be 'first' or 'none'")
+    if partial_fn is not None and partials_fingerprint is None:
+        raise ValueError("partial_fn requires partials_fingerprint")
     files = _list_files(input_path)
 
     t0 = time.perf_counter()
@@ -219,6 +287,11 @@ def build_deduped_dv(
     shutil.rmtree(raw_dir, ignore_errors=True)
     shutil.rmtree(sidecar_dir(out_dir), ignore_errors=True)
     shutil.rmtree(dv_dir(out_dir), ignore_errors=True)
+    shutil.rmtree(fused_partials_dir(out_dir), ignore_errors=True)
+    pdir = None
+    if partial_fn is not None:
+        pdir = fused_partials_dir(out_dir)
+        os.makedirs(pdir, exist_ok=True)
     # one block per file so the per-file scan tasks actually fan out
     # (from_items packs items into few blocks by default -> serial scan)
     file_items = ray.data.from_items(
@@ -226,7 +299,8 @@ def build_deduped_dv(
         override_num_blocks=len(files),
     )
     file_items.map_batches(
-        _ScanFile(probe_ref, decode_rows),
+        _ScanFile(probe_ref, decode_rows, partial_fn=partial_fn,
+                  partials_dir=pdir),
         batch_size=1,
         batch_format="pyarrow",
     ).write_parquet(raw_dir, partition_cols=[_FLAG])
@@ -265,6 +339,12 @@ def build_deduped_dv(
                     winners_t,
                     os.path.join(sidecar_dir(out_dir), "winners-0000.parquet"),
                 )
+                if partial_fn is not None:
+                    rows = partial_fn(winners_t.select(_SIDECAR_COLS))
+                    if len(rows):
+                        pq.write_table(
+                            rows, os.path.join(pdir, "winners-0000.parquet")
+                        )
             dv = df.iloc[losers].sort_values(["file_idx", "pos"], kind="stable")
             pq.write_table(
                 pa.table(
@@ -305,6 +385,13 @@ def build_deduped_dv(
                     pq.write_table(
                         win, os.path.join(sdir, f"winners-{part:04d}.parquet")
                     )
+                    if partial_fn is not None:
+                        rows = partial_fn(win.select(_SIDECAR_COLS))
+                        if len(rows):
+                            pq.write_table(
+                                rows,
+                                os.path.join(pdir, f"winners-{part:04d}.parquet"),
+                            )
                 dv = df.iloc[losers].sort_values(
                     ["file_idx", "pos"], kind="stable"
                 )
@@ -345,6 +432,8 @@ def build_deduped_dv(
         "n_deleted": int(n_deleted),
         "completed": True,
     }
+    if partial_fn is not None:
+        manifest["partials_fingerprint"] = partials_fingerprint
     tmp = dv_manifest_file(out_dir) + ".tmp"
     os.makedirs(out_dir, exist_ok=True)
     with open(tmp, "w") as f:
@@ -592,6 +681,9 @@ def append_deduped_dv(
 
     manifest["files"] = files
     manifest["n_deleted"] = int(manifest.get("n_deleted", 0)) + n_deleted_new
+    # the fused rollup partials (if any) cover only the PRIOR file list —
+    # invalidate so a later full-rollup pass recomputes from the sidecar
+    manifest.pop("partials_fingerprint", None)
     manifest.setdefault("appends", []).append(
         {
             "new_files": new_files,

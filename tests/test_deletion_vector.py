@@ -167,3 +167,54 @@ def test_dv_resume_skips_rebuild(sequences_dir, tmp_path):
     m2 = run_rollup_pipeline(sequences_dir, cfg)
     assert sorted(m2["tiers_skipped_by_resume"]) == ["1h", "1m", "5m"]
     assert m2["total_seconds"] < m1["total_seconds"] / 5
+
+
+def test_fused_partials_written_and_equal_to_sidecar_path(
+    sequences_dir, tmp_path
+):
+    """The scan-fused partials (clean per-file shards + decide winners
+    shards) must merge to the same tier points as recomputing partials
+    from the sidecar (salt='auto' disables fusion, so it exercises the
+    sidecar path on the same input)."""
+    out_f = str(tmp_path / "fused")
+    run_rollup_pipeline(
+        sequences_dir, PipelineConfig(out_dir=out_f), resume=False
+    )
+    # fused artifacts exist and the manifest records their fingerprint
+    from contest_parsing_ray.stages.deletion_vector import fused_partials_dir
+
+    pdir = fused_partials_dir(os.path.join(out_f, "deduped"))
+    assert any(f.startswith("clean-") for f in os.listdir(pdir))
+    with open(dv_manifest_file(os.path.join(out_f, "deduped"))) as f:
+        assert json.load(f)["partials_fingerprint"]
+
+    out_s = str(tmp_path / "sidecar")
+    run_rollup_pipeline(
+        sequences_dir, PipelineConfig(out_dir=out_s, salt="auto"),
+        resume=False,
+    )
+    for tier in ("1m", "5m", "1h"):
+        pd.testing.assert_frame_equal(
+            _tier_frame(out_f, tier), _tier_frame(out_s, tier)
+        )
+
+
+def test_fused_partials_stale_config_falls_back(sequences_dir, tmp_path):
+    """Changing the tier spec invalidates the fused partials (fingerprint
+    mismatch) — the pipeline recomputes from the sidecar and matches a
+    from-scratch build with the same spec."""
+    out = str(tmp_path / "out")
+    cfg1 = PipelineConfig(out_dir=out)
+    run_rollup_pipeline(sequences_dir, cfg1, resume=False)
+    # same out_dir, different tiers: dedup manifest still matches (resume
+    # keeps it) but the fused partials were built for the old tier set
+    cfg2 = PipelineConfig(out_dir=out, tiers=("2m",))
+    m = run_rollup_pipeline(sequences_dir, cfg2)
+    assert m["tiers"].get("2m", {}).get("points", 0) > 0
+    fresh = str(tmp_path / "fresh")
+    run_rollup_pipeline(
+        sequences_dir,
+        PipelineConfig(out_dir=fresh, tiers=("2m",)),
+        resume=False,
+    )
+    pd.testing.assert_frame_equal(_tier_frame(out, "2m"), _tier_frame(fresh, "2m"))
