@@ -21,7 +21,13 @@ Artifacts (under ``out_dir``):
                                     needs, ~30 B/row vs ~2 KB payload rows
     deletion_vectors/*.parquet      (file_idx:int32, pos:int64) deleted
                                     row positions, sorted
+    partials/*.parquet              (optional) scan-fused rollup partials:
+                                    clean-{file}.parquet from the scan,
+                                    winners-{part}.parquet from the decide
+                                    stage — lets the rollup pipeline skip
+                                    its own pass over the sidecar
     dv_manifest.json                ordered file list + policy + counts
+                                    (+ partials_fingerprint when fused)
 
 Execution (two passes, ONE full decode, nothing heavy ever re-encoded):
 
