@@ -94,3 +94,21 @@ def test_quantile_summary_compaction_bounded_error():
     approx = merged.quantile(0.95)
     exact = float(np.quantile(vals, 0.95))
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_compact_exact_bit_identical_to_general_compact():
+    """compact_exact (the unit-weight fast path the tier merge uses) must
+    equal QuantileSummary(values).compact(cap) bit-for-bit — values,
+    weights, serialized blob — at and around the cap boundary."""
+    from contest_parsing_ray.state.sketches import QuantileSummary
+
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 512, 4096, 4097, 8193, 100_000):
+        vals = rng.normal(size=n) * 100
+        fast = QuantileSummary.compact_exact(vals, 4096)
+        ref = QuantileSummary(vals.copy()).compact(4096)
+        np.testing.assert_array_equal(fast.values, ref.values)
+        np.testing.assert_array_equal(fast.weights, ref.weights)
+        assert fast.to_bytes() == ref.to_bytes()
+        if n:
+            assert fast.quantile(0.95) == ref.quantile(0.95)
