@@ -952,6 +952,41 @@ def _q_repetition(sf_dir: str):
 HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 20
 HOT_USER_MIN_EVENTS = 70
 EWMA_ALPHA = 0.3
+ZSCORE_WINDOW, ZSCORE_MIN_PERIODS, ZSCORE_THRESHOLD = 24, 3, 2.0
+
+
+def _q_zscore(sf_dir: str):
+    """Rolling z-score anomaly flags over the per-event_type 1h count
+    series: each bucket judged against the previous 24 buckets' counts."""
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+    from contest_parsing_ray.stages.window import rolling_zscore
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    out = rolling_zscore(
+        r.select_columns(["event_type", "bucket_us", "cnt"]),
+        key_col="event_type", ts_col="bucket_us", value_col="cnt",
+        window=ZSCORE_WINDOW, min_periods=ZSCORE_MIN_PERIODS,
+        threshold=ZSCORE_THRESHOLD,
+    )
+    return _round_cols(out, ["cnt_mu", "cnt_sd", "cnt_z"])
+
+
+def _q_twa(sf_dir: str):
+    """Time-weighted mean of value per (event_type, 1h floor bucket) —
+    irregular sampling weighted by holding time, the timeseries-tier
+    companion of the plain mean_value rollup."""
+    from contest_parsing_ray.stages.window import time_weighted_avg
+
+    ev = _events(sf_dir, columns=["ts", "event_id", "event_type", "value"])
+    out = time_weighted_avg(
+        ev, key_col="event_type", ts_col="event_time_us",
+        value_col="value", width_us=W1H, order_col="event_id",
+    )
+    return _round_cols(out, ["twa"])
 
 
 def _q_histogram(sf_dir: str):
@@ -1200,6 +1235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct,
         # range join: events BETWEEN session intervals
         "events_in_sessions": _q_events_in_sessions,
+        # monitoring family: trailing-window anomaly flags on a tier series
+        "zscore_anomaly_1h": _q_zscore,
+        # irregular-sampling mean: holding-time-weighted per (key, bucket)
+        "time_weighted_avg_1h": _q_twa,
     }
 
 
@@ -1761,6 +1800,48 @@ WITH RECURSIVE r AS (
   FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1
 )
 SELECT event_type, bucket_us, cnt, ROUND(ew, 6) AS cnt_ewma FROM e
+""",
+        "zscore_anomaly_1h": f"""
+WITH r AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, bucket_us, cnt,
+         AVG(CAST(cnt AS DOUBLE)) OVER win AS mu,
+         STDDEV_SAMP(CAST(cnt AS DOUBLE)) OVER win AS sd,
+         COUNT(cnt) OVER win AS nb
+  FROM r
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_us
+                 ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_us, cnt,
+       ROUND(CASE WHEN nb >= {ZSCORE_MIN_PERIODS} THEN mu END, 6) AS cnt_mu,
+       ROUND(CASE WHEN nb >= {ZSCORE_MIN_PERIODS} THEN sd END, 6) AS cnt_sd,
+       ROUND(CASE WHEN nb >= {ZSCORE_MIN_PERIODS} AND sd > 0
+             THEN (CAST(cnt AS DOUBLE) - mu) / sd END, 6) AS cnt_z,
+       COALESCE(ABS(CASE WHEN nb >= {ZSCORE_MIN_PERIODS} AND sd > 0
+                    THEN (CAST(cnt AS DOUBLE) - mu) / sd END)
+                > {ZSCORE_THRESHOLD}, FALSE) AS is_anomaly
+FROM w
+""",
+        "time_weighted_avg_1h": f"""
+WITH e AS (
+  -- engine semantics: null samples dropped BEFORE neighbor pairing
+  SELECT event_type, epoch_us(ts) AS us, value, event_id,
+         ((epoch_us(ts) // {W1H}) * {W1H}) AS bucket_us
+  FROM events WHERE value IS NOT NULL
+), w AS (
+  SELECT event_type, bucket_us, value,
+         LEAD(us) OVER (PARTITION BY event_type, bucket_us
+                        ORDER BY us, event_id) - us AS dt
+  FROM e
+)
+SELECT event_type, bucket_us,
+       ROUND(CASE WHEN SUM(dt) > 0
+             THEN SUM(value * dt) / SUM(dt) END, 6) AS twa,
+       CAST(COUNT(*) AS BIGINT) AS n_weighted
+FROM w WHERE dt IS NOT NULL GROUP BY 1, 2
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

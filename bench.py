@@ -148,12 +148,19 @@ def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
+    # min-of-N per query, same estimator as the headline: single runs on this
+    # host swing 2-6x (observed 6.7 vs 1.8 s for identical back-to-back runs),
+    # so a single-run table reads as phantom regressions round-over-round.
+    q_reps = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
     qtimes = {}
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _consume(qs[name](SF_DIR))
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(q_reps):
+            t0 = time.perf_counter()
+            _consume(qs[name](SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        qtimes[name] = round(best, 3)
 
     return {
         "metric": "flagship rollup pipeline seconds (1m/5m/1h tiers + gapfill + "

@@ -377,3 +377,144 @@ def sliding_window(
     return hash_partitioned_map(
         series, [key_col], roll, num_partitions=num_partitions, batch_format="pandas"
     )
+
+
+def rolling_zscore(
+    series: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: int,
+    min_periods: int = 3,
+    threshold: float = 2.0,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per key, ordered by ``ts_col``: z-score of each point against the
+    TRAILING window of the previous ``window`` values — the baseline never
+    includes the observation it judges (SQL frame ``ROWS BETWEEN window
+    PRECEDING AND 1 PRECEDING``). Adds ``{value_col}_mu``,
+    ``{value_col}_sd`` (sample std, ddof=1 = SQL STDDEV_SAMP),
+    ``{value_col}_z`` and ``is_anomaly`` (|z| > threshold; False wherever z
+    is undefined: fewer than ``min_periods`` baseline points, or zero
+    baseline variance).
+
+    The anomaly-flagging companion of the rollup tiers (north-rule
+    monitoring family — flag a bucket whose count/mean breaks from its own
+    recent history). Input is a rollup series (points ∝ keys x buckets),
+    not raw events; same co-location contract as :func:`sliding_window`.
+    """
+    mu_c, sd_c, z_c = f"{value_col}_mu", f"{value_col}_sd", f"{value_col}_z"
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col], kind="stable").reset_index(
+            drop=True
+        )
+        df["_x"] = df[value_col].astype(np.float64)
+        # shift(1) then rolling(window): position k's frame holds original
+        # rows k-window..k-1 — exactly the SQL trailing frame above.
+        # min_periods counts non-NaN baseline points, so short histories
+        # (group head) yield NaN = SQL NULL under the COUNT >= min gate.
+        g = df.groupby(key_col, sort=False, dropna=False)
+        df["_prev"] = g["_x"].shift(1)
+        gp = df.groupby(key_col, sort=False, dropna=False)["_prev"]
+        df[mu_c] = gp.transform(
+            lambda s: s.rolling(window, min_periods=min_periods).mean()
+        )
+        df[sd_c] = gp.transform(
+            lambda s: s.rolling(window, min_periods=min_periods).std(ddof=1)
+        )
+        z = (df["_x"] - df[mu_c]) / df[sd_c]
+        z[~(df[sd_c] > 0)] = np.nan  # zero-variance baseline: undefined
+        df[z_c] = z
+        df["is_anomaly"] = z.abs().gt(threshold)  # NaN > τ is False
+        return df.drop(columns=["_x", "_prev"])
+
+    return hash_partitioned_map(
+        series, [key_col], score,
+        num_partitions=num_partitions, batch_format="pandas",
+    )
+
+
+def time_weighted_avg(
+    events: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    width_us: int,
+    order_col: str | None = None,
+    num_partitions: int | None = None,
+    input_bytes: int | None = None,
+) -> ray.data.Dataset:
+    """Per (key, floor-``width_us`` bucket): time-weighted mean of
+    ``value_col`` — each sample weighted by its holding time until the NEXT
+    sample of the same bucket (irregular sampling makes the plain mean
+    over-count burst periods; TWA is the standard fix in timeseries tiers).
+    The bucket's last sample carries no weight; a single-sample bucket
+    emits no row; null values are dropped before neighbor pairing. Ties in
+    ``ts_col`` are pinned by ``order_col`` and carry zero weight either
+    way. Output: ``key_col, bucket_us, twa, n_weighted``.
+
+    Weights never cross a bucket edge, so the exchange key is
+    (key, bucket): unlike the per-key stages above, a hot key's history
+    splits across buckets and partitions stay bounded at any corpus size —
+    this one co-locates raw events, so the stronger key matters.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(t[value_col].is_valid())
+        ts = t[ts_col].to_numpy(zero_copy_only=False)
+        b = (ts // width_us) * width_us
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "bucket_us": pa.array(b, type=pa.int64()),
+                ts_col: t[ts_col],
+                value_col: t[value_col],
+                **({order_col: t[order_col]} if order_col else {}),
+            }
+        )
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    sort_cols = [key_col, "bucket_us", ts_col] + (
+        [order_col] if order_col else []
+    )
+
+    def twa(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=df[key_col].dtype),
+                    "bucket_us": pd.Series([], dtype=np.int64),
+                    "twa": pd.Series([], dtype=np.float64),
+                    "n_weighted": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+        nxt = df.groupby([key_col, "bucket_us"], sort=False, dropna=False)[
+            ts_col
+        ].shift(-1)
+        # int64 µs < 2^53: the float64 round-trip through shift is exact
+        dt = nxt - df[ts_col].astype(np.float64)
+        m = dt.notna()
+        sub = pd.DataFrame(
+            {
+                key_col: df[key_col][m],
+                "bucket_us": df["bucket_us"][m],
+                "_wv": df[value_col][m].astype(np.float64) * dt[m],
+                "_w": dt[m],
+            }
+        )
+        g = sub.groupby(
+            [key_col, "bucket_us"], sort=False, dropna=False, as_index=False
+        ).agg(_wv=("_wv", "sum"), _w=("_w", "sum"), n_weighted=("_w", "size"))
+        out = g.assign(
+            twa=np.where(g["_w"] > 0, g["_wv"] / np.where(g["_w"] > 0, g["_w"], 1.0), np.nan),
+            n_weighted=g["n_weighted"].astype(np.int64),
+        )
+        return out[[key_col, "bucket_us", "twa", "n_weighted"]]
+
+    return hash_partitioned_map(
+        prepped, [key_col, "bucket_us"], twa,
+        num_partitions=num_partitions, batch_format="pandas",
+        input_bytes=input_bytes,
+    )

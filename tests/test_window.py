@@ -6,7 +6,12 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-from contest_parsing_ray.stages.window import asof_join, sliding_window
+from contest_parsing_ray.stages.window import (
+    asof_join,
+    rolling_zscore,
+    sliding_window,
+    time_weighted_avg,
+)
 
 
 def test_asof_join_backward():
@@ -45,3 +50,82 @@ def test_sliding_window_sum():
         .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
     )
     assert got["cnt_w3_sum"].tolist() == [1, 3, 6, 9, 10, 30]
+
+
+def test_rolling_zscore_trailing_baseline():
+    # key "a": constant baseline then a spike; key "b": too short for a score
+    s = pd.DataFrame(
+        {"k": ["a"] * 5 + ["b"] * 2, "ts": [1, 2, 3, 4, 5, 1, 2],
+         "v": [10.0, 10.0, 12.0, 10.0, 50.0, 1.0, 2.0]}
+    )
+    got = (
+        rolling_zscore(
+            ray.data.from_pandas(s), key_col="k", ts_col="ts", value_col="v",
+            window=4, min_periods=3, threshold=2.0, num_partitions=4,
+        )
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    a = got[got["k"] == "a"].reset_index(drop=True)
+    # rows 0-2: fewer than min_periods baseline points -> undefined
+    assert a["v_z"].isna().tolist()[:3] == [True, True, True]
+    # row 3: baseline [10,10,12] -> mu=32/3, sd>0; defined but not anomalous
+    assert abs(a.loc[3, "v_mu"] - 32.0 / 3.0) < 1e-12
+    assert not a.loc[3, "is_anomaly"]
+    # row 4: 50 vs baseline [10,10,12,10] -> way out
+    base = np.array([10.0, 10.0, 12.0, 10.0])
+    z = (50.0 - base.mean()) / base.std(ddof=1)
+    assert abs(a.loc[4, "v_z"] - z) < 1e-12 and a.loc[4, "is_anomaly"]
+    # short key: never scored, never anomalous
+    b = got[got["k"] == "b"]
+    assert b["v_z"].isna().all() and (~b["is_anomaly"]).all()
+
+
+def test_rolling_zscore_zero_variance_baseline():
+    s = pd.DataFrame(
+        {"k": ["a"] * 5, "ts": [1, 2, 3, 4, 5], "v": [7.0, 7.0, 7.0, 7.0, 99.0]}
+    )
+    got = (
+        rolling_zscore(
+            ray.data.from_pandas(s), key_col="k", ts_col="ts", value_col="v",
+            window=4, min_periods=3, threshold=2.0, num_partitions=2,
+        )
+        .to_pandas().sort_values("ts").reset_index(drop=True)
+    )
+    # constant baseline: sd=0 -> z undefined, anomaly False (not a crash/inf)
+    assert got.loc[4, "v_sd"] == 0.0
+    assert np.isnan(got.loc[4, "v_z"]) and not got.loc[4, "is_anomaly"]
+
+
+def test_time_weighted_avg_basic_and_edges():
+    import pyarrow as pa
+
+    W = 100  # bucket width (µs)
+    rows = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["a"] + ["b"] * 2 + ["c"],
+            # key a bucket 0: samples at 0,10,60 (+90 closes nothing: next
+            # bucket); a bucket 100: single sample -> no row
+            "ts": [0, 10, 60, 110, 90, 20, 20, 5],
+            "v": [1.0, 3.0, 5.0, 9.0, 7.0, 4.0, 8.0, None],
+            "id": [1, 2, 3, 4, 5, 6, 7, 8],
+        }
+    )
+    got = (
+        time_weighted_avg(
+            ray.data.from_arrow(pa.Table.from_pandas(rows)),
+            key_col="k", ts_col="ts", value_col="v", width_us=W,
+            order_col="id", num_partitions=4,
+        )
+        .to_pandas().sort_values(["k", "bucket_us"]).reset_index(drop=True)
+    )
+    a0 = got[(got["k"] == "a") & (got["bucket_us"] == 0)].iloc[0]
+    # weights: 1.0 held 10, 3.0 held 50, 5.0 held 30 (to ts=90), 7.0 unclosed
+    want = (1.0 * 10 + 3.0 * 50 + 5.0 * 30) / 90.0
+    assert abs(a0["twa"] - want) < 1e-12 and a0["n_weighted"] == 3
+    # single-sample bucket emits no row
+    assert got[(got["k"] == "a") & (got["bucket_us"] == 100)].empty
+    # all-ties bucket: total weight 0 -> twa NULL, still counted
+    b = got[got["k"] == "b"].iloc[0]
+    assert np.isnan(b["twa"]) and b["n_weighted"] == 1
+    # null values dropped before pairing: "c" has nothing left
+    assert got[got["k"] == "c"].empty
