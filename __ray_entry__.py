@@ -430,6 +430,23 @@ def _q_token_counts(sf_dir: str):
     return out.select_columns(["doc_id", "n_words", "n_ws_tokens"])
 
 
+PACK_CAP = 4096
+
+
+def _q_pack_offsets(sf_dir: str):
+    """GPT-style packing layout: global exclusive prefix-sum of whitespace
+    token counts in doc_id order; pack id + cut-straddle flag per doc."""
+    from contest_parsing_ray.stages.packing import pack_offsets
+    from contest_parsing_ray.stages.text import TokenCount
+
+    docs = _docs(sf_dir)
+    counted = docs.map_batches(TokenCount, batch_format="pandas", concurrency=2)
+    return pack_offsets(
+        counted.select_columns(["doc_id", "n_ws_tokens"]),
+        id_col="doc_id", count_col="n_ws_tokens", cap=PACK_CAP,
+    )
+
+
 def _q_quality(sf_dir: str):
     from contest_parsing_ray.stages.text import QualityScore
 
@@ -474,6 +491,18 @@ def _q_minhash(sf_dir: str):
 
     docs = _docs(sf_dir)
     return minhash_lsh_pairs(docs, id_col="doc_id", jaccard_threshold=0.5, concurrency=2)
+
+
+def _q_minhash_clusters(sf_dir: str):
+    """Near-dup pairs folded to dedup DECISIONS: connected components over
+    the verified MinHash pairs; min-id representative per cluster."""
+    from contest_parsing_ray.stages.neardup import cluster_pairs, minhash_lsh_pairs
+
+    docs = _docs(sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, id_col="doc_id", jaccard_threshold=0.5, concurrency=2
+    )
+    return cluster_pairs(pairs)
 
 
 def _q_simhash(sf_dir: str):
@@ -1187,6 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprint,
         # near-dup family
         "minhash_lsh_pairs": _q_minhash,
+        "minhash_clusters": _q_minhash_clusters,
         "simhash_docs": _q_simhash,
         "simhash_neardup_pairs": _q_simhash_pairs,
         "embedding_neardup_pairs": _q_emb_neardup,
@@ -1237,6 +1267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_sessions": _q_events_in_sessions,
         # monitoring family: trailing-window anomaly flags on a tier series
         "zscore_anomaly_1h": _q_zscore,
+        # tokens axis: distributed ordered prefix-sum packing layout
+        "pack_offsets_4096": _q_pack_offsets,
         # irregular-sampling mean: holding-time-weighted per (key, bucket)
         "time_weighted_avg_1h": _q_twa,
     }
@@ -1514,6 +1546,25 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_words,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens
 FROM documents
+""",
+        "pack_offsets_4096": rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_ws_tokens,
+         CAST(COALESCE(SUM(n_ws_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM t
+)
+SELECT doc_id, n_ws_tokens, start_tok,
+       CAST(start_tok // {PACK_CAP} AS BIGINT) AS pack_id,
+       (start_tok // {PACK_CAP})
+         <> ((start_tok + GREATEST(n_ws_tokens, 1) - 1) // {PACK_CAP})
+         AS straddles
+FROM o
 """,
         "doc_quality": r"""
 SELECT doc_id,
@@ -1862,6 +1913,7 @@ GOLDEN_ORACLE_KEYS = (
     "doc_fingerprints",
     "simhash_docs",
     "minhash_lsh_pairs",
+    "minhash_clusters",
     "simhash_neardup_pairs",
     "lsh_neardup_pairs",
     "lang_id_docs",

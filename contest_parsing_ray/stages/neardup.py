@@ -528,3 +528,78 @@ def embedding_neardup_pairs(
     return hash_partitioned_map(
         pairs, ["id_a", "id_b"], dedup_pairs, batch_format="pandas"
     )
+
+
+def cluster_pairs(
+    pairs: ray.data.Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> ray.data.Dataset:
+    """Connected components over a near-duplicate pair list →
+    ``(doc_id, cluster_rep, cluster_size)`` for every doc that appears in
+    a pair. The representative is the smallest member id — the same
+    deterministic survivor rule the LSH buckets and exact dedup use, so
+    "keep cluster_rep, drop the rest" is a stable dedup decision.
+
+    The pair list is the VERIFIED candidate output of the neardup family —
+    orders of magnitude smaller than the corpus by construction (banded
+    LSH + capped buckets + exact-similarity verify), so union-find runs on
+    the driver: the same size class as the exact-dedup winner table. For
+    adversarially dense pair graphs, swap in iterative min-label
+    propagation over the hash exchange (per round: label := min over
+    neighbors' labels; rounds = graph diameter).
+    """
+    refs = pairs.select_columns([id_a, id_b]).to_arrow_refs()
+    blocks = ray.get(refs) if refs else []
+    blocks = [t for t in blocks if t.num_rows]
+    if not blocks:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "cluster_rep": pa.array([], pa.string()),
+                    "cluster_size": pa.array([], pa.int64()),
+                }
+            )
+        )
+    tbl = pa.concat_tables(blocks, promote_options="default")
+    a = tbl[id_a].to_pylist()
+    b = tbl[id_b].to_pylist()
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by id order keeps the eventual walk deterministic
+            if str(ry) < str(rx):
+                rx, ry = ry, rx
+            parent[ry] = rx
+
+    members: dict = {}
+    for x in parent:
+        members.setdefault(find(x), []).append(x)
+
+    doc_ids, reps, sizes = [], [], []
+    for root, ms in members.items():
+        rep = min(ms)
+        for m in ms:
+            doc_ids.append(m)
+            reps.append(rep)
+            sizes.append(len(ms))
+    out = pa.table(
+        {
+            "doc_id": pa.array(doc_ids),
+            "cluster_rep": pa.array(reps),
+            "cluster_size": pa.array(sizes, type=pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)

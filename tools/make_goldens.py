@@ -28,6 +28,7 @@ GOLDEN_QUERIES = [
     "doc_fingerprints",
     "simhash_docs",
     "minhash_lsh_pairs",
+    "minhash_clusters",
     "simhash_neardup_pairs",
     "lsh_neardup_pairs",
     "lang_id_docs",
