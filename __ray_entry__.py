@@ -505,6 +505,18 @@ def _q_minhash_clusters(sf_dir: str):
     return cluster_pairs(pairs)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """EXACT word-3-gram Jaccard all-pairs via prefix filtering — the one
+    dedup-family member with a fully SQL-expressible oracle (MinHash/SimHash
+    are approximate and golden-pinned instead)."""
+    from contest_parsing_ray.stages.neardup import ngram_jaccard_pairs
+
+    docs = _docs(sf_dir)
+    return ngram_jaccard_pairs(
+        docs, id_col="doc_id", n=3, threshold=0.4, concurrency=2
+    )
+
+
 def _q_simhash(sf_dir: str):
     from contest_parsing_ray.stages.neardup import simhash_docs
 
@@ -1217,6 +1229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup family
         "minhash_lsh_pairs": _q_minhash,
         "minhash_clusters": _q_minhash_clusters,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_docs": _q_simhash,
         "simhash_neardup_pairs": _q_simhash_pairs,
         "embedding_neardup_pairs": _q_emb_neardup,
@@ -1565,6 +1578,31 @@ SELECT doc_id, n_ws_tokens, start_tok,
          <> ((start_tok + GREATEST(n_ws_tokens, 1) - 1) // {PACK_CAP})
          AS straddles
 FROM o
+""",
+        # exact prefix-filter Jaccard: shingles are word 3-grams over \S+
+        # tokens; the engine finds candidates via hashed shingles but
+        # VERIFIES with string shingles, so values match SQL exactly
+        "ngram_jaccard_pairs": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                               FOR i IN range(1, len(w) - 1)])) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.4
 """,
         "doc_quality": r"""
 SELECT doc_id,

@@ -603,3 +603,221 @@ def cluster_pairs(
         }
     )
     return ray.data.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard all-pairs (prefix filtering / AllPairs family)
+# ---------------------------------------------------------------------------
+
+_WORD_RE = None  # compiled lazily; RE2 \S byte class, see _word_ngram_set
+
+
+def _word_ngram_set(text: str, n: int = 3) -> set:
+    """Distinct word n-gram shingles (space-joined strings) of one doc.
+
+    Tokens are maximal runs of non-whitespace where whitespace is RE2's
+    ``\\s`` = ``[\\t\\n\\f\\r ]`` — byte-identical to DuckDB/pyarrow
+    ``regexp_extract_all(text, '\\S+')`` (Python's own ``\\s`` adds ``\\v``
+    and Unicode spaces, so a literal ``\\S+`` here would diverge)."""
+    global _WORD_RE
+    if _WORD_RE is None:
+        import re
+
+        _WORD_RE = re.compile(r"[^\t\n\f\r ]+")
+    toks = _WORD_RE.findall(text or "")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard_word_ngrams(a: str, b: str, n: int = 3) -> float:
+    sa, sb = _word_ngram_set(a, n), _word_ngram_set(b, n)
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 1.0
+
+
+class NgramPrefix:
+    """Per-batch prefix-filter emitter for exact Jaccard all-pairs.
+
+    For each doc: distinct word n-gram shingle hashes sorted ascending
+    (hash order = the global total order the filter needs — any consistent
+    order works; frequency order is the classic optimization, hash order
+    avoids the global df pass); emit the first ``m - ceil(tau*m) + 1`` as
+    ``(shingle, doc_id)`` rows. Theorem (Bayardo et al., AllPairs):
+    J(A,B) >= tau implies |A&B| >= tau*max(|A|,|B|), so the smallest
+    common element sits inside both docs' prefixes — every qualifying
+    pair shares at least one emitted shingle. Everything below is one
+    vectorized pass: ONE RE2 split, ONE buffer-level word hash, rolling
+    polynomial for the n-gram hash, lexsort for per-doc distinct."""
+
+    def __init__(self, text_col="text", id_col="doc_id", n=3, threshold=0.4):
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+        if not (0.0 < threshold <= 1.0):
+            raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+        self.text_col, self.id_col, self.n, self.tau = text_col, id_col, n, threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = self.n
+        col = pc.fill_null(batch[self.text_col].combine_chunks(), "")
+        words = pc.split_pattern_regex(col, pattern=r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        off_dtype = np.int64 if pa.types.is_large_list(words.type) else np.int32
+        raw_off = np.frombuffer(words.buffers()[1], dtype=off_dtype)[
+            words.offset : words.offset + len(words) + 1
+        ].astype(np.int64)
+        n_docs = len(words)
+        ids = batch[self.id_col].combine_chunks()
+        empty = pa.table(
+            {"shingle": pa.array([], pa.int64()), self.id_col: ids.slice(0, 0)}
+        )
+        # split leaves empty strings at doc edges — mask them out
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        if not keep.any():
+            return empty
+        parent_w = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(raw_off))
+        lengths = np.bincount(parent_w[keep], minlength=n_docs).astype(np.int64)
+        hs = hash64_strings(flat.filter(pa.array(keep)))
+
+        # rolling polynomial n-gram hash over the doc-major word-hash array;
+        # windows crossing doc boundaries masked via per-doc window counts
+        n_sh = np.maximum(lengths - (n - 1), 0)
+        total = int(n_sh.sum())
+        if total == 0:
+            return empty
+        woff = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lengths, out=woff[1:])
+        n_win_all = len(hs) - (n - 1)
+        with np.errstate(over="ignore"):
+            h = np.zeros(n_win_all, dtype=np.uint64)
+            for i in range(n):
+                h = h * _SHINGLE_PRIME + hs[i : n_win_all + i]
+            h = _splitmix64(h)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_sh)
+        base = np.repeat(woff[:-1][n_sh > 0], n_sh[n_sh > 0])
+        run0 = np.repeat(np.cumsum(n_sh) - n_sh, n_sh)
+        win_idx = base + (np.arange(total, dtype=np.int64) - run0)
+        sh = h[win_idx]
+
+        # per-doc distinct ascending: lexsort, then first-occurrence mask
+        order = np.lexsort((sh, doc_of))
+        sh_s, doc_s = sh[order], doc_of[order]
+        first = np.ones(total, dtype=bool)
+        first[1:] = (doc_s[1:] != doc_s[:-1]) | (sh_s[1:] != sh_s[:-1])
+        sh_u, doc_u = sh_s[first], doc_s[first]
+        m = np.bincount(doc_u, minlength=n_docs).astype(np.int64)
+        # required overlap o = ceil(tau*m); epsilon guards float error in
+        # the SAFE direction (smaller o -> longer prefix -> more candidates)
+        o = np.ceil(self.tau * m - 1e-9).astype(np.int64)
+        k = np.maximum(m - o + 1, 0) * (m > 0)
+        uoff = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(m, out=uoff[1:])
+        pos = np.arange(len(sh_u), dtype=np.int64) - uoff[doc_u]
+        sel = pos < k[doc_u]
+        return pa.table(
+            {
+                "shingle": pa.array(sh_u[sel].view(np.int64)),
+                self.id_col: ids.take(pa.array(doc_u[sel])),
+            }
+        )
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+    concurrency: int = 4,
+    max_bucket: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT word n-gram Jaccard all-pairs: every (id_a < id_b, jaccard)
+    with jaccard >= ``threshold`` — no approximation, unlike MinHash/SimHash.
+
+    Scale shape: the shuffle moves only the PREFIX-FILTERED
+    ``(shingle_hash, doc_id)`` projection — ~``(1 - tau)`` of each doc's
+    distinct shingles, 16 B/row, never the text; candidate pairs form
+    inside shingle buckets (bucket size == shingle doc-frequency, so
+    hash-ordered prefixes keep buckets df-bounded); pairs are deduped by a
+    second id-keyed exchange; the text is joined back ONLY for surviving
+    candidates and verified with exact string-shingle Jaccard (hashes are
+    used solely to FIND candidates — a 64-bit collision can only add a
+    candidate that the string verify then rejects, never lose a pair).
+
+    ``max_bucket=None`` keeps the operator exact. Setting it caps
+    stop-shingle buckets (deterministic lowest-id survivors) and trades
+    exactness for a hard bound on skew — at web scale prefer raising
+    ``threshold`` or switching the prefix order to rarest-first (one extra
+    df-count pass) before capping."""
+    prefixes = docs.map_batches(
+        NgramPrefix,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, n=n, threshold=threshold
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        id_dt = df[id_col].dtype if len(df) else object
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=id_dt), "id_b": pd.Series(dtype=id_dt)}
+            )
+        df = df.drop_duplicates(subset=["shingle", id_col])
+        df = df.sort_values(["shingle", id_col], kind="stable")
+        if max_bucket is not None:
+            df = df.groupby("shingle", sort=False).head(max_bucket)
+        m = df.merge(df, on="shingle", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
+        return out[["id_a", "id_b"]].drop_duplicates()
+
+    from ._shuffle import hash_partitioned_map
+
+    candidates = hash_partitioned_map(
+        prefixes, ["shingle"], bucket_pairs, batch_format="pandas"
+    )
+    candidates = hash_partitioned_map(
+        candidates,
+        ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(subset=["id_a", "id_b"]),
+        batch_format="pandas",
+    )
+
+    from .join import hash_join
+
+    def rename_to(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns([f"id_{side}", f"text_{side}"])
+
+        return f
+
+    texts = docs.select_columns([id_col, text_col])
+    withs = hash_join(
+        candidates,
+        texts.map_batches(rename_to("a"), batch_format="pyarrow"),
+        on=["id_a"], how="inner",
+    )
+    withs = hash_join(
+        withs,
+        texts.map_batches(rename_to("b"), batch_format="pyarrow"),
+        on=["id_b"], how="inner",
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.asarray(
+            [
+                jaccard_word_ngrams(a, b, n)
+                for a, b in zip(df["text_a"], df["text_b"])
+            ],
+            dtype=np.float64,
+        )
+        df = df.assign(jaccard=jac)
+        df = df[df["jaccard"] >= threshold]
+        return df[["id_a", "id_b", "jaccard"]]
+
+    return withs.map_batches(verify, batch_format="pandas")

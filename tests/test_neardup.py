@@ -136,3 +136,70 @@ def test_bucket_cap_deterministic_under_input_order():
     rev = pairs_of(df.iloc[::-1].reset_index(drop=True))
     # cap=2 over 6 identical docs: only the two lowest ids survive each bucket
     assert fwd == rev == {("d0", "d1")}
+
+
+def _brute_ngram_pairs(texts: dict, n: int, tau: float) -> dict:
+    from contest_parsing_ray.stages.neardup import jaccard_word_ngrams
+
+    ids = sorted(texts)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = jaccard_word_ngrams(texts[a], texts[b], n)
+            # docs with zero shingles never join in the SQL oracle
+            if j >= tau and _has_shingles(texts[a], n) and _has_shingles(texts[b], n):
+                out[(a, b)] = j
+    return out
+
+
+def _has_shingles(t: str, n: int) -> bool:
+    return len((t or "").split()) >= n
+
+
+def test_ngram_jaccard_exact_vs_bruteforce():
+    """Prefix filtering must be EXACT: every pair >= tau found, values equal
+    to the brute-force string-shingle Jaccard, across random near-dup and
+    unrelated docs in shuffled multi-block input."""
+    from contest_parsing_ray.stages.neardup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{k}" for k in range(40)]
+    texts = {}
+    for i in range(30):
+        words = list(rng.choice(vocab, size=rng.integers(5, 25)))
+        texts[f"d{i:03d}"] = " ".join(words)
+        if i % 3 == 0:  # planted near-dup: mutate one word
+            mut = list(words)
+            mut[int(rng.integers(0, len(mut)))] = "XX"
+            texts[f"d{i:03d}x"] = " ".join(mut)
+    # edge cases: empty, whitespace-only, shorter than n
+    texts["e1"], texts["e2"], texts["e3"] = "", "   ", "one two"
+    ids = list(texts)
+    rng.shuffle(ids)
+    df = pd.DataFrame({"doc_id": ids, "text": [texts[i] for i in ids]})
+    for tau in (0.3, 0.6, 0.9):
+        got = ngram_jaccard_pairs(
+            ray.data.from_pandas(df).repartition(4),
+            n=3, threshold=tau, concurrency=2,
+        ).to_pandas()
+        got_map = {
+            (r.id_a, r.id_b): r.jaccard for r in got.itertuples(index=False)
+        }
+        assert got_map == _brute_ngram_pairs(texts, 3, tau), f"tau={tau}"
+
+
+def test_ngram_jaccard_identical_docs_and_bad_params():
+    from contest_parsing_ray.stages.neardup import NgramPrefix, ngram_jaccard_pairs
+
+    df = pd.DataFrame(
+        {"doc_id": ["a", "b"], "text": ["alpha beta gamma delta"] * 2}
+    )
+    got = ngram_jaccard_pairs(
+        ray.data.from_pandas(df), n=3, threshold=1.0
+    ).to_pandas()
+    assert got[["id_a", "id_b"]].values.tolist() == [["a", "b"]]
+    assert got["jaccard"].tolist() == [1.0]
+    with pytest.raises(ValueError, match="threshold"):
+        NgramPrefix(threshold=0.0)
+    with pytest.raises(ValueError, match="n must"):
+        NgramPrefix(n=0)
