@@ -435,14 +435,26 @@ PACK_CAP = 4096
 
 def _q_pack_offsets(sf_dir: str):
     """GPT-style packing layout: global exclusive prefix-sum of whitespace
-    token counts in doc_id order; pack id + cut-straddle flag per doc."""
+    token counts in doc_id order; pack id + cut-straddle flag per doc.
+
+    The count stage is a stateless Arrow task (ONE RE2 count_substring_regex
+    kernel), not an actor pool — actor spin-up dominated this query's wall
+    at bench scale (~4 s of a 9 s run)."""
     from contest_parsing_ray.stages.packing import pack_offsets
-    from contest_parsing_ray.stages.text import TokenCount
+
+    def count_tokens(b):
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(
+            pc.fill_null(b["text"].combine_chunks(), ""), pattern=r"\S+"
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"].combine_chunks(), "n_ws_tokens": n.cast(pa.int64())}
+        )
 
     docs = _docs(sf_dir)
-    counted = docs.map_batches(TokenCount, batch_format="pandas", concurrency=2)
     return pack_offsets(
-        counted.select_columns(["doc_id", "n_ws_tokens"]),
+        docs.map_batches(count_tokens, batch_format="pyarrow"),
         id_col="doc_id", count_col="n_ws_tokens", cap=PACK_CAP,
     )
 
@@ -508,12 +520,16 @@ def _q_minhash_clusters(sf_dir: str):
 def _q_ngram_jaccard(sf_dir: str):
     """EXACT word-3-gram Jaccard all-pairs via prefix filtering — the one
     dedup-family member with a fully SQL-expressible oracle (MinHash/SimHash
-    are approximate and golden-pinned instead)."""
+    are approximate and golden-pinned instead). tau=0.8 is the standard
+    near-dup operating point AND where prefix filtering is selective
+    (prefix = 20% of shingles; below tau~0.7 selectivity collapses — at
+    tau=0.4 this corpus produced 522k candidates for 256 true pairs — and
+    the scale answer for low thresholds is MinHash-LSH, not exact)."""
     from contest_parsing_ray.stages.neardup import ngram_jaccard_pairs
 
     docs = _docs(sf_dir)
     return ngram_jaccard_pairs(
-        docs, id_col="doc_id", n=3, threshold=0.4, concurrency=2
+        docs, id_col="doc_id", n=3, threshold=0.8, concurrency=2
     )
 
 
@@ -1602,7 +1618,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.4
+WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.8
 """,
         "doc_quality": r"""
 SELECT doc_id,

@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "exact_dedup_docs",
     "ann_topk_cosine",
     "embedding_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "pack_offsets_4096",
     "ohlc_rate_1h",
     "sessionize_30m",
     "value_histogram_20",

@@ -116,9 +116,21 @@ def broadcast_semi_join(
         lambda b: pa.table({on: b[on].combine_chunks().unique()}),
         batch_format="pyarrow",
     )
-    key_col = pa.concat_tables(
-        ray.get(uniq.to_arrow_refs()), promote_options="default"
-    )[on]
+    # Ray quirk: ZERO-COLUMN empty pandas blocks (e.g. out of an empty
+    # map_groups partition upstream) bypass map_batches UDFs entirely and
+    # come back from to_arrow_refs as DataFrames — normalize/skip them
+    blocks = []
+    for bl in ray.get(uniq.to_arrow_refs()):
+        if isinstance(bl, pd.DataFrame):
+            if on not in bl.columns:
+                continue
+            bl = pa.Table.from_pandas(bl[[on]], preserve_index=False)
+        if on in bl.column_names:
+            blocks.append(bl.select([on]))
+    if not blocks:
+        # empty key set: EXISTS matches nothing, NOT EXISTS matches all
+        return large if anti else large.limit(0)
+    key_col = pa.concat_tables(blocks, promote_options="default")[on]
     t = key_col.type
     hashed = pa.types.is_string(t) or pa.types.is_large_string(t) or (
         pa.types.is_binary(t)

@@ -211,6 +211,52 @@ class MinHashBands:
         )
 
 
+def _attach_pair_texts(
+    candidates: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+) -> ray.data.Dataset:
+    """Attach ``text_a``/``text_b`` to ``(id_a, id_b)`` candidate pairs
+    WITHOUT a join shuffle: one streaming ``broadcast_semi_join`` pass
+    filters the corpus down to candidate docs (no exchange of the large
+    side), their texts ship once via ``ray.put``, and a task-pool map
+    stamps both sides. Candidate pairs and their texts are output-size-
+    class small BY CONSTRUCTION (banded-LSH / prefix-filtered candidates,
+    orders of magnitude below the corpus) — the same driver-size
+    assumption as ``broadcast_join``; if candidates ever rival the corpus
+    the hash-shuffle ``stages/join.py::hash_join`` is the fallback. A
+    replicated-dict join-back beats two join operators here because each
+    native join instantiates its aggregator-actor pool up front (~seconds
+    of fixed wall, measured 7.5 s for the two joins at sf0.1 vs <1 s for
+    this shape)."""
+    from .join import broadcast_semi_join
+
+    cand = candidates.materialize()
+
+    def both_ids(b: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()]
+        )
+        return pa.table({id_col: both.unique()})
+
+    ids = cand.map_batches(both_ids, batch_format="pyarrow")
+    texts_small = broadcast_semi_join(
+        docs.select_columns([id_col, text_col]), ids, on=id_col
+    ).to_pandas()
+    text_ref = ray.put(
+        dict(zip(texts_small[id_col], texts_small[text_col]))
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        tm = ray.get(text_ref)
+        return df.assign(
+            text_a=df["id_a"].map(tm), text_b=df["id_b"].map(tm)
+        )
+
+    return cand.map_batches(attach, batch_format="pandas")
+
+
 def minhash_lsh_pairs(
     docs: ray.data.Dataset,
     text_col: str = "text",
@@ -268,27 +314,7 @@ def minhash_lsh_pairs(
         candidates, ["id_a", "id_b"], dedup_pairs, batch_format="pandas"
     )
 
-    # text joined back only for surviving candidates (two small hash joins
-    # against the doc table — candidate count << corpus size)
-    from .join import hash_join
-
-    def rename_to(side: str):
-        def f(b: pa.Table) -> pa.Table:
-            return b.rename_columns([f"id_{side}", f"text_{side}"])
-
-        return f
-
-    texts = docs.select_columns([id_col, text_col])
-    withs = hash_join(
-        candidates,
-        texts.map_batches(rename_to("a"), batch_format="pyarrow"),
-        on=["id_a"], how="inner",
-    )
-    withs = hash_join(
-        withs,
-        texts.map_batches(rename_to("b"), batch_format="pyarrow"),
-        on=["id_b"], how="inner",
-    )
+    withs = _attach_pair_texts(candidates, docs, id_col, text_col)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         jac = [
@@ -635,26 +661,18 @@ def jaccard_word_ngrams(a: str, b: str, n: int = 3) -> float:
     return inter / union if union else 1.0
 
 
-class NgramPrefix:
-    """Per-batch prefix-filter emitter for exact Jaccard all-pairs.
+class NgramShingles:
+    """Per-batch distinct word n-gram shingle emitter: one row per
+    ``(shingle_hash, doc_id)`` plus ``m`` = the doc's distinct-shingle
+    count (every row of a doc carries it — the prefix selector downstream
+    needs it next to each row). One vectorized pass: ONE RE2 split, ONE
+    buffer-level word hash, rolling polynomial for the n-gram hash,
+    lexsort for per-doc distinct."""
 
-    For each doc: distinct word n-gram shingle hashes sorted ascending
-    (hash order = the global total order the filter needs — any consistent
-    order works; frequency order is the classic optimization, hash order
-    avoids the global df pass); emit the first ``m - ceil(tau*m) + 1`` as
-    ``(shingle, doc_id)`` rows. Theorem (Bayardo et al., AllPairs):
-    J(A,B) >= tau implies |A&B| >= tau*max(|A|,|B|), so the smallest
-    common element sits inside both docs' prefixes — every qualifying
-    pair shares at least one emitted shingle. Everything below is one
-    vectorized pass: ONE RE2 split, ONE buffer-level word hash, rolling
-    polynomial for the n-gram hash, lexsort for per-doc distinct."""
-
-    def __init__(self, text_col="text", id_col="doc_id", n=3, threshold=0.4):
+    def __init__(self, text_col="text", id_col="doc_id", n=3):
         if n < 1:
             raise ValueError(f"n must be >= 1, got {n}")
-        if not (0.0 < threshold <= 1.0):
-            raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-        self.text_col, self.id_col, self.n, self.tau = text_col, id_col, n, threshold
+        self.text_col, self.id_col, self.n = text_col, id_col, n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -672,7 +690,11 @@ class NgramPrefix:
         n_docs = len(words)
         ids = batch[self.id_col].combine_chunks()
         empty = pa.table(
-            {"shingle": pa.array([], pa.int64()), self.id_col: ids.slice(0, 0)}
+            {
+                "shingle": pa.array([], pa.int64()),
+                self.id_col: ids.slice(0, 0),
+                "m": pa.array([], pa.int64()),
+            }
         )
         # split leaves empty strings at doc edges — mask them out
         keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
@@ -702,27 +724,28 @@ class NgramPrefix:
         win_idx = base + (np.arange(total, dtype=np.int64) - run0)
         sh = h[win_idx]
 
-        # per-doc distinct ascending: lexsort, then first-occurrence mask
+        # per-doc distinct: lexsort, then first-occurrence mask
         order = np.lexsort((sh, doc_of))
         sh_s, doc_s = sh[order], doc_of[order]
         first = np.ones(total, dtype=bool)
         first[1:] = (doc_s[1:] != doc_s[:-1]) | (sh_s[1:] != sh_s[:-1])
         sh_u, doc_u = sh_s[first], doc_s[first]
         m = np.bincount(doc_u, minlength=n_docs).astype(np.int64)
-        # required overlap o = ceil(tau*m); epsilon guards float error in
-        # the SAFE direction (smaller o -> longer prefix -> more candidates)
-        o = np.ceil(self.tau * m - 1e-9).astype(np.int64)
-        k = np.maximum(m - o + 1, 0) * (m > 0)
-        uoff = np.zeros(n_docs + 1, dtype=np.int64)
-        np.cumsum(m, out=uoff[1:])
-        pos = np.arange(len(sh_u), dtype=np.int64) - uoff[doc_u]
-        sel = pos < k[doc_u]
         return pa.table(
             {
-                "shingle": pa.array(sh_u[sel].view(np.int64)),
-                self.id_col: ids.take(pa.array(doc_u[sel])),
+                "shingle": pa.array(sh_u.view(np.int64)),
+                self.id_col: ids.take(pa.array(doc_u)),
+                "m": pa.array(m[doc_u]),
             }
         )
+
+
+def _prefix_len(m, tau: float):
+    """Prefix-filter length: ``m - ceil(tau*m) + 1`` smallest shingles.
+    The epsilon guards float error in the SAFE direction (smaller required
+    overlap -> longer prefix -> extra candidates, never lost ones)."""
+    o = np.ceil(tau * np.asarray(m, dtype=np.float64) - 1e-9).astype(np.int64)
+    return np.maximum(np.asarray(m, dtype=np.int64) - o + 1, 0)
 
 
 def ngram_jaccard_pairs(
@@ -737,28 +760,58 @@ def ngram_jaccard_pairs(
     """EXACT word n-gram Jaccard all-pairs: every (id_a < id_b, jaccard)
     with jaccard >= ``threshold`` — no approximation, unlike MinHash/SimHash.
 
-    Scale shape: the shuffle moves only the PREFIX-FILTERED
-    ``(shingle_hash, doc_id)`` projection — ~``(1 - tau)`` of each doc's
-    distinct shingles, 16 B/row, never the text; candidate pairs form
-    inside shingle buckets (bucket size == shingle doc-frequency, so
-    hash-ordered prefixes keep buckets df-bounded); pairs are deduped by a
-    second id-keyed exchange; the text is joined back ONLY for surviving
-    candidates and verified with exact string-shingle Jaccard (hashes are
-    used solely to FIND candidates — a 64-bit collision can only add a
-    candidate that the string verify then rejects, never lose a pair).
+    Prefix filtering with RAREST-FIRST ordering (Bayardo et al., AllPairs /
+    Chaudhuri et al.): J(A,B) >= tau implies |A&B| >= tau*max(|A|,|B|), so
+    under ANY global total order on shingles the smallest common shingle
+    sits inside both docs' first ``m - ceil(tau*m) + 1`` shingles — every
+    qualifying pair shares a prefix shingle. Ordering shingles by
+    (document frequency, hash) makes prefixes prefer the RAREST shingles,
+    so candidate buckets stay tiny even on boilerplate-heavy corpora
+    (hash-ordered prefixes measured 677k candidates -> df-ordered ~300 on
+    the sf0.1 documents table, 256 true pairs).
 
-    ``max_bucket=None`` keeps the operator exact. Setting it caps
-    stop-shingle buckets (deterministic lowest-id survivors) and trades
-    exactness for a hard bound on skew — at web scale prefer raising
-    ``threshold`` or switching the prefix order to rarest-first (one extra
-    df-count pass) before capping."""
-    prefixes = docs.map_batches(
-        NgramPrefix,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, n=n, threshold=threshold
-        ),
+    Scale shape: three hash exchanges over the 24 B/row distinct-shingle
+    projection (df count, per-doc prefix select, candidate buckets) plus
+    one over candidate pairs — the TEXT never shuffles; it is joined back
+    only for surviving candidates and verified with exact string-shingle
+    Jaccard (hashes only FIND candidates — a 64-bit collision can add a
+    candidate that the string verify rejects, never lose a pair; df ties
+    are broken by hash, keeping the order total). ``max_bucket=None``
+    keeps the operator exact; setting it caps buckets (deterministic
+    lowest-id survivors) trading exactness for a hard skew bound."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from ._shuffle import hash_partitioned_map
+
+    shingles = docs.map_batches(
+        NgramShingles,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, n=n),
         batch_format="pyarrow",
         concurrency=(1, concurrency),
+    )
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are globally unique (one per doc x distinct shingle), so the
+        # partition-local group size IS the global document frequency
+        if len(df) == 0:
+            return df.assign(df=pd.Series(dtype="int64"))
+        return df.assign(df=df.groupby("shingle")[id_col].transform("size"))
+
+    with_df = hash_partitioned_map(
+        shingles, ["shingle"], attach_df, batch_format="pandas"
+    )
+
+    def select_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["shingle", id_col]
+        if len(df) == 0:
+            return df[cols]
+        df = df.sort_values([id_col, "df", "shingle"], kind="stable")
+        pos = df.groupby(id_col, sort=False).cumcount().to_numpy()
+        keep = pos < _prefix_len(df["m"].to_numpy(), threshold)
+        return df.loc[keep, cols]
+
+    prefixes = hash_partitioned_map(
+        with_df, [id_col], select_prefix, batch_format="pandas"
     )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -767,7 +820,6 @@ def ngram_jaccard_pairs(
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype=id_dt), "id_b": pd.Series(dtype=id_dt)}
             )
-        df = df.drop_duplicates(subset=["shingle", id_col])
         df = df.sort_values(["shingle", id_col], kind="stable")
         if max_bucket is not None:
             df = df.groupby("shingle", sort=False).head(max_bucket)
@@ -775,8 +827,6 @@ def ngram_jaccard_pairs(
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         out = m.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
         return out[["id_a", "id_b"]].drop_duplicates()
-
-    from ._shuffle import hash_partitioned_map
 
     candidates = hash_partitioned_map(
         prefixes, ["shingle"], bucket_pairs, batch_format="pandas"
@@ -788,25 +838,7 @@ def ngram_jaccard_pairs(
         batch_format="pandas",
     )
 
-    from .join import hash_join
-
-    def rename_to(side: str):
-        def f(b: pa.Table) -> pa.Table:
-            return b.rename_columns([f"id_{side}", f"text_{side}"])
-
-        return f
-
-    texts = docs.select_columns([id_col, text_col])
-    withs = hash_join(
-        candidates,
-        texts.map_batches(rename_to("a"), batch_format="pyarrow"),
-        on=["id_a"], how="inner",
-    )
-    withs = hash_join(
-        withs,
-        texts.map_batches(rename_to("b"), batch_format="pyarrow"),
-        on=["id_b"], how="inner",
-    )
+    withs = _attach_pair_texts(candidates, docs, id_col, text_col)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         jac = np.asarray(

@@ -189,7 +189,7 @@ def test_ngram_jaccard_exact_vs_bruteforce():
 
 
 def test_ngram_jaccard_identical_docs_and_bad_params():
-    from contest_parsing_ray.stages.neardup import NgramPrefix, ngram_jaccard_pairs
+    from contest_parsing_ray.stages.neardup import NgramShingles, ngram_jaccard_pairs
 
     df = pd.DataFrame(
         {"doc_id": ["a", "b"], "text": ["alpha beta gamma delta"] * 2}
@@ -200,6 +200,6 @@ def test_ngram_jaccard_identical_docs_and_bad_params():
     assert got[["id_a", "id_b"]].values.tolist() == [["a", "b"]]
     assert got["jaccard"].tolist() == [1.0]
     with pytest.raises(ValueError, match="threshold"):
-        NgramPrefix(threshold=0.0)
+        ngram_jaccard_pairs(ray.data.from_pandas(df), threshold=0.0)
     with pytest.raises(ValueError, match="n must"):
-        NgramPrefix(n=0)
+        NgramShingles(n=0)
