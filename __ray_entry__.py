@@ -964,6 +964,19 @@ def _q_ohlc(sf_dir: str):
     return _round_cols(out, ["open_v", "high_v", "low_v", "close_v", "rate_per_s"])
 
 
+def _q_m4(sf_dir: str):
+    """M4 visualization downsample: per (event_type, 1h bucket) the ≤4
+    ACTUAL points achieving first/last/min/max — dedup'd; value ties on a
+    timestamp resolve by value so the points are partitioning-invariant."""
+    from contest_parsing_ray.stages.ohlc import m4_downsample
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    return m4_downsample(
+        ev, key_col="event_type", ts_col="event_time_us",
+        value_col="value", width_us=W1H,
+    )
+
+
 def _q_sessionize(sf_dir: str):
     """Per-user sessionization at 30-minute inactivity gaps."""
     from contest_parsing_ray.stages.window import sessionize
@@ -1273,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trace_one_row": _q_trace_one_row,
         # order-dependent rollup: open/high/low/close + counter rate
         "ohlc_rate_1h": _q_ohlc,
+        "m4_downsample_1h": _q_m4,
         # gap-split sessionization (web-log analog of trace grouping)
         "sessionize_30m": _q_sessionize,
         # training-data text ops: redaction, repetition, corpus vocab
@@ -1619,6 +1633,28 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.8
+""",
+        # M4: the four row_numbers pick the lexicographic-extreme POINTS
+        # under the same tie-break the engine uses ((ts,value)/(value,ts))
+        "m4_downsample_1h": r"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, value,
+         ((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_us
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bucket_us
+                       ORDER BY ts_us, value) AS rf,
+    row_number() OVER (PARTITION BY event_type, bucket_us
+                       ORDER BY ts_us DESC, value DESC) AS rl,
+    row_number() OVER (PARTITION BY event_type, bucket_us
+                       ORDER BY value, ts_us) AS rb,
+    row_number() OVER (PARTITION BY event_type, bucket_us
+                       ORDER BY value DESC, ts_us DESC) AS rt
+  FROM e
+)
+SELECT DISTINCT event_type, bucket_us, ts_us, value
+FROM r WHERE 1 IN (rf, rl, rb, rt)
 """,
         "doc_quality": r"""
 SELECT doc_id,

@@ -221,3 +221,100 @@ def ohlc_rollup(
         partials, [key_col], merge,
         num_partitions=num_partitions, batch_format="pandas",
     )
+
+
+def _select_m4(df: pd.DataFrame, key_col: str) -> pd.DataFrame:
+    """Per (key, bucket_us): the rows at the four lexicographic extremes —
+    first = min (ts, value), last = max (ts, value), bottom = min
+    (value, ts), top = max (value, ts) — deduplicated. Value ties on a
+    shared timestamp resolve by value (not an arbitrary row), so the
+    selected POINTS are deterministic under any partitioning. Idempotent:
+    re-applying to its own output selects the same rows, which is what
+    makes the per-batch partial and the per-partition merge the same
+    function."""
+    if len(df) == 0:
+        return df
+    k, _ = pd.factorize(df[key_col], sort=False, use_na_sentinel=False)
+    b = df["bucket_us"].to_numpy()
+    ts = df["ts_us"].to_numpy()
+    v = df["value"].to_numpy()
+    o1 = np.lexsort((v, ts, b, k))  # (ts, value) order → first/last
+    ks, bs = k[o1], b[o1]
+    new = np.empty(len(ks), dtype=bool)
+    new[0] = True
+    new[1:] = (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.concatenate([starts[1:], [len(ks)]]) - 1
+    # same primary (key, bucket) keys → identical group layout
+    o2 = np.lexsort((ts, v, b, k))  # (value, ts) order → bottom/top
+    rows = np.concatenate([o1[starts], o1[ends], o2[starts], o2[ends]])
+    out = pd.DataFrame(
+        {
+            key_col: df[key_col].to_numpy()[rows],
+            "bucket_us": b[rows],
+            "ts_us": ts[rows],
+            "value": v[rows],
+        }
+    )
+    return out.drop_duplicates()
+
+
+def m4_downsample(
+    events: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    width_us: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """M4 visualization downsample (Jugel et al., VLDB 2014): per
+    (key, floor-``width_us`` bucket) keep the ACTUAL input points that
+    achieve first/last/min-value/max-value — ≤ 4 rows per bucket
+    reproduce a line chart pixel-exactly at bucket resolution. Unlike
+    :func:`ohlc_rollup` (which aggregates VALUES into one row), the
+    output rows are real points ``(key, bucket_us, ts_us, value)``,
+    deduplicated when roles coincide.
+
+    Scale shape: the selection is mergeable AND idempotent — each batch
+    emits its ≤ 4 candidate points per group, so only ~4 x groups rows
+    per batch enter the hash exchange, and the per-partition merge is the
+    SAME :func:`_select_m4`. Null values/timestamps are dropped (no point
+    to plot)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key_type = batch.schema.field(key_col).type
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        us_f = batch[ts_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ok = ~(np.isnan(v) | np.isnan(us_f))
+        if not ok.all():
+            batch = batch.filter(pa.array(ok))
+            v = v[ok]
+        us = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_pandas(),
+                "bucket_us": (us // width_us) * width_us,
+                "ts_us": us,
+                "value": v,
+            }
+        )
+        out = _select_m4(df, key_col)
+        return pa.table(
+            {
+                key_col: pa.Array.from_pandas(out[key_col], type=key_type),
+                "bucket_us": pa.array(
+                    out["bucket_us"].to_numpy(dtype=np.int64, copy=False)
+                ),
+                "ts_us": pa.array(out["ts_us"].to_numpy(dtype=np.int64, copy=False)),
+                "value": pa.array(out["value"].to_numpy(dtype=np.float64, copy=False)),
+            }
+        )
+
+    partials = events.map_batches(partial, batch_format="pyarrow")
+    return hash_partitioned_map(
+        partials,
+        [key_col, "bucket_us"],
+        lambda df: _select_m4(df, key_col),
+        num_partitions=num_partitions,
+        batch_format="pandas",
+    )

@@ -353,3 +353,58 @@ def test_word_topk():
     got = word_topk(docs, k=2).to_pandas()
     assert list(got["word"]) == ["b", "a"]  # b=4; tie a=2/c=2 -> word asc
     assert list(got["cnt"]) == [4, 2]
+
+
+def _m4_brute(df, width):
+    """Reference M4: for each (key, bucket) the distinct points at the
+    four lexicographic extremes."""
+    rows = set()
+    df = df.dropna(subset=["ts_us", "value"])
+    df = df.assign(bucket_us=(df["ts_us"] // width) * width)
+    for (k, b), g in df.groupby(["key", "bucket_us"]):
+        pts = sorted(zip(g["ts_us"], g["value"]))
+        by_v = sorted(zip(g["value"], g["ts_us"]))
+        rows |= {
+            (k, b, *pts[0]), (k, b, *pts[-1]),
+            (k, b, by_v[0][1], by_v[0][0]), (k, b, by_v[-1][1], by_v[-1][0]),
+        }
+    return rows
+
+
+def test_m4_downsample_matches_bruteforce_and_is_idempotent():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from contest_parsing_ray.stages.ohlc import m4_downsample
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b", "c"], n),
+            "ts_us": rng.integers(0, 50_000, n).astype("int64"),
+            # coarse grid forces duplicate values AND duplicate timestamps,
+            # exercising both tie-break orders
+            "value": rng.integers(0, 20, n).astype("float64"),
+        }
+    )
+    df.loc[::97, "value"] = np.nan  # dropped, not selected
+    got = (
+        m4_downsample(
+            ray.data.from_pandas(df).repartition(8),
+            key_col="key", ts_col="ts_us", value_col="value", width_us=5_000,
+        )
+        .to_pandas()
+    )
+    got_set = set(map(tuple, got[["key", "bucket_us", "ts_us", "value"]].values))
+    assert got_set == _m4_brute(df, 5_000)
+    assert len(got) == len(got_set)  # output itself is deduplicated
+    # idempotent: downsampling the downsample returns the same points
+    again = (
+        m4_downsample(
+            ray.data.from_pandas(got), key_col="key", ts_col="ts_us",
+            value_col="value", width_us=5_000,
+        ).to_pandas()
+    )
+    assert set(map(tuple, again[["key", "bucket_us", "ts_us", "value"]].values)) == got_set
