@@ -977,6 +977,19 @@ def _q_m4(sf_dir: str):
     )
 
 
+def _q_lttb(sf_dir: str):
+    """LTTB decimation to 200 points per event_type (Steinarsson 2013).
+    Sequential across buckets within a key (no SQL form — golden-pinned);
+    determinism pinned by the partitioning-invariance unit test."""
+    from contest_parsing_ray.stages.ohlc import lttb_downsample
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    return lttb_downsample(
+        ev, key_col="event_type", ts_col="event_time_us",
+        value_col="value", n_out=200,
+    )
+
+
 def _q_sessionize(sf_dir: str):
     """Per-user sessionization at 30-minute inactivity gaps."""
     from contest_parsing_ray.stages.window import sessionize
@@ -1287,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order-dependent rollup: open/high/low/close + counter rate
         "ohlc_rate_1h": _q_ohlc,
         "m4_downsample_1h": _q_m4,
+        "lttb_events_200": _q_lttb,
         # gap-split sessionization (web-log analog of trace grouping)
         "sessionize_30m": _q_sessionize,
         # training-data text ops: redaction, repetition, corpus vocab
@@ -2014,6 +2028,7 @@ GOLDEN_ORACLE_KEYS = (
     "corpus_end_to_end",
     "ivf_topk_cosine",
     "approx_distinct_users",
+    "lttb_events_200",
 )
 
 _GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -318,3 +318,96 @@ def m4_downsample(
         num_partitions=num_partitions,
         batch_format="pandas",
     )
+
+
+def _lttb_one(ts: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
+    """Scalar-reference LTTB (Steinarsson 2013) over ONE series sorted by
+    ts: always keeps the first and last point; splits the interior into
+    ``n_out - 2`` equal-count buckets; from each bucket keeps the point
+    forming the largest triangle with the PREVIOUSLY selected point and
+    the NEXT bucket's centroid. Ties: first (lowest-index) max — the
+    deterministic-survivor rule used across the engine. Returns selected
+    row indices (ascending)."""
+    n = len(ts)
+    if n_out >= n or n <= 2:
+        return np.arange(n)
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    # equal-count interior bucket edges (first/last point excluded)
+    edges = np.linspace(1, n - 1, n_out - 1).round().astype(np.int64)
+    sel = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        nlo, nhi = (hi, n - 1) if i == n_out - 3 else (hi, edges[i + 2])
+        cx = ts[nlo:nhi].mean() if nhi > nlo else float(ts[n - 1])
+        cy = v[nlo:nhi].mean() if nhi > nlo else float(v[n - 1])
+        # |(xa - cx)(yb - ya) - (xa - xb)(cy - ya)| / 2 for each candidate b
+        xa, ya = float(ts[a]), float(v[a])
+        xb, yb = ts[lo:hi].astype(np.float64), v[lo:hi]
+        area = np.abs((xa - cx) * (yb - ya) - (xa - xb) * (cy - ya))
+        a = lo + int(np.argmax(area))
+        sel.append(a)
+    sel.append(n - 1)
+    return np.asarray(sel, dtype=np.int64)
+
+
+def lttb_downsample(
+    events: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_out: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Largest-Triangle-Three-Buckets downsample to ``n_out`` points per
+    key (Steinarsson 2013, the standard line-chart decimation). Output:
+    ``(key, ts_us, value)`` — real input points, ordered per key.
+
+    Unlike :func:`m4_downsample`, LTTB is SEQUENTIAL within a key (each
+    bucket's pick depends on the previous pick), so there is no per-batch
+    partial: all rows of a key co-locate via ONE hash exchange (same
+    contract as ``counter_rate``/``sessionize``) and the scan runs per
+    key. Keys parallelize across partitions; the per-key loop is over the
+    ``n_out`` OUTPUT buckets (vectorized area kernel inside), not input
+    rows. Null values/timestamps are dropped. The partitioning assumption
+    is per-key series fit in a worker — the operator's point is n_out ≪
+    series length, so select per tier/chunk first if a single key's raw
+    series exceeds worker memory."""
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[ts_col, value_col])
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=df[key_col].dtype if len(df.columns) else object),
+                    "ts_us": pd.Series([], dtype=np.int64),
+                    "value": pd.Series([], dtype=np.float64),
+                }
+            )
+        codes, uniques = pd.factorize(df[key_col], sort=True, use_na_sentinel=False)
+        ts = df[ts_col].to_numpy().astype(np.int64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        order = np.lexsort((v, ts, codes))
+        codes, ts, v = codes[order], ts[order], v[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1], [True]))
+        )
+        keys_out, ts_out, v_out = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            idx = s + _lttb_one(ts[s:e], v[s:e], n_out)
+            keys_out.append(np.full(len(idx), codes[s]))
+            ts_out.append(ts[idx])
+            v_out.append(v[idx])
+        return pd.DataFrame(
+            {
+                key_col: uniques[np.concatenate(keys_out)],
+                "ts_us": np.concatenate(ts_out),
+                "value": np.concatenate(v_out),
+            }
+        )
+
+    return hash_partitioned_map(
+        events, [key_col], scan,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

@@ -408,3 +408,76 @@ def test_m4_downsample_matches_bruteforce_and_is_idempotent():
         ).to_pandas()
     )
     assert set(map(tuple, again[["key", "bucket_us", "ts_us", "value"]].values)) == got_set
+
+
+def test_lttb_spike_endpoints_and_partitioning_invariance():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from contest_parsing_ray.stages.ohlc import lttb_downsample
+
+    # hand case: one interior bucket, spike must win the triangle
+    df = pd.DataFrame(
+        {"key": ["k"] * 6, "ts_us": np.arange(6, dtype="int64"),
+         "value": [0.0, 0.0, 10.0, 0.0, 0.0, 0.0]}
+    )
+    got = lttb_downsample(
+        ray.data.from_pandas(df), "key", "ts_us", "value", n_out=3
+    ).to_pandas().sort_values("ts_us")
+    assert got["ts_us"].tolist() == [0, 2, 5]  # first, spike, last
+
+    # invariants on random integer series (integer coords: exact areas)
+    rng = np.random.default_rng(9)
+    n = 3000
+    big = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b", "c", "d"], n),
+            "ts_us": rng.integers(0, 1_000_000, n).astype("int64"),
+            "value": rng.integers(-50, 50, n).astype("float64"),
+        }
+    ).drop_duplicates(subset=["key", "ts_us"])
+    big.loc[::61, "value"] = np.nan
+
+    def run(frame, parts):
+        out = lttb_downsample(
+            ray.data.from_pandas(frame).repartition(parts),
+            "key", "ts_us", "value", n_out=50,
+        ).to_pandas()
+        return out.sort_values(["key", "ts_us"]).reset_index(drop=True)
+
+    got = run(big, 8)
+    clean = big.dropna(subset=["value"])
+    for k, g in clean.groupby("key"):
+        sel = got[got["key"] == k]
+        assert len(sel) == min(len(g), 50)
+        g = g.sort_values("ts_us")
+        # endpoints always kept; every output point is a real input point
+        assert sel["ts_us"].iloc[0] == g["ts_us"].iloc[0]
+        assert sel["ts_us"].iloc[-1] == g["ts_us"].iloc[-1]
+        merged = sel.merge(g, on=["key", "ts_us", "value"])
+        assert len(merged) == len(sel)
+    # deterministic under input order and partitioning
+    rev = run(big.iloc[::-1].reset_index(drop=True), 3)
+    pd.testing.assert_frame_equal(got, rev)
+
+
+def test_lttb_short_series_and_bad_n_out():
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from contest_parsing_ray.stages.ohlc import _lttb_one, lttb_downsample
+
+    # series shorter than n_out pass through untouched
+    df = pd.DataFrame(
+        {"key": ["k"] * 4, "ts_us": np.arange(4, dtype="int64"),
+         "value": [1.0, 2.0, 3.0, 4.0]}
+    )
+    got = lttb_downsample(
+        ray.data.from_pandas(df), "key", "ts_us", "value", n_out=10
+    ).to_pandas()
+    assert len(got) == 4
+    with pytest.raises(ValueError, match="n_out"):
+        _lttb_one(np.arange(5), np.arange(5.0), 2)

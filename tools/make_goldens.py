@@ -29,6 +29,7 @@ GOLDEN_QUERIES = [
     "simhash_docs",
     "minhash_lsh_pairs",
     "minhash_clusters",
+    "lttb_events_200",
     "simhash_neardup_pairs",
     "lsh_neardup_pairs",
     "lang_id_docs",
