@@ -459,6 +459,30 @@ def _q_pack_offsets(sf_dir: str):
     )
 
 
+SAMPLE_RATE = 0.25
+SAMPLE_K = 10
+
+
+def _q_sample_rate(sf_dir: str):
+    """Deterministic Bernoulli 25% sample: keep iff md5-priority of doc_id
+    < 0.25 * 2^64 — shuffle-free, partitioning/restart-stable, and the
+    exact same rows fall out of the SQL oracle (that's the contract)."""
+    from contest_parsing_ray.stages.sampling import hash_sample_rate
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "source"])
+    return hash_sample_rate(docs, id_col="doc_id", rate=SAMPLE_RATE)
+
+
+def _q_sample_topk(sf_dir: str):
+    """Deterministic stratified sample: the 10 smallest md5-priority docs
+    per source (uniform reproducible k-subset per stratum; k=10 < the
+    smallest per-source count at sf0.01 so the gate exercises selection)."""
+    from contest_parsing_ray.stages.sampling import hash_sample_topk
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source"])
+    return hash_sample_topk(docs, key_col="source", id_col="doc_id", k=SAMPLE_K)
+
+
 def _q_quality(sf_dir: str):
     from contest_parsing_ray.stages.text import QualityScore
 
@@ -1272,6 +1296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": _q_minhash,
         "minhash_clusters": _q_minhash_clusters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        # data-mixing family: deterministic hash-priority sampling
+        "sample_docs_rate_25": _q_sample_rate,
+        "sample_docs_per_source_10": _q_sample_topk,
         "simhash_docs": _q_simhash,
         "simhash_neardup_pairs": _q_simhash_pairs,
         "embedding_neardup_pairs": _q_emb_neardup,
@@ -1622,6 +1649,24 @@ SELECT doc_id, n_ws_tokens, start_tok,
          <> ((start_tok + GREATEST(n_ws_tokens, 1) - 1) // {PACK_CAP})
          AS straddles
 FROM o
+""",
+        # deterministic md5-priority sampling: same integer threshold /
+        # ordering on both sides, so the exact same rows survive
+        "sample_docs_rate_25": rf"""
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+           AS UBIGINT) < {int(SAMPLE_RATE * 2**64)}
+""",
+        "sample_docs_per_source_10": rf"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 16)) AS UBIGINT), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {SAMPLE_K}
 """,
         # exact prefix-filter Jaccard: shingles are word 3-grams over \S+
         # tokens; the engine finds candidates via hashed shingles but

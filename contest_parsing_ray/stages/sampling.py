@@ -1,0 +1,128 @@
+"""Deterministic hash-priority sampling — the data-mixing primitives a
+training-data pipeline needs (sample source A at 25%, keep 100 docs per
+source for eval, ...), built so the sample is a pure FUNCTION of the row
+id: no RNG state, no partitioning dependence, reproducible across engines
+(the same rows fall out of the DuckDB oracle, which is how the driver
+verifies these value-exactly).
+
+Priority = the first 8 bytes of ``md5(str(id))`` as uint64 (DuckDB:
+``CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 16)) AS
+UBIGINT)``). md5 here is a portable uniform hash, not crypto. The per-row
+hashlib call (~0.5 us) is deliberate — cross-engine reproducibility is
+the contract; swap in a vectorized xxhash only if sampling ever shows up
+in a scan profile, and accept losing the SQL oracle when you do.
+
+- Bernoulli rate sampling is shuffle-FREE: one stateless map over the
+  stream, keep iff priority < rate * 2^64. Per-key rates ride the same
+  map via a broadcast dict (data mixing across sources).
+- Per-key top-k ("k docs per source") is a mergeable partial top-k: each
+  batch keeps its k smallest (priority, id) per key, ONE hash exchange
+  moves <= k rows per (key, batch), the partition merge re-applies the
+  same selection — the same idempotent-combiner shape as m4_downsample.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ._shuffle import hash_partitioned_map
+
+_SCALE = 2**64
+
+
+def md5_priority(ids) -> np.ndarray:
+    """uint64 sampling priority per id: int(md5(str(id))[:16], 16)."""
+    out = np.empty(len(ids), dtype=np.uint64)
+    for i, x in enumerate(ids):
+        if x is None:
+            out[i] = np.uint64(0xFFFFFFFFFFFFFFFF)  # nulls never sampled
+        else:
+            out[i] = np.uint64(
+                int.from_bytes(hashlib.md5(str(x).encode()).digest()[:8], "big")
+            )
+    return out
+
+
+def rate_threshold(rate: float) -> int:
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return min(int(rate * _SCALE), _SCALE - 1) if rate < 1.0 else _SCALE
+
+
+def hash_sample_rate(
+    ds: ray.data.Dataset,
+    id_col: str,
+    rate: float | None = None,
+    key_col: str | None = None,
+    rate_by_key: dict | None = None,
+) -> ray.data.Dataset:
+    """Deterministic Bernoulli sample: keep a row iff
+    ``md5_priority(id) < rate * 2^64``. With ``rate_by_key`` the rate is
+    looked up per ``key_col`` value (missing keys -> rate 0), which is the
+    source-mixing form; the dict rides to every task as a closure constant
+    (broadcast once by Ray). Shuffle-free and restart-stable: the same
+    rows survive on any cluster shape or retry."""
+    if (rate is None) == (rate_by_key is None):
+        raise ValueError("pass exactly one of rate / rate_by_key")
+    if rate_by_key is not None and key_col is None:
+        raise ValueError("rate_by_key requires key_col")
+    thr = rate_threshold(rate) if rate is not None else None
+    thr_by_key = (
+        {k: rate_threshold(r) for k, r in rate_by_key.items()}
+        if rate_by_key is not None
+        else None
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        pri = md5_priority(batch[id_col].to_pylist())
+        if thr is not None:
+            mask = pri < np.uint64(thr) if thr < _SCALE else np.ones(len(pri), bool)
+        else:
+            keys = batch[key_col].to_pylist()
+            # python-int compare: thresholds can be 2^64 (rate 1.0), which
+            # uint64/float comparisons can't represent exactly
+            mask = np.fromiter(
+                (int(p) < thr_by_key.get(k, 0) for p, k in zip(pri, keys)),
+                dtype=bool, count=len(pri),
+            )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_sample_topk(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+    k: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic stratified sample: the ``k`` rows with the smallest
+    ``(md5_priority(id), id)`` per ``key_col`` value — a uniform random
+    (but reproducible) k-subset per stratum. Mergeable + idempotent
+    selection: per-batch partial top-k, one hash exchange of <= k rows
+    per (key, batch), same selector per partition."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        if "__pri" not in df.columns:
+            df = df.assign(__pri=md5_priority(df[id_col].tolist()))
+        df = df.sort_values(["__pri", id_col], kind="stable")
+        return df.groupby(key_col, sort=False, dropna=False).head(k)
+
+    partials = ds.map_batches(select, batch_format="pandas")
+    out = hash_partitioned_map(
+        partials, [key_col], select,
+        num_partitions=num_partitions, batch_format="pandas",
+    )
+    return out.map_batches(
+        lambda df: df.drop(columns="__pri"), batch_format="pandas"
+    )

@@ -1,0 +1,99 @@
+"""Deterministic hash-priority sampling (stages/sampling.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from contest_parsing_ray.stages.sampling import (
+    hash_sample_rate,
+    hash_sample_topk,
+    md5_priority,
+    rate_threshold,
+)
+
+
+def test_md5_priority_matches_reference_and_nulls_never_sample():
+    want = int.from_bytes(hashlib.md5(b"42").digest()[:8], "big")
+    got = md5_priority([42, None])
+    assert int(got[0]) == want
+    assert int(got[1]) == 2**64 - 1
+
+
+def _docs(n=2000):
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "source": [f"s{i % 4}" for i in range(n)],
+        }
+    )
+
+
+def test_rate_sample_fraction_determinism_and_edges():
+    df = _docs()
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = hash_sample_rate(ds, "doc_id", rate=0.25).to_pandas()
+    # md5 is uniform: 2000 draws at p=.25 stay within 5 sigma of 500
+    assert abs(len(got) - 500) < 5 * (2000 * 0.25 * 0.75) ** 0.5
+    # exact determinism under partitioning
+    again = hash_sample_rate(
+        ray.data.from_pandas(df.iloc[::-1]).repartition(2), "doc_id", rate=0.25
+    ).to_pandas()
+    assert set(got["doc_id"]) == set(again["doc_id"])
+    assert len(hash_sample_rate(ds, "doc_id", rate=0.0).to_pandas()) == 0
+    assert len(hash_sample_rate(ds, "doc_id", rate=1.0).to_pandas()) == 2000
+
+
+def test_rate_by_key_mixing():
+    df = _docs()
+    ds = ray.data.from_pandas(df)
+    got = hash_sample_rate(
+        ds, "doc_id", key_col="source",
+        rate_by_key={"s0": 1.0, "s1": 0.5},  # s2/s3 absent -> rate 0
+    ).to_pandas()
+    by = got.groupby("source").size()
+    assert by.get("s0", 0) == 500
+    assert 180 < by.get("s1", 0) < 320
+    assert "s2" not in by.index and "s3" not in by.index
+    # every kept s1 row individually satisfies the threshold
+    thr = rate_threshold(0.5)
+    s1 = got[got["source"] == "s1"]["doc_id"].tolist()
+    assert all(int(p) < thr for p in md5_priority(s1))
+
+
+def test_topk_sample_counts_and_invariance():
+    df = _docs(401)  # s0:101, s1/s2/s3:100
+    want_ids = {}
+    for s, g in df.groupby("source"):
+        pri = md5_priority(g["doc_id"].tolist())
+        order = np.lexsort((g["doc_id"].to_numpy(), pri))
+        want_ids[s] = set(g["doc_id"].to_numpy()[order[:7]])
+    got = hash_sample_topk(
+        ray.data.from_pandas(df).repartition(5), "source", "doc_id", k=7
+    ).to_pandas()
+    assert len(got) == 28
+    for s, g in got.groupby("source"):
+        assert set(g["doc_id"]) == want_ids[s]
+    # k larger than the stratum passes the stratum through
+    small = hash_sample_topk(
+        ray.data.from_pandas(df), "source", "doc_id", k=500
+    ).to_pandas()
+    assert len(small) == 401
+
+
+def test_sampling_bad_params():
+    ds = ray.data.from_pandas(_docs(10))
+    with pytest.raises(ValueError, match="exactly one"):
+        hash_sample_rate(ds, "doc_id")
+    with pytest.raises(ValueError, match="exactly one"):
+        hash_sample_rate(ds, "doc_id", rate=0.5, rate_by_key={"a": 1.0})
+    with pytest.raises(ValueError, match="key_col"):
+        hash_sample_rate(ds, "doc_id", rate_by_key={"a": 1.0})
+    with pytest.raises(ValueError, match="rate"):
+        hash_sample_rate(ds, "doc_id", rate=1.5)
+    with pytest.raises(ValueError, match="k must"):
+        hash_sample_topk(ds, "source", "doc_id", k=0)
