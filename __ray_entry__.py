@@ -50,6 +50,27 @@ def _docs(sf_dir: str):
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _seqs(sf_dir: str):
+    """Deterministic input_hint-shaped sequences corpus sized to the SF.
+
+    The sf tables carry no token arrays, so the tokens-axis queries run on
+    the engine's own deterministic synthetic corpus (seed 42, the flagship
+    bench generator — `sources/synthetic.py`); rows scale with the sf in
+    the dir name (20k at sf0.01). Cached under /tmp, regenerated
+    byte-identically on any host."""
+    import re
+
+    import ray.data
+
+    from contest_parsing_ray.sources.synthetic import write_sequences_parquet
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    rows = max(int(2_000_000 * sf), 2_000)
+    d = write_sequences_parquet(f"/tmp/graft_seqs_{rows}", n_rows=rows, seed=42)
+    return ray.data.read_parquet(d)
+
+
 def _embeddings(sf_dir: str):
     import ray.data
 
@@ -481,6 +502,32 @@ def _q_sample_topk(sf_dir: str):
 
     docs = _docs(sf_dir).select_columns(["doc_id", "source"])
     return hash_sample_topk(docs, key_col="source", id_col="doc_id", k=SAMPLE_K)
+
+
+def _q_vocab_hist(sf_dir: str):
+    """Vocabulary histogram over the ACTUAL token arrays: per-batch
+    bincount partials (<= vocab rows leave each batch), one tiny
+    exchange. Golden-pinned (tokens live in the deterministic sequences
+    corpus, not the sf tables)."""
+    from contest_parsing_ray.stages.tokens import vocab_histogram
+
+    return vocab_histogram(_seqs(sf_dir))
+
+
+def _q_bigram_topk(sf_dir: str):
+    """Top-100 token bigrams by count over the sequences corpus; ngram
+    rendered as a string column ("a b") so the driver compare can sort."""
+    from contest_parsing_ray.stages.tokens import token_ngram_topk
+
+    top = token_ngram_topk(_seqs(sf_dir), n=2, k=100)
+
+    def render(b: pa.Table) -> pa.Table:
+        grams = [" ".join(map(str, g)) for g in b["ngram"].to_pylist()]
+        return pa.table(
+            {"ngram": pa.array(grams, pa.string()), "cnt": b["cnt"].combine_chunks()}
+        )
+
+    return top.map_batches(render, batch_format="pyarrow")
 
 
 def _q_quality(sf_dir: str):
@@ -1351,8 +1398,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_sessions": _q_events_in_sessions,
         # monitoring family: trailing-window anomaly flags on a tier series
         "zscore_anomaly_1h": _q_zscore,
-        # tokens axis: distributed ordered prefix-sum packing layout
+        # tokens axis: distributed ordered prefix-sum packing layout,
+        # vocab/bigram stats over the actual token arrays
         "pack_offsets_4096": _q_pack_offsets,
+        "token_vocab_hist": _q_vocab_hist,
+        "token_bigram_top100": _q_bigram_topk,
         # irregular-sampling mean: holding-time-weighted per (key, bucket)
         "time_weighted_avg_1h": _q_twa,
     }
@@ -2074,6 +2124,8 @@ GOLDEN_ORACLE_KEYS = (
     "ivf_topk_cosine",
     "approx_distinct_users",
     "lttb_events_200",
+    "token_vocab_hist",
+    "token_bigram_top100",
 )
 
 _GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

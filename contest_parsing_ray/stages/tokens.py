@@ -1,0 +1,180 @@
+"""Token-payload operators over the input_hint-shaped sequences table
+(``doc_id:string, tokens:list<int32>, n_tok:int32, source:string``) — the
+ops that read the ACTUAL token arrays, not just their counts.
+
+Scale shape: a vocabulary histogram over 10^12 sequences is a classic
+partial-before-shuffle aggregate — each batch collapses its ~10^5 token
+occurrences into <= vocab_size (token_id, cnt) rows via one ``bincount``
+over the zero-copy flattened list buffer, so the exchange moves
+O(vocab x batches) tiny rows, never tokens. The merge is an int sum —
+associative, skew-free (token_id is the key; the exchange input is
+already <= vocab rows per batch, so even a 90%-stop-token corpus cannot
+produce a hot partition bigger than vocab_size)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ._shuffle import hash_partitioned_map
+
+
+def _flat_tokens(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Zero-copy flatten of a list<int32> column (offset/null-safe)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.flatten().to_numpy(zero_copy_only=False)
+
+
+def vocab_histogram(
+    seqs: ray.data.Dataset,
+    tokens_col: str = "tokens",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """→ ``(token_id, cnt)`` for every token id that occurs, ascending.
+
+    Per-batch ``bincount`` partial (dense int domain beats value_counts),
+    nonzero rows only; one small hash exchange sums partials per id."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat = _flat_tokens(b[tokens_col])
+        if len(flat) and flat.min() < 0:
+            raise ValueError("negative token id — not a token-id column")
+        cnt = np.bincount(flat) if len(flat) else np.zeros(0, dtype=np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "token_id": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    partials = seqs.select_columns([tokens_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ids = t["token_id"].to_numpy(zero_copy_only=False)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, cnts = ids[order], cnts[order]
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "token_id": pa.array(ids[starts]),
+                "cnt": pa.array(np.add.reduceat(cnts, starts)),
+            }
+        )
+
+    return hash_partitioned_map(
+        partials, ["token_id"], merge,
+        num_partitions=num_partitions, batch_format="pyarrow",
+    )
+
+
+def token_ngram_topk(
+    seqs: ray.data.Dataset,
+    n: int = 2,
+    k: int = 100,
+    tokens_col: str = "tokens",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k token n-grams by count → ``(ngram: list<int64>, cnt)``,
+    count desc then ngram asc (deterministic ties).
+
+    n-grams are hashed per batch with the same rolling-polynomial +
+    boundary-mask kernel as the text shinglers, counted locally, and only
+    ``(hash, first_seen_ngram, cnt)`` partials enter the exchange — at
+    most distinct-ngrams-per-batch rows. The final top-k is a driver-side
+    sort of the merged counts LIMITed to k; at web scale put a per-
+    partition ``head(k)`` before the limit (any global top-k member is a
+    per-partition top-k member of its hash partition)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    from ._shuffle import _splitmix64
+
+    PRIME = np.uint64(1099511628211)
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        off_dt = np.int64 if pa.types.is_large_list(col.type) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+            col.offset : col.offset + len(col) + 1
+        ].astype(np.int64)
+        lengths = np.diff(offs)
+        n_win = np.maximum(lengths - (n - 1), 0)
+        total = int(n_win.sum())
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.int64()),
+                "ngram": pa.array([], pa.large_list(pa.int64())),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if total == 0:
+            return empty
+        n_all = len(flat) - (n - 1)
+        with np.errstate(over="ignore"):
+            h = np.zeros(n_all, dtype=np.uint64)
+            for i in range(n):
+                h = h * PRIME + flat[i : n_all + i]
+            h = _splitmix64(h)
+        # in-sequence window indices (cross-boundary windows excluded)
+        base = np.repeat(offs[:-1][n_win > 0], n_win[n_win > 0])
+        run0 = np.repeat(np.cumsum(n_win) - n_win, n_win)
+        ok = base + (np.arange(total, dtype=np.int64) - run0)
+        hs = h[ok]
+        order = np.argsort(hs, kind="stable")
+        hs_s = hs[order]
+        new = np.ones(len(hs_s), dtype=bool)
+        new[1:] = hs_s[1:] != hs_s[:-1]
+        starts = np.flatnonzero(new)
+        cnts = np.diff(np.append(starts, len(hs_s)))
+        rep = ok[order[starts]]  # first window index per distinct hash
+        grams = flat[rep[:, None] + np.arange(n)].astype(np.int64)
+        loff = np.arange(0, (len(rep) + 1) * n, n, dtype=np.int64)
+        return pa.table(
+            {
+                "h": pa.array(hs_s[starts].view(np.int64)),
+                "ngram": pa.LargeListArray.from_arrays(
+                    pa.array(loff), pa.array(grams.reshape(-1))
+                ),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    partials = seqs.select_columns([tokens_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(hs, kind="stable")
+        hs_s, cnt_s = hs[order], cnts[order]
+        new = np.ones(len(hs_s), dtype=bool)
+        new[1:] = hs_s[1:] != hs_s[:-1]
+        starts = np.flatnonzero(new)
+        summed = np.add.reduceat(cnt_s, starts)
+        keep = t.take(pa.array(order[starts]))
+        return pa.table(
+            {
+                "h": keep["h"],
+                "ngram": keep["ngram"],
+                "cnt": pa.array(summed.astype(np.int64)),
+            }
+        )
+
+    merged = hash_partitioned_map(
+        partials, ["h"], merge,
+        num_partitions=num_partitions, batch_format="pyarrow",
+    )
+    top = merged.sort(["cnt", "h"], descending=[True, False]).limit(k)
+    return top.drop_columns(["h"])

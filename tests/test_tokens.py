@@ -1,0 +1,73 @@
+"""Token-payload operators (stages/tokens.py) vs brute force."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from contest_parsing_ray.stages.tokens import token_ngram_topk, vocab_histogram
+
+
+def _seq_table(n_rows=300, vocab=37, seed=3):
+    rng = np.random.default_rng(seed)
+    toks = [
+        rng.integers(0, vocab, rng.integers(0, 30)).astype(np.int32)
+        for _ in range(n_rows)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(n_rows)]),
+            "tokens": pa.array([t.tolist() for t in toks], pa.list_(pa.int32())),
+        }
+    ), toks
+
+
+def test_vocab_histogram_matches_bruteforce():
+    t, toks = _seq_table()
+    want = Counter(int(x) for seq in toks for x in seq)
+    got = (
+        vocab_histogram(ray.data.from_arrow(t).repartition(7))
+        .to_pandas().sort_values("token_id").reset_index(drop=True)
+    )
+    assert dict(zip(got["token_id"], got["cnt"])) == dict(want)
+    assert int(got["cnt"].sum()) == sum(len(s) for s in toks)
+
+
+def test_token_ngram_topk_matches_bruteforce():
+    t, toks = _seq_table(n_rows=200, vocab=9, seed=11)  # small vocab: real ties
+    want = Counter(
+        tuple(int(x) for x in seq[i : i + 2])
+        for seq in toks
+        for i in range(len(seq) - 1)
+    )
+    got = token_ngram_topk(
+        ray.data.from_arrow(t).repartition(5), n=2, k=15
+    ).to_pandas()
+    got_pairs = [tuple(g) for g in got["ngram"]]
+    got_counts = got["cnt"].tolist()
+    # counts are the true top-15 counts (desc)
+    true_sorted = sorted(want.values(), reverse=True)[:15]
+    assert got_counts == true_sorted
+    # each reported ngram's count is exact
+    for g, c in zip(got_pairs, got_counts):
+        assert want[g] == c
+    with pytest.raises(ValueError, match="n must"):
+        token_ngram_topk(ray.data.from_arrow(t), n=0)
+
+
+def test_vocab_histogram_empty_and_negative():
+    t = pa.table(
+        {"doc_id": pa.array(["a"]), "tokens": pa.array([[]], pa.list_(pa.int32()))}
+    )
+    got = vocab_histogram(ray.data.from_arrow(t)).to_pandas()
+    assert len(got) == 0
+    bad = pa.table(
+        {"doc_id": pa.array(["a"]), "tokens": pa.array([[-1]], pa.list_(pa.int32()))}
+    )
+    with pytest.raises(Exception, match="negative token id"):
+        vocab_histogram(ray.data.from_arrow(bad)).to_pandas()

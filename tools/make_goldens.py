@@ -30,6 +30,8 @@ GOLDEN_QUERIES = [
     "minhash_lsh_pairs",
     "minhash_clusters",
     "lttb_events_200",
+    "token_vocab_hist",
+    "token_bigram_top100",
     "simhash_neardup_pairs",
     "lsh_neardup_pairs",
     "lang_id_docs",
