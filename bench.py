@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "embedding_neardup_pairs",
     "ngram_jaccard_pairs",
     "pack_offsets_4096",
+    "token_vocab_hist",
+    "sample_docs_rate_25",
+    "m4_downsample_1h",
+    "lttb_events_200",
     "ohlc_rate_1h",
     "sessionize_30m",
     "value_histogram_20",
