@@ -163,12 +163,17 @@ def token_ngram_topk(
         new[1:] = hs_s[1:] != hs_s[:-1]
         starts = np.flatnonzero(new)
         summed = np.add.reduceat(cnt_s, starts)
-        keep = t.take(pa.array(order[starts]))
+        # per-partition top-k prune BEFORE the global sort: each hash
+        # partition holds every occurrence of its ngrams, so any global
+        # top-k member is in its partition's top-k — the global sort then
+        # sees <= k x partitions rows instead of the whole vocabulary
+        top = np.lexsort((hs_s[starts], -summed))[:k]
+        keep = t.take(pa.array(order[starts][top]))
         return pa.table(
             {
                 "h": keep["h"],
                 "ngram": keep["ngram"],
-                "cnt": pa.array(summed.astype(np.int64)),
+                "cnt": pa.array(summed[top].astype(np.int64)),
             }
         )
 
