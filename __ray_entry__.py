@@ -530,6 +530,15 @@ def _q_bigram_topk(sf_dir: str):
     return top.map_batches(render, batch_format="pyarrow")
 
 
+def _q_word_entropy(sf_dir: str):
+    """Per-source word-distribution diagnostics (domain-mixing signal):
+    total/distinct words + Shannon entropy, ROUND 6 for the hash compare."""
+    from contest_parsing_ray.stages.text import source_word_stats
+
+    out = source_word_stats(_docs(sf_dir))
+    return _round_cols(out, ["entropy"])
+
+
 def _q_quality(sf_dir: str):
     from contest_parsing_ray.stages.text import QualityScore
 
@@ -1403,6 +1412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_offsets_4096": _q_pack_offsets,
         "token_vocab_hist": _q_vocab_hist,
         "token_bigram_top100": _q_bigram_topk,
+        "source_word_entropy": _q_word_entropy,
         # irregular-sampling mean: holding-time-weighted per (key, bucket)
         "time_weighted_avg_1h": _q_twa,
     }
@@ -1717,6 +1727,23 @@ SELECT doc_id, source FROM (
          ) AS rn
   FROM documents
 ) WHERE rn <= {SAMPLE_K}
+""",
+        # per-source word-distribution stats; entropy ROUND 6 both sides
+        # (float sum order differs between engines)
+        "source_word_entropy": r"""
+WITH w AS (
+  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS word
+  FROM documents
+), c AS (
+  SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2
+), tot AS (
+  SELECT source, SUM(cnt) AS n FROM c GROUP BY 1
+)
+SELECT c.source,
+       CAST(any_value(tot.n) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(-SUM((cnt / tot.n) * ln(cnt / tot.n)), 6) AS entropy
+FROM c JOIN tot USING (source) GROUP BY c.source
 """,
         # exact prefix-filter Jaccard: shingles are word 3-grams over \S+
         # tokens; the engine finds candidates via hashed shingles but

@@ -458,3 +458,115 @@ def analyze_text(
         batch_format="pyarrow", concurrency=(1, concurrency),
     )
     return out
+
+
+def source_word_stats(
+    docs: "ray.data.Dataset",
+    key_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-``key_col`` word-distribution diagnostics → ``(key, n_words,
+    n_distinct, entropy)`` — the domain-mixing signal a training-data
+    pipeline watches (a source whose token entropy collapses is
+    boilerplate/spam; one that jumps is a scrape change).
+
+    Words are ``\\S+`` runs (same tokenization as the token-count oracle).
+    Scale shape: per-batch (key, word, cnt) partials via ONE RE2 split +
+    Arrow ``dictionary_encode`` + a vectorized (key, code) group-count —
+    at most vocab x keys rows leave a batch; ONE hash exchange co-locates
+    each key; entropy = -Σ p·ln p over the merged counts. Entropy is
+    rounded to 6 dp by the CALLER if hash-compared (float sum order)."""
+    import pyarrow.compute as pc
+
+    from ._shuffle import hash_partitioned_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(b[text_col].combine_chunks(), "")
+        words = pc.split_pattern_regex(col, pattern=r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        off_dt = np.int64 if pa.types.is_large_list(words.type) else np.int32
+        raw_off = np.frombuffer(words.buffers()[1], dtype=off_dt)[
+            words.offset : words.offset + len(words) + 1
+        ].astype(np.int64)
+        keys = b[key_col].combine_chunks()
+        empty = pa.table(
+            {
+                key_col: keys.slice(0, 0),
+                "word": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        if not keep.any():
+            return empty
+        parent = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(raw_off))[
+            keep
+        ]
+        enc = pc.dictionary_encode(flat.filter(pa.array(keep)))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = len(enc.dictionary)
+        # rows share a batch, so doc index is a stand-in for the key value;
+        # collapse to (doc, code) first, then to (key, code) in pandas-free
+        # numpy via a composite sort
+        kcodes, key_uniq = _factorize_keys(keys, parent)
+        comp = kcodes * vocab + codes
+        order = np.argsort(comp, kind="stable")
+        comp_s = comp[order]
+        new = np.ones(len(comp_s), dtype=bool)
+        new[1:] = comp_s[1:] != comp_s[:-1]
+        starts = np.flatnonzero(new)
+        cnts = np.diff(np.append(starts, len(comp_s)))
+        sel = comp_s[starts]
+        return pa.table(
+            {
+                key_col: key_uniq.take(pa.array(sel // vocab)),
+                "word": enc.dictionary.take(pa.array(sel % vocab)),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    def _factorize_keys(keys: pa.Array, parent: np.ndarray):
+        enc = pc.dictionary_encode(keys)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return kc[parent], enc.dictionary
+
+    partials = docs.select_columns([key_col, text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series(dtype=object),
+                    "n_words": pd.Series(dtype=np.int64),
+                    "n_distinct": pd.Series(dtype=np.int64),
+                    "entropy": pd.Series(dtype=np.float64),
+                }
+            )
+        merged = (
+            df.groupby([key_col, "word"], sort=True, dropna=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        out = []
+        for k, g in merged.groupby(key_col, sort=True, dropna=False):
+            c = g["cnt"].to_numpy(dtype=np.float64)
+            n = c.sum()
+            p = c / n
+            out.append((k, int(n), len(c), float(-(p * np.log(p)).sum())))
+        return pd.DataFrame(
+            out, columns=[key_col, "n_words", "n_distinct", "entropy"]
+        )
+
+    return hash_partitioned_map(
+        partials, [key_col], finish,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

@@ -71,3 +71,24 @@ def test_vocab_histogram_empty_and_negative():
     )
     with pytest.raises(Exception, match="negative token id"):
         vocab_histogram(ray.data.from_arrow(bad)).to_pandas()
+
+
+def test_source_word_stats_bruteforce_and_empty():
+    from contest_parsing_ray.stages.text import source_word_stats
+
+    df = pd.DataFrame(
+        {
+            "source": ["a", "a", "b", "b", "c"],
+            "text": ["x y x", "y z", "w w w w", None, ""],
+        }
+    )
+    got = (
+        source_word_stats(ray.data.from_pandas(df).repartition(3))
+        .to_pandas().set_index("source")
+    )
+    # a: x:2 y:2 z:1 -> n=5, d=3; b: w:4 -> entropy 0; c: no words -> absent
+    assert got.loc["a", "n_words"] == 5 and got.loc["a", "n_distinct"] == 3
+    p = np.array([2, 2, 1]) / 5.0
+    assert abs(got.loc["a", "entropy"] - (-(p * np.log(p)).sum())) < 1e-12
+    assert got.loc["b", "n_words"] == 4 and got.loc["b", "entropy"] == 0.0
+    assert "c" not in got.index
