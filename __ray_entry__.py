@@ -1152,6 +1152,24 @@ def _q_twa(sf_dir: str):
     return _round_cols(out, ["twa"])
 
 
+def _q_psi(sf_dir: str):
+    """Distribution-drift PSI per event_type between the first and second
+    half of the time range (split = (min_ts + max_ts) // 2, integer µs,
+    identical on both sides); same fixed bin grid as value_histogram_20."""
+    from ray.data.aggregate import Max, Min
+
+    from contest_parsing_ray.stages.histogram import value_drift_psi
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    stats = ev.aggregate(Min("event_time_us"), Max("event_time_us"))
+    split = (int(stats["min(event_time_us)"]) + int(stats["max(event_time_us)"])) // 2
+    out = value_drift_psi(
+        ev, key_col="event_type", ts_col="event_time_us", value_col="value",
+        lo=HIST_LO, hi=HIST_HI, split_us=split, n_bins=HIST_BINS,
+    )
+    return _round_cols(out, ["psi"])
+
+
 def _q_histogram(sf_dir: str):
     """Fixed-bin value distribution per event_type (per-batch bincount
     partials → tiny groupby merge; the exchange moves O(bins))."""
@@ -1407,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_sessions": _q_events_in_sessions,
         # monitoring family: trailing-window anomaly flags on a tier series
         "zscore_anomaly_1h": _q_zscore,
+        "value_drift_psi": _q_psi,
         # tokens axis: distributed ordered prefix-sum packing layout,
         # vocab/bigram stats over the actual token arrays
         "pack_offsets_4096": _q_pack_offsets,
@@ -1727,6 +1746,43 @@ SELECT doc_id, source FROM (
          ) AS rn
   FROM documents
 ) WHERE rn <= {SAMPLE_K}
+""",
+        # PSI drift between time halves: add-half smoothing over bins
+        # occupied in >=1 period (finite on disjoint supports), identical
+        # integer split + bin expression; ROUND 6 for float sum order
+        "value_drift_psi": rf"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, value
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), s AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS tmid FROM e
+), b AS (
+  SELECT event_type,
+         CASE WHEN ts_us >= tmid THEN 1 ELSE 0 END AS period,
+         LEAST(GREATEST(CAST(FLOOR((value - {float(HIST_LO)}) * {HIST_BINS}
+           / ({float(HIST_HI)} - {float(HIST_LO)})) AS BIGINT), 0),
+           {HIST_BINS - 1}) AS bin
+  FROM e, s
+), c AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS cb
+  FROM b GROUP BY 1, 2
+), t AS (
+  SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb FROM c GROUP BY 1
+)
+SELECT c.event_type,
+       CAST(any_value(t.na) AS BIGINT) AS n_a,
+       CAST(any_value(t.nb) AS BIGINT) AS n_b,
+       CASE WHEN any_value(t.na) > 0 AND any_value(t.nb) > 0 THEN
+         ROUND(SUM(
+           ((ca + 0.5) / (t.na + {HIST_BINS * 0.5})
+            - (cb + 0.5) / (t.nb + {HIST_BINS * 0.5}))
+           * ln(((ca + 0.5) / (t.na + {HIST_BINS * 0.5}))
+                / ((cb + 0.5) / (t.nb + {HIST_BINS * 0.5})))
+         ), 6)
+       ELSE 0 END AS psi
+FROM c JOIN t USING (event_type) GROUP BY c.event_type
 """,
         # per-source word-distribution stats; entropy ROUND 6 both sides
         # (float sum order differs between engines)

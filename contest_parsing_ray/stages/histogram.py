@@ -74,3 +74,128 @@ def value_histogram(
         .sum("cnt")
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def value_drift_psi(
+    events: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    split_us: int,
+    n_bins: int = 20,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Population Stability Index per key between two time periods →
+    ``(key, n_a, n_b, psi)`` — the distribution-drift alarm a training-data
+    pipeline runs per source/metric (PSI > 0.2 is the conventional
+    "shifted" threshold). Period a = rows with ``ts < split_us``, period
+    b = the rest; bins are the same fixed grid as :func:`value_histogram`
+    (``clip(floor((v - lo) * n_bins / (hi - lo)), 0, n_bins - 1)``).
+
+    PSI = Σ_bins (p - q) · ln(p / q) with add-half (Jeffreys) smoothing —
+    ``p = (cnt + 0.5) / (n + n_bins/2)`` — over bins occupied in at least
+    one period. Smoothing keeps the statistic finite when supports are
+    DISJOINT (a truncated both-occupied convention reads a total
+    distribution move as PSI 0 — the one drift it must not miss) and the
+    expression stays exactly SQL-computable (no hidden epsilon constant
+    mismatch). Keys with either period empty report 0 (nothing to
+    compare).
+
+    Scale shape: per-batch composite-code bincount partials — at most
+    ``keys x 2 x n_bins`` rows leave a batch — then ONE key exchange; the
+    driver passes ``lo/hi/split_us`` in (compute them with one
+    ``Dataset.aggregate`` pass), so the operator itself is one pass +
+    one tiny exchange. Nulls are dropped."""
+    if not (hi > lo and n_bins > 0):
+        raise ValueError(f"need hi > lo and n_bins > 0, got [{lo}, {hi}) x {n_bins}")
+
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key_type = batch.schema.field(key_col).type
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ts = batch[ts_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ok = ~(np.isnan(v) | np.isnan(ts))
+        if not ok.all():
+            batch = batch.filter(pa.array(ok))
+            v, ts = v[ok], ts[ok]
+        empty = pa.table(
+            {
+                key_col: batch[key_col].combine_chunks().slice(0, 0),
+                "period": pa.array([], pa.int64()),
+                "bin": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if len(v) == 0:
+            return empty
+        # EXACT fp-expression parity with the SQL oracle (and with
+        # value_histogram): (v - lo) * n THEN / (hi - lo) — a re-associated
+        # form could bin boundary values differently
+        bins = np.clip(
+            np.floor((v - lo) * n_bins / (hi - lo)).astype(np.int64),
+            0, n_bins - 1,
+        )
+        period = (ts >= split_us).astype(np.int64)
+        enc = pc.dictionary_encode(batch[key_col].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = (kc * 2 + period) * n_bins + bins
+        uniq, cnts = np.unique(comp, return_counts=True)
+        return pa.table(
+            {
+                key_col: enc.dictionary.take(
+                    pa.array(uniq // (2 * n_bins))
+                ).cast(key_type),
+                "period": pa.array((uniq // n_bins) % 2),
+                "bin": pa.array(uniq % n_bins),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    partials = events.select_columns([key_col, ts_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    from ._shuffle import hash_partitioned_map
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series(dtype=object),
+                    "n_a": pd.Series(dtype=np.int64),
+                    "n_b": pd.Series(dtype=np.int64),
+                    "psi": pd.Series(dtype=np.float64),
+                }
+            )
+        m = (
+            df.groupby([key_col, "period", "bin"], sort=True, dropna=False)["cnt"]
+            .sum()
+            .unstack("period")
+            .reindex(columns=[0, 1])
+            .fillna(0)
+        )
+        rows = []
+        for k, g in m.groupby(level=0, sort=True):
+            ca = g[0].to_numpy(dtype=np.float64)
+            cb = g[1].to_numpy(dtype=np.float64)
+            na, nb = ca.sum(), cb.sum()
+            if na > 0 and nb > 0:
+                # grouped rows only exist for occupied bins, so the
+                # "occupied in at least one period" mask is implicit
+                p = (ca + 0.5) / (na + n_bins * 0.5)
+                q = (cb + 0.5) / (nb + n_bins * 0.5)
+                psi = float(((p - q) * np.log(p / q)).sum())
+            else:
+                psi = 0.0
+            rows.append((k, int(na), int(nb), psi))
+        return pd.DataFrame(rows, columns=[key_col, "n_a", "n_b", "psi"])
+
+    return hash_partitioned_map(
+        partials, [key_col], finish,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

@@ -92,3 +92,56 @@ def test_source_word_stats_bruteforce_and_empty():
     assert abs(got.loc["a", "entropy"] - (-(p * np.log(p)).sum())) < 1e-12
     assert got.loc["b", "n_words"] == 4 and got.loc["b", "entropy"] == 0.0
     assert "c" not in got.index
+
+
+def test_value_drift_psi_detects_shift():
+    from contest_parsing_ray.stages.histogram import value_drift_psi
+
+    rng = np.random.default_rng(2)
+    n = 4000
+    # key "stable": same distribution both halves; "shifted": mean moves
+    ts = np.arange(n, dtype="int64")
+    split = int(n // 2)
+    stable = rng.normal(50, 10, n)
+    shifted = np.where(ts < split, rng.normal(30, 5, n), rng.normal(70, 5, n))
+    df = pd.DataFrame(
+        {
+            "key": ["stable"] * n + ["shifted"] * n,
+            "ts_us": np.concatenate([ts, ts]),
+            "value": np.concatenate([stable, shifted]),
+        }
+    )
+    got = (
+        value_drift_psi(
+            ray.data.from_pandas(df).repartition(6),
+            key_col="key", ts_col="ts_us", value_col="value",
+            lo=0.0, hi=100.0, split_us=split, n_bins=20,
+        )
+        .to_pandas().set_index("key")
+    )
+    assert got.loc["stable", "n_a"] == split and got.loc["stable", "n_b"] == split
+    assert got.loc["stable", "psi"] < 0.05
+    assert got.loc["shifted", "psi"] > 1.0
+    # hand case: exact PSI over two bins
+    small = pd.DataFrame(
+        {
+            "key": ["k"] * 8,
+            "ts_us": [0, 0, 0, 0, 10, 10, 10, 10],
+            # period a: 3 low 1 high; period b: 1 low 3 high (2-bin grid)
+            "value": [0.0, 0.0, 0.0, 5.0, 0.0, 5.0, 5.0, 5.0],
+        }
+    )
+    got2 = value_drift_psi(
+        ray.data.from_pandas(small), "key", "ts_us", "value",
+        lo=0.0, hi=10.0, split_us=5, n_bins=2,
+    ).to_pandas()
+    # add-half smoothing, 2 bins: p=(3.5/5,1.5/5), q=(1.5/5,3.5/5)
+    want = 2 * (0.4 * np.log(3.5 / 1.5))
+    assert abs(got2["psi"].iloc[0] - want) < 1e-12
+    # one-sided key -> psi 0
+    one = pd.DataFrame({"key": ["x"] * 3, "ts_us": [0, 1, 2], "value": [1.0] * 3})
+    got3 = value_drift_psi(
+        ray.data.from_pandas(one), "key", "ts_us", "value",
+        lo=0.0, hi=10.0, split_us=5, n_bins=2,
+    ).to_pandas()
+    assert got3["psi"].iloc[0] == 0.0 and got3["n_b"].iloc[0] == 0
