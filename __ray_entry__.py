@@ -539,6 +539,16 @@ def _q_word_entropy(sf_dir: str):
     return _round_cols(out, ["entropy"])
 
 
+def _q_sample_weighted(sf_dir: str):
+    """Weighted sample without replacement (A-ES): 30 docs, inclusion
+    probability ∝ n_chars; float key not emitted (pow differs by ~1 ulp
+    across engines; selection is gap-robust)."""
+    from contest_parsing_ray.stages.sampling import hash_sample_weighted
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"])
+    return hash_sample_weighted(docs, id_col="doc_id", weight_col="n_chars", k=30)
+
+
 def _q_quality(sf_dir: str):
     from contest_parsing_ray.stages.text import QualityScore
 
@@ -1373,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # data-mixing family: deterministic hash-priority sampling
         "sample_docs_rate_25": _q_sample_rate,
         "sample_docs_per_source_10": _q_sample_topk,
+        "sample_docs_weighted_30": _q_sample_weighted,
         "simhash_docs": _q_simhash,
         "simhash_neardup_pairs": _q_simhash_pairs,
         "embedding_neardup_pairs": _q_emb_neardup,
@@ -1800,6 +1811,20 @@ SELECT c.source,
        CAST(COUNT(*) AS BIGINT) AS n_distinct,
        ROUND(-SUM((cnt / tot.n) * ln(cnt / tot.n)), 6) AS entropy
 FROM c JOIN tot USING (source) GROUP BY c.source
+""",
+        # A-ES weighted sample: same u (exact double both sides) and
+        # pow-key ordering; the float key is not emitted (1-ulp libm noise)
+        "sample_docs_weighted_30": r"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           ORDER BY pow(
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                   AS UBIGINT) + 0.5) / 18446744073709551616.0,
+             1.0 / n_chars) DESC, doc_id
+         ) AS rn
+  FROM documents WHERE n_chars > 0
+) WHERE rn <= 30
 """,
         # exact prefix-filter Jaccard: shingles are word 3-grams over \S+
         # tokens; the engine finds candidates via hashed shingles but

@@ -126,3 +126,45 @@ def hash_sample_topk(
     return out.map_batches(
         lambda df: df.drop(columns="__pri"), batch_format="pandas"
     )
+
+
+def hash_sample_weighted(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): the k rows with the largest ``u^(1/w)`` where
+    ``u = (md5_priority(id) + 0.5) / 2^64`` and ``w = weight_col`` —
+    inclusion probability proportional to weight, reproducible because u
+    is a pure function of the id. Rows with ``w <= 0`` (or null) are
+    excluded.
+
+    Mergeable: each batch pre-prunes to its own top-k, the global sort
+    sees <= k x batches rows, ties break on id. The float key is NOT
+    emitted: libm ``pow`` differs across engines by ~1 ulp, which is
+    harmless for SELECTION (key gaps are orders of magnitude wider at any
+    realistic k/n) but would fail a bit-exact value compare."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = pd.to_numeric(df[weight_col], errors="coerce").to_numpy(
+            dtype=np.float64, na_value=np.nan
+        )
+        ok = np.isfinite(w) & (w > 0)
+        df = df[ok]
+        if len(df) == 0:
+            return df.assign(__key=pd.Series(dtype=np.float64))
+        u = (md5_priority(df[id_col].tolist()).astype(np.float64) + 0.5) / float(
+            2**64
+        )
+        key = np.power(u, 1.0 / w[ok])
+        df = df.assign(__key=key)
+        df = df.sort_values(["__key", id_col], ascending=[False, True], kind="stable")
+        return df.head(k)
+
+    pruned = ds.map_batches(partial, batch_format="pandas")
+    top = pruned.sort(["__key", id_col], descending=[True, False]).limit(k)
+    return top.map_batches(lambda df: df.drop(columns="__key"), batch_format="pandas")

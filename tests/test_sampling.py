@@ -97,3 +97,35 @@ def test_sampling_bad_params():
         hash_sample_rate(ds, "doc_id", rate=1.5)
     with pytest.raises(ValueError, match="k must"):
         hash_sample_topk(ds, "source", "doc_id", k=0)
+
+
+def test_weighted_sample_matches_reference_and_biases_heavy():
+    from contest_parsing_ray.stages.sampling import hash_sample_weighted
+
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "w": np.where(np.arange(n) % 10 == 0, 100.0, 1.0),
+        }
+    )
+    df.loc[5, "w"] = 0.0   # excluded
+    df.loc[6, "w"] = np.nan
+    # scalar reference: top-k by u^(1/w) desc, id asc
+    ok = df[(df["w"] > 0) & df["w"].notna()]
+    from contest_parsing_ray.stages.sampling import md5_priority
+
+    u = (md5_priority(ok["doc_id"].tolist()).astype(np.float64) + 0.5) / 2.0**64
+    key = np.power(u, 1.0 / ok["w"].to_numpy())
+    order = np.lexsort((ok["doc_id"].to_numpy(), -key))
+    want = set(ok["doc_id"].to_numpy()[order[:40]])
+    got = hash_sample_weighted(
+        ray.data.from_pandas(df).repartition(7), "doc_id", "w", k=40
+    ).to_pandas()
+    assert set(got["doc_id"]) == want
+    assert 5 not in set(got["doc_id"]) and 6 not in set(got["doc_id"])
+    # weight bias: heavy rows are 10% of the corpus but ~95%+ of the sample
+    heavy = (got["doc_id"] % 10 == 0).mean()
+    assert heavy > 0.6
+    with pytest.raises(ValueError, match="k must"):
+        hash_sample_weighted(ray.data.from_pandas(df), "doc_id", "w", k=0)
