@@ -139,7 +139,14 @@ def value_drift_psi(
             0, n_bins - 1,
         )
         period = (ts >= split_us).astype(np.int64)
-        enc = pc.dictionary_encode(batch[key_col].combine_chunks())
+        kcol = batch[key_col].combine_chunks()
+        if kcol.null_count:
+            # null dictionary indices round-trip through numpy as NaN and
+            # would silently corrupt the composite group codes
+            raise ValueError(
+                f"null values in key column {key_col!r}; fill or drop them first"
+            )
+        enc = pc.dictionary_encode(kcol)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
         kc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -531,6 +531,12 @@ def source_word_stats(
         )
 
     def _factorize_keys(keys: pa.Array, parent: np.ndarray):
+        if keys.null_count:
+            # null dictionary indices round-trip through numpy as NaN and
+            # would silently corrupt the composite group codes
+            raise ValueError(
+                f"null values in key column {key_col!r}; fill or drop them first"
+            )
         enc = pc.dictionary_encode(keys)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()

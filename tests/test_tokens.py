@@ -145,3 +145,22 @@ def test_value_drift_psi_detects_shift():
         lo=0.0, hi=10.0, split_us=5, n_bins=2,
     ).to_pandas()
     assert got3["psi"].iloc[0] == 0.0 and got3["n_b"].iloc[0] == 0
+
+
+def test_null_key_guards():
+    import pytest
+
+    from contest_parsing_ray.stages.histogram import value_drift_psi
+    from contest_parsing_ray.stages.text import source_word_stats
+
+    df = pd.DataFrame(
+        {"source": ["a", None], "text": ["x y", "z"],
+         "ts_us": [0, 1], "value": [1.0, 2.0]}
+    )
+    with pytest.raises(Exception, match="null values in key column"):
+        source_word_stats(ray.data.from_pandas(df)).to_pandas()
+    with pytest.raises(Exception, match="null values in key column"):
+        value_drift_psi(
+            ray.data.from_pandas(df), "source", "ts_us", "value",
+            lo=0.0, hi=10.0, split_us=1, n_bins=2,
+        ).to_pandas()
