@@ -637,6 +637,24 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_neardup_pairs(docs, max_hamming=6, concurrency=2)
 
 
+def _q_pq(sf_dir: str):
+    """PQ-ADC approximate top-k (8 subspaces x 256 codes — vectors read as
+    8-byte codes, the 100 TB memory-scale path). Deterministic seeded
+    train; golden-pinned; recall vs exact asserted in test_ann_recall."""
+    from contest_parsing_ray.stages.ann import pq_topk_cosine
+
+    emb = _embeddings(sf_dir)
+    qdf = (
+        emb.filter(expr="vec_id < 5").select_columns(["vec_id", "embedding"]).to_pandas()
+    )
+    return pq_topk_cosine(
+        emb,
+        queries=np.stack(qdf["embedding"].to_numpy()),
+        query_ids=qdf["vec_id"].to_numpy(),
+        k=10, m_subspaces=8, n_codes=256,
+    )
+
+
 def _q_ann(sf_dir: str):
     from contest_parsing_ray.stages.ann import brute_force_topk
 
@@ -1391,6 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk_cosine": _q_ann,
         "ivf_topk_cosine": _q_ivf,
+        "pq_topk_cosine": _q_pq,
         # multimodal plumbing (stubbed decode)
         "multimodal_decode_stub": _q_multimodal,
         # REAL WAV codec: RIFF/PCM parse + sample features (golden oracle)
@@ -2230,6 +2249,7 @@ GOLDEN_ORACLE_KEYS = (
     "telemetry_join_fixture",
     "corpus_end_to_end",
     "ivf_topk_cosine",
+    "pq_topk_cosine",
     "approx_distinct_users",
     "lttb_events_200",
     "token_vocab_hist",

@@ -382,3 +382,116 @@ def lsh_bucket_neardup(
         )
 
     return withv.map_batches(verify, batch_format="pyarrow")
+
+
+def pq_topk_cosine(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 65536,
+    sample_per_block: int = 256,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Product-quantization ADC top-k cosine (Jégou et al. 2011) — the
+    memory-scale ANN path: vectors compress to ``m_subspaces`` uint8
+    codes (d×8 bytes → m bytes, 32x at d=64/m=8/float64) and search reads
+    CODES, not vectors, so a 100 TB embedding corpus's scan working set
+    shrinks by the same factor.
+
+    Train: per-subspace L2 k-means over the SAME bounded block-order
+    driver sample as :func:`ivf_topk_cosine` (no count pass, corpus never
+    moves); the m codebooks broadcast once via ``ray.put``.
+
+    Search (asymmetric distance computation): per batch, ONE argmin
+    matmul per subspace encodes rows to codes; each query's dot product
+    is then a table lookup — score = Σ_j LUT_j[code_j] where
+    ``LUT_j = q_subspace @ codebook_j.T`` is computed once per batch per
+    query. Per-batch partial top-k rows (approx score) feed the same
+    per-query exchange/rank merge as the exact path; ties break on id.
+    Approximate by construction — recall vs :func:`brute_force_topk` is
+    measured in tests, not assumed. Output (query_id, vec_id, rank)."""
+    if m_subspaces < 1 or n_codes < 1 or n_codes > 65536:
+        raise ValueError(
+            f"need m_subspaces >= 1 and 1 <= n_codes <= 65536, got "
+            f"{m_subspaces} x {n_codes}"
+        )
+    sample_df = (
+        embeddings.select_columns([vec_col])
+        .map_batches(
+            lambda b: b.head(sample_per_block),
+            batch_format="pandas",
+            batch_size=4096,
+        )
+        .limit(train_sample)
+        .to_pandas()
+    )
+    if len(sample_df) == 0:
+        raise ValueError("pq_topk_cosine: empty embeddings dataset")
+    sample = _normalize(np.stack(sample_df[vec_col].to_numpy()).astype(np.float64))
+    d = sample.shape[1]
+    if m_subspaces > d:
+        raise ValueError(f"m_subspaces {m_subspaces} > dim {d}")
+    splits = np.array_split(np.arange(d), m_subspaces)
+    rng = np.random.default_rng(seed)
+    k0 = int(min(n_codes, len(sample)))
+    books = []
+    for dims in splits:
+        sub = sample[:, dims]
+        cent = sub[rng.choice(len(sub), size=k0, replace=False)]
+        for _ in range(kmeans_iters):
+            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k0):
+                members = sub[assign == c]
+                cent[c] = (
+                    members.mean(axis=0)
+                    if len(members)
+                    else sub[rng.integers(len(sub))]
+                )
+        books.append(cent)
+
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    state_ref = ray.put((np.asarray(query_ids), qmat, splits, books))
+
+    class PQPartial:
+        def __init__(self):
+            self.qids, self.q, self.splits, self.books = ray.get(state_ref)
+            # LUTs depend only on queries + codebooks: once per actor
+            self.luts = [
+                self.q[:, dims] @ cent.T
+                for dims, cent in zip(self.splits, self.books)
+            ]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            ids = batch[id_col].to_numpy()
+            nb = len(mat)
+            scores = np.zeros((len(self.qids), nb))
+            for dims, cent, lut in zip(self.splits, self.books, self.luts):
+                sub = mat[:, dims]
+                d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+                codes = np.argmin(d2, axis=1)  # encode: vectors -> uint8
+                scores += lut[:, codes]  # ADC: dot via table lookup
+            kk = min(k, nb)
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            return pd.DataFrame(
+                {
+                    "query_id": np.repeat(self.qids, kk),
+                    id_col: ids[part.ravel()],
+                    "cosine": np.take_along_axis(scores, part, axis=1).ravel(),
+                }
+            )
+
+    partials = embeddings.map_batches(
+        PQPartial, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    )
+    return hash_partitioned_map(
+        partials, ["query_id"], _merge_topk(k, id_col),
+        num_partitions=16, batch_format="pandas",
+    )

@@ -81,3 +81,45 @@ def test_ivf_partial_probe_recall():
     recall = len(exact & approx) / len(exact)
     print(f"ivf recall @ n_probe=4/16: {recall:.3f}")
     assert recall >= 0.5
+
+
+def test_pq_adc_recall_and_determinism():
+    """PQ-ADC at 8 subspaces x 256 codes must keep most of the true
+    top-10 (codes are a 32x-compressed view; exactness is not expected),
+    and the seeded train must make the output run-to-run identical."""
+    from contest_parsing_ray.stages.ann import pq_topk_cosine
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    qdf = (
+        ds.filter(expr="vec_id < 5")
+        .select_columns(["vec_id", "embedding"]).to_pandas()
+    )
+    q = np.stack(qdf["embedding"].to_numpy())
+    qi = qdf["vec_id"].to_numpy()
+    brute = brute_force_topk(ds, q, qi, k=10).to_pandas()
+    pq1 = pq_topk_cosine(ds, q, qi, k=10, m_subspaces=8, n_codes=256).to_pandas()
+    pq2 = pq_topk_cosine(ds, q, qi, k=10, m_subspaces=8, n_codes=256).to_pandas()
+    key = ["query_id", "vec_id", "rank"]
+    assert sorted(map(tuple, pq1[key].itertuples(index=False))) == sorted(
+        map(tuple, pq2[key].itertuples(index=False))
+    )
+    to_set = lambda df: set(
+        map(tuple, df[["query_id", "vec_id"]].itertuples(index=False))
+    )
+    exact, approx = to_set(brute), to_set(pq1)
+    recall = len(exact & approx) / len(exact)
+    print(f"pq-adc recall @ m=8, 256 codes: {recall:.3f}")
+    assert recall >= 0.6
+    # the query vector itself must be its own top hit even through codes
+    top1 = pq1[pq1["rank"] == 1]
+    assert (top1["query_id"].to_numpy() == top1["vec_id"].to_numpy()).all()
+
+
+def test_pq_bad_params():
+    from contest_parsing_ray.stages.ann import pq_topk_cosine
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="m_subspaces"):
+        pq_topk_cosine(ds, np.zeros((1, 64)), np.array([0]), m_subspaces=0)
+    with pytest.raises(ValueError, match="> dim"):
+        pq_topk_cosine(ds, np.zeros((1, 64)), np.array([0]), m_subspaces=65)

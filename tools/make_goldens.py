@@ -41,6 +41,7 @@ GOLDEN_QUERIES = [
     "telemetry_join_fixture",
     "corpus_end_to_end",
     "ivf_topk_cosine",
+    "pq_topk_cosine",
     "approx_distinct_users",
 ]
 
