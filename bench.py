@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "pack_offsets_4096",
     "token_vocab_hist",
     "sample_docs_rate_25",
+    "sample_docs_weighted_30",
+    "source_word_entropy",
+    "value_drift_psi",
+    "pq_topk_cosine",
     "m4_downsample_1h",
     "lttb_events_200",
     "ohlc_rate_1h",

@@ -783,6 +783,16 @@ def ngram_jaccard_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from ._shuffle import hash_partitioned_map
 
+    # the shingle-projection exchanges move UNREDUCED (shingle, id) rows,
+    # roughly proportional to the corpus text bytes — floor the partition
+    # count by that estimate so one partition stays worker-heap-sized at
+    # 100x (the pre-aggregated exchanges elsewhere don't need this)
+    proj_bytes = None
+    try:
+        proj_bytes = docs.size_bytes()
+    except Exception:
+        pass
+
     shingles = docs.map_batches(
         NgramShingles,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, n=n),
@@ -798,7 +808,8 @@ def ngram_jaccard_pairs(
         return df.assign(df=df.groupby("shingle")[id_col].transform("size"))
 
     with_df = hash_partitioned_map(
-        shingles, ["shingle"], attach_df, batch_format="pandas"
+        shingles, ["shingle"], attach_df, batch_format="pandas",
+        input_bytes=proj_bytes,
     )
 
     def select_prefix(df: pd.DataFrame) -> pd.DataFrame:
@@ -811,7 +822,8 @@ def ngram_jaccard_pairs(
         return df.loc[keep, cols]
 
     prefixes = hash_partitioned_map(
-        with_df, [id_col], select_prefix, batch_format="pandas"
+        with_df, [id_col], select_prefix, batch_format="pandas",
+        input_bytes=proj_bytes,
     )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -829,7 +841,8 @@ def ngram_jaccard_pairs(
         return out[["id_a", "id_b"]].drop_duplicates()
 
     candidates = hash_partitioned_map(
-        prefixes, ["shingle"], bucket_pairs, batch_format="pandas"
+        prefixes, ["shingle"], bucket_pairs, batch_format="pandas",
+        input_bytes=proj_bytes,
     )
     candidates = hash_partitioned_map(
         candidates,

@@ -373,7 +373,14 @@ def lttb_downsample(
     rows. Null values/timestamps are dropped. The partitioning assumption
     is per-key series fit in a worker — the operator's point is n_out ≪
     series length, so select per tier/chunk first if a single key's raw
-    series exceeds worker memory."""
+    series exceeds worker memory. The exchange moves UNREDUCED rows, so
+    the partition count is floored by the input's byte size
+    (``default_num_partitions`` bytes floor) when Ray can estimate it."""
+    input_bytes = None
+    try:
+        input_bytes = events.size_bytes()
+    except Exception:
+        pass
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         df = df.dropna(subset=[ts_col, value_col])
@@ -410,4 +417,5 @@ def lttb_downsample(
     return hash_partitioned_map(
         events, [key_col], scan,
         num_partitions=num_partitions, batch_format="pandas",
+        input_bytes=input_bytes,
     )
