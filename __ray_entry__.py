@@ -1198,6 +1198,26 @@ def _q_psi(sf_dir: str):
     return _round_cols(out, ["psi"])
 
 
+QUANTILE_QS = [0.25, 0.5, 0.75, 0.9, 0.95, 0.99]
+
+
+def _q_exact_quantiles(sf_dir: str):
+    """EXACT global order statistics (quantile_disc semantics) of
+    events.value by iterative histogram refinement — no global sort, a few
+    streaming counting passes over one pruned column instead.
+    max_candidates is set below the sf0.01 row count so the driver run
+    exercises the multi-pass refinement (the 10^12-row code path), not the
+    single-collect shortcut."""
+    import ray.data
+
+    from contest_parsing_ray.stages.quantiles import exact_quantiles
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    return exact_quantiles(ev, "value", QUANTILE_QS, max_candidates=4096)
+
+
 def _q_histogram(sf_dir: str):
     """Fixed-bin value distribution per event_type (per-batch bincount
     partials → tiny groupby merge; the exchange moves O(bins))."""
@@ -1464,6 +1484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_word_entropy": _q_word_entropy,
         # irregular-sampling mean: holding-time-weighted per (key, bucket)
         "time_weighted_avg_1h": _q_twa,
+        # exact distributed order statistics (no global sort)
+        "exact_quantiles_value": _q_exact_quantiles,
     }
 
 
@@ -2220,6 +2242,15 @@ SELECT event_type, bucket_us,
        CAST(COUNT(*) AS BIGINT) AS n_weighted
 FROM w WHERE dt IS NOT NULL GROUP BY 1, 2
 """,
+        # exact order statistics: quantile_disc = sorted[ceil(q*n)-1],
+        # formula-pinned vs the engine incl. the float-ceil edge; values
+        # are exact data elements so no ROUND is needed on either side
+        "exact_quantiles_value": "\nUNION ALL\n".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q,"
+            f" CAST(quantile_disc(value, {q}) AS DOUBLE) AS value"
+            f" FROM events WHERE value IS NOT NULL"
+            for q in QUANTILE_QS
+        ),
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash
         # banding, the Jaeger/Prometheus fixture chain, the fake multimodal

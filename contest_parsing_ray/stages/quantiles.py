@@ -1,0 +1,259 @@
+"""Exact distributed order statistics (quantile_disc) by histogram refinement.
+
+The scale problem: an exact p99 over 10^12 values cannot sort — a global
+``Dataset.sort`` is an all-to-all exchange of every byte just to read off
+three ranks. This stage finds the exact k-th smallest with a few *streaming
+counting passes* instead:
+
+  1. Map each float64 to its order-preserving uint64 key (IEEE-754 total
+     order: flip the sign bit for positives, all bits for negatives).
+  2. Histogram pass: one ``map_batches`` over the value column counts keys
+     into 2^16 equal-width sub-ranges of the current candidate interval.
+     Each batch emits only its NON-ZERO buckets — tiny long-form partials
+     ``(range_idx, bucket, cnt)`` that the driver folds into a dense
+     65536-wide array as they stream (``iter_batches``; nothing
+     materializes).
+  3. The cumulative histogram locates the bucket holding each pending rank;
+     that bucket becomes the next candidate interval. Each pass narrows the
+     interval by 2^16, so even the full uint64 space resolves in <=4 passes;
+     once an interval's population fits ``max_candidates`` (or the interval
+     is a single key), a final filtered collect selects the exact element
+     with ``np.partition``.
+
+All pending quantiles refine in the SAME pass (the partial kernel histograms
+every unresolved interval at once), so total cost is a handful of scans of
+one column — each scan column-pruned at the parquet read by the caller.
+
+Reference analog: the reference sorts whole frames to read off extremes
+(``Joiner.py`` sort-based stats); this is the from-scratch distributed
+replacement the north rule's 10^12-row tier stats need.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_BITS = 16
+_NBUCKET = 1 << _BITS
+
+
+def _order_key(v: np.ndarray) -> np.ndarray:
+    """float64 -> uint64 preserving total order (NaNs must be pre-dropped).
+
+    -0.0 and +0.0 map to distinct adjacent keys — harmless for rank
+    selection since equal-comparing values stay contiguous.
+    """
+    u = v.astype(np.float64).view(np.uint64)
+    neg = (u >> np.uint64(63)).astype(bool)
+    out = np.where(neg, ~u, u | np.uint64(1 << 63))
+    return out.astype(np.uint64)
+
+
+def _key_to_float(u: int) -> float:
+    u = int(u)
+    if u & (1 << 63):
+        b = u & ~(1 << 63)
+    else:
+        b = (~u) & ((1 << 64) - 1)
+    return float(np.uint64(b).view(np.float64))
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    qs: list[float],
+    max_candidates: int = 4_000_000,
+    batch_size: int = 262_144,
+) -> pa.Table:
+    """Exact ``quantile_disc`` (sorted[ceil(q*n)-1], SQL semantics) of
+    ``value_col`` over the whole Dataset, nulls/NaNs excluded.
+
+    Returns a small ``pa.Table (q: float64, value: float64)`` on the driver
+    — quantiles are a scalar summary, not a dataset. Driver memory is
+    O(2^16 * len(qs)) per pass plus one <=``max_candidates`` float array in
+    the final collect; every Ray pass streams with backpressure.
+    """
+    if not qs:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    if any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+
+    # ---- pass 0: global non-null count (column-pruned, streaming) ----
+    def cnt_batch(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"c": pa.array([int((~np.isnan(v)).sum())], pa.int64())})
+
+    n = 0
+    for b in ds.map_batches(
+        cnt_batch, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        n += int(pa.Table.from_batches([b])["c"].to_numpy().sum()) if isinstance(
+            b, pa.RecordBatch) else int(b["c"].to_numpy().sum())
+    if n == 0:
+        return pa.table({"q": pa.array(sorted(qs), pa.float64()),
+                         "value": pa.array([None] * len(qs), pa.float64())})
+
+    # per-q 1-based target rank within the full (conceptually sorted) column
+    targets = {float(q): int(-(-q * n // 1)) for q in qs}  # ceil(q*n)
+
+    # pending[i] = dict(lo, hi, below, ranks={q: k}) — one candidate uint64
+    # interval per *distinct* interval; multiple quantiles share an interval
+    # whenever their ranks land in the same bucket.
+    full = {"lo": 0, "hi": 1 << 64, "below": 0,
+            "ranks": dict(targets), "count": n}
+    pending = [full]
+    resolved: dict[float, float] = {}
+
+    while pending:
+        # intervals small enough to collect exactly, or single-key
+        collect_now = []
+        refine = []
+        for iv in pending:
+            width = iv["hi"] - iv["lo"]
+            if width == 1:
+                val = _key_to_float(iv["lo"])
+                for q in iv["ranks"]:
+                    resolved[q] = val
+            elif iv["count"] <= max_candidates:
+                collect_now.append(iv)
+            else:
+                refine.append(iv)
+
+        if collect_now:
+            _collect_exact(ds, value_col, collect_now, resolved, batch_size)
+        if not refine:
+            break
+
+        # bucket geometry per interval: bw >= 1, last bucket absorbs the
+        # remainder so every key in [lo, hi) lands in [0, _NBUCKET)
+        geos = []
+        for iv in refine:
+            width = iv["hi"] - iv["lo"]
+            bw = max(width // _NBUCKET, 1)
+            nb = min(_NBUCKET, -(-width // bw))
+            geos.append((iv["lo"], iv["hi"], bw, nb))
+
+        hists = _histogram_pass(ds, value_col, geos, batch_size)
+
+        nxt = []
+        for iv, (lo, hi, bw, nb), hist in zip(refine, geos, hists):
+            csum = np.cumsum(hist)
+            # group this interval's ranks by destination bucket
+            by_bucket: dict[int, dict[float, int]] = {}
+            for q, k in iv["ranks"].items():
+                rel = k - iv["below"]  # 1-based rank within interval
+                b_idx = int(np.searchsorted(csum, rel, side="left"))
+                by_bucket.setdefault(b_idx, {})[q] = k
+            for b_idx, ranks in by_bucket.items():
+                sub_lo = lo + b_idx * bw
+                sub_hi = hi if b_idx == nb - 1 else min(hi, sub_lo + bw)
+                below = iv["below"] + (int(csum[b_idx - 1]) if b_idx else 0)
+                nxt.append({
+                    "lo": sub_lo, "hi": sub_hi, "below": below,
+                    "ranks": ranks, "count": int(hist[b_idx]),
+                })
+        pending = nxt
+
+    out_q = sorted(resolved)
+    return pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array([resolved[q] for q in out_q], pa.float64()),
+    })
+
+
+def _histogram_pass(ds, value_col, geos, batch_size):
+    """One streaming pass: per-batch non-zero bucket counts for every
+    candidate interval, folded into dense arrays on the driver."""
+    lo_a = np.array([g[0] for g in geos], dtype=np.uint64)
+    hi_a = np.array([g[1] - 1 for g in geos], dtype=np.uint64)  # inclusive
+    bw_a = np.array([g[2] for g in geos], dtype=np.uint64)
+    nb_a = [g[3] for g in geos]
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        u = _order_key(v)
+        ridx_out, bucket_out, cnt_out = [], [], []
+        for i in range(len(lo_a)):
+            m = (u >= lo_a[i]) & (u <= hi_a[i])
+            if not m.any():
+                continue
+            b = ((u[m] - lo_a[i]) // bw_a[i]).astype(np.int64)
+            np.minimum(b, nb_a[i] - 1, out=b)
+            cnt = np.bincount(b, minlength=nb_a[i])
+            nz = np.flatnonzero(cnt)
+            ridx_out.append(np.full(len(nz), i, dtype=np.int32))
+            bucket_out.append(nz.astype(np.int32))
+            cnt_out.append(cnt[nz].astype(np.int64))
+        if not ridx_out:
+            return pa.table({"r": pa.array([], pa.int32()),
+                             "b": pa.array([], pa.int32()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({"r": pa.array(np.concatenate(ridx_out)),
+                         "b": pa.array(np.concatenate(bucket_out)),
+                         "c": pa.array(np.concatenate(cnt_out))})
+
+    hists = [np.zeros(nb, dtype=np.int64) for nb in nb_a]
+    part_ds = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    for rb in part_ds.iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
+        r = t["r"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        for i in range(len(hists)):
+            m = r == i
+            if m.any():
+                np.add.at(hists[i], b[m], c[m])
+    return hists
+
+
+def _collect_exact(ds, value_col, intervals, resolved, batch_size):
+    """Final pass: pull only the values inside the (small) candidate
+    intervals and select each rank exactly with np.partition."""
+    lo_a = np.array([iv["lo"] for iv in intervals], dtype=np.uint64)
+    hi_a = np.array([iv["hi"] - 1 for iv in intervals], dtype=np.uint64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        u = _order_key(v)
+        ridx, vals = [], []
+        for i in range(len(lo_a)):
+            m = (u >= lo_a[i]) & (u <= hi_a[i])
+            if m.any():
+                ridx.append(np.full(int(m.sum()), i, dtype=np.int32))
+                vals.append(v[m])
+        if not ridx:
+            return pa.table({"r": pa.array([], pa.int32()),
+                             "v": pa.array([], pa.float64())})
+        return pa.table({"r": pa.array(np.concatenate(ridx)),
+                         "v": pa.array(np.concatenate(vals))})
+
+    bufs: list[list[np.ndarray]] = [[] for _ in intervals]
+    for rb in ds.map_batches(
+        keep, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
+        r = t["r"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        for i in range(len(intervals)):
+            m = r == i
+            if m.any():
+                bufs[i].append(v[m])
+
+    for iv, parts in zip(intervals, bufs):
+        arr = np.concatenate(parts) if parts else np.array([], dtype=np.float64)
+        for q, k in iv["ranks"].items():
+            j = k - iv["below"] - 1  # 0-based within interval
+            if not (0 <= j < len(arr)):
+                raise RuntimeError(
+                    f"rank {k} fell outside its candidate interval "
+                    f"(got {len(arr)} values, below={iv['below']}) — "
+                    f"histogram/filter disagree"
+                )
+            resolved[q] = float(np.partition(arr, j)[j])

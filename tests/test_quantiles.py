@@ -1,0 +1,97 @@
+"""exact_quantiles: distributed order statistics by histogram refinement.
+
+Oracle is DuckDB ``quantile_disc`` (= sorted[ceil(q*n)-1], verified
+formula-identical including the float-ceil edge) plus a direct numpy sort.
+max_candidates is forced tiny so the multi-pass refinement loop — not just
+the final collect — is what's under test.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from contest_parsing_ray.stages.quantiles import _order_key, exact_quantiles
+
+QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 1.0]
+
+
+def _oracle(vals: np.ndarray, qs) -> dict[float, float]:
+    v = vals[~np.isnan(vals)]
+    s = np.sort(v)
+    n = len(s)
+    # DuckDB quantile_disc: float ceil(q*n), 1-based (pinned empirically)
+    return {q: float(s[max(0, int(-(-q * n // 1)) - 1)]) for q in qs}
+
+
+def _run(vals: np.ndarray, qs=QS, max_candidates=16) -> dict[float, float]:
+    ds = ray.data.from_arrow(
+        pa.table({"value": pa.array(vals, pa.float64(), from_pandas=True)})
+    ).repartition(7)
+    t = exact_quantiles(ds, "value", qs, max_candidates=max_candidates,
+                        batch_size=37)
+    return dict(zip(t["q"].to_pylist(), t["value"].to_pylist()))
+
+
+def test_order_key_is_monotone():
+    v = np.array([-np.inf, -1e300, -2.5, -1e-300, -0.0, 0.0, 1e-300, 2.5,
+                  1e300, np.inf])
+    k = _order_key(v)
+    assert (np.diff(k.astype(object)) >= 0).all()
+    # strict except the -0.0/+0.0 pair, which must stay adjacent
+    assert k[4] != k[5] and abs(int(k[5]) - int(k[4])) == 1
+
+
+def test_matches_sort_oracle_multi_pass():
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.normal(0, 1, 4000),
+        rng.normal(-50, 0.01, 500),       # tight negative cluster
+        np.full(300, 3.25),               # heavy duplicates
+        rng.uniform(1e8, 1e9, 200),
+    ])
+    got = _run(vals)                      # max_candidates=16 << n: refines
+    want = _oracle(vals, QS)
+    assert got == want
+
+
+def test_matches_duckdb_with_nulls_and_nans():
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=997)
+    vals[rng.integers(0, 997, 60)] = np.nan  # engine drops NaN like SQL NULL
+    got = _run(vals, qs=[0.25, 0.5, 0.95])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(?) AS value",
+        [[None if np.isnan(x) else float(x) for x in vals]],
+    )
+    for q in [0.25, 0.5, 0.95]:
+        d = con.execute(f"SELECT quantile_disc(value, {q}) FROM t").fetchone()[0]
+        assert got[q] == d
+
+
+def test_all_null_column_returns_nulls():
+    t_in = np.full(50, np.nan)
+    ds = ray.data.from_arrow(
+        pa.table({"value": pa.array(t_in, pa.float64(), from_pandas=True)})
+    )
+    t = exact_quantiles(ds, "value", [0.5, 0.9])
+    assert t["value"].null_count == 2 and t.num_rows == 2
+
+
+def test_single_value_and_tiny_n():
+    assert _run(np.array([42.0]), qs=[0.01, 0.5, 1.0]) == {
+        0.01: 42.0, 0.5: 42.0, 1.0: 42.0}
+    vals = np.array([5.0, -3.0, 5.0])
+    assert _run(vals, qs=[0.5, 1.0], max_candidates=1) == _oracle(
+        vals, [0.5, 1.0])
+
+
+def test_large_collect_path_equals_refined_path():
+    rng = np.random.default_rng(3)
+    vals = rng.exponential(5.0, 3000)
+    fast = _run(vals, max_candidates=1_000_000)  # first-pass collect
+    slow = _run(vals, max_candidates=8)          # deep refinement
+    assert fast == slow == _oracle(vals, QS)
