@@ -1218,6 +1218,23 @@ def _q_exact_quantiles(sf_dir: str):
     return exact_quantiles(ev, "value", QUANTILE_QS, max_candidates=4096)
 
 
+def _q_quantiles_by_type(sf_dir: str):
+    """Per-key exact quantile_disc (GROUP BY event_type): every pending
+    (key, q) interval refines in the SAME shared streaming passes, so the
+    scan count stays constant in the number of keys."""
+    import ray.data
+
+    from contest_parsing_ray.stages.quantiles import exact_quantiles_by_key
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    return exact_quantiles_by_key(
+        ev, "event_type", "value", QUANTILE_QS, max_candidates=2048
+    )
+
+
 def _q_histogram(sf_dir: str):
     """Fixed-bin value distribution per event_type (per-batch bincount
     partials → tiny groupby merge; the exchange moves O(bins))."""
@@ -1486,6 +1503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_avg_1h": _q_twa,
         # exact distributed order statistics (no global sort)
         "exact_quantiles_value": _q_exact_quantiles,
+        "quantiles_by_type": _q_quantiles_by_type,
     }
 
 
@@ -2249,6 +2267,12 @@ FROM w WHERE dt IS NOT NULL GROUP BY 1, 2
             f"SELECT CAST({q} AS DOUBLE) AS q,"
             f" CAST(quantile_disc(value, {q}) AS DOUBLE) AS value"
             f" FROM events WHERE value IS NOT NULL"
+            for q in QUANTILE_QS
+        ),
+        "quantiles_by_type": "\nUNION ALL\n".join(
+            f"SELECT event_type, CAST({q} AS DOUBLE) AS q,"
+            f" CAST(quantile_disc(value, {q}) AS DOUBLE) AS value"
+            f" FROM events GROUP BY event_type"
             for q in QUANTILE_QS
         ),
         # Pinned-golden oracles (below): operators whose semantics are not

@@ -257,3 +257,263 @@ def _collect_exact(ds, value_col, intervals, resolved, batch_size):
                     f"histogram/filter disagree"
                 )
             resolved[q] = float(np.partition(arr, j)[j])
+
+
+# --------------------------------------------------------------------------
+# grouped variant: exact per-key order statistics in the SAME shared passes
+# --------------------------------------------------------------------------
+
+def exact_quantiles_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: list[float],
+    max_candidates: int = 4_000_000,
+    batch_size: int = 262_144,
+) -> pa.Table:
+    """Exact per-key ``quantile_disc`` — ``GROUP BY key_col`` semantics with
+    a null key as its own group (module-wide null-key-as-group policy),
+    null/NaN values excluded per group.
+
+    Every pending (key, quantile) interval refines in the SAME streaming
+    pass, so the scan count stays a small constant regardless of how many
+    keys there are. CONTRACT: driver memory is O(keys * len(qs) * 2^16 * 8B)
+    per pass — sized for tier-stats key cardinalities (sources, event
+    types, <= a few thousand keys). For high-cardinality keys use the
+    mergeable qsum sketch in ``stages/rollup.py`` instead.
+
+    Returns ``pa.Table (key_col, q, value)`` sorted by (key, q), key column
+    in the input's type.
+    """
+    if not qs:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    if any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+
+    # ---- pass 0: non-null-value count per key (streaming fold) ----------
+    def cnt_batch(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = ~np.isnan(v)
+        col = t[key_col].combine_chunks()
+        enc = col.dictionary_encode()
+        idx = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+        idx = idx.astype(np.int64)
+        kdict = enc.dictionary
+        cnt = np.bincount(idx[nn & (idx >= 0)], minlength=len(kdict))
+        keys_out = kdict
+        cnts_out = cnt.astype(np.int64)
+        # zero-count keys stay: a group whose values are all null still
+        # exists in SQL GROUP BY (its quantile is NULL); same for null keys
+        if (idx < 0).any():
+            keys_out = pa.concat_arrays(
+                [kdict, pa.array([None], kdict.type)])
+            cnts_out = np.append(cnts_out, int((nn & (idx < 0)).sum()))
+        return pa.table({"k": keys_out,
+                         "c": pa.array(cnts_out, pa.int64())})
+
+    counts: dict[object, int] = {}
+    key_type = None
+    for rb in ds.map_batches(
+        cnt_batch, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
+        key_type = t.schema.field("k").type
+        for k, c in zip(t["k"].to_pylist(), t["c"].to_pylist()):
+            counts[k] = counts.get(k, 0) + int(c)
+
+    if not counts:
+        return pa.table({key_col: pa.array([], key_type or pa.string()),
+                         "q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+
+    has_null_key = None in counts
+    keys = sorted(k for k in counts if k is not None)
+    # kid = position in `keys`; null key gets kid = len(keys)
+    kid_of = {k: i for i, k in enumerate(keys)}
+    if has_null_key:
+        kid_of[None] = len(keys)
+    vset = pa.array(keys, key_type) if keys else None
+
+    import pyarrow.compute as pc
+
+    def kid_array(t: pa.Table) -> np.ndarray:
+        col = t[key_col].combine_chunks()
+        if vset is not None:
+            kid = pc.index_in(col.cast(vset.type), value_set=vset)
+            kid = kid.fill_null(len(keys)).to_numpy(zero_copy_only=False)
+            kid = kid.astype(np.int64)
+        else:
+            kid = np.full(len(col), len(keys), dtype=np.int64)
+        if not has_null_key:
+            # unseen-in-pass-0 keys can't exist; nulls only when counted
+            kid[kid == len(keys)] = -1
+        return kid
+
+    # pending intervals now carry a key id
+    pending = []
+    resolved: dict[tuple[int, float], float] = {}
+    for k, n in counts.items():
+        if n == 0:
+            for q in qs:
+                resolved[(kid_of[k], float(q))] = float("nan")
+            continue
+        ranks = {float(q): int(-(-q * n // 1)) for q in qs}
+        pending.append({"kid": kid_of[k], "lo": 0, "hi": 1 << 64,
+                        "below": 0, "ranks": ranks, "count": n})
+
+    while pending:
+        collect_now, refine = [], []
+        for iv in pending:
+            if iv["hi"] - iv["lo"] == 1:
+                val = _key_to_float(iv["lo"])
+                for q in iv["ranks"]:
+                    resolved[(iv["kid"], q)] = val
+            elif iv["count"] <= max_candidates:
+                collect_now.append(iv)
+            else:
+                refine.append(iv)
+
+        if collect_now:
+            _collect_exact_keyed(ds, value_col, kid_array, collect_now,
+                                 resolved, batch_size)
+        if not refine:
+            break
+
+        geos = []
+        for iv in refine:
+            width = iv["hi"] - iv["lo"]
+            bw = max(width // _NBUCKET, 1)
+            nb = min(_NBUCKET, -(-width // bw))
+            geos.append((iv["lo"], iv["hi"], bw, nb))
+
+        hists = _histogram_pass_keyed(ds, value_col, kid_array,
+                                      [iv["kid"] for iv in refine],
+                                      geos, batch_size)
+
+        nxt = []
+        for iv, (lo, hi, bw, nb), hist in zip(refine, geos, hists):
+            csum = np.cumsum(hist)
+            by_bucket: dict[int, dict[float, int]] = {}
+            for q, k in iv["ranks"].items():
+                rel = k - iv["below"]
+                b_idx = int(np.searchsorted(csum, rel, side="left"))
+                by_bucket.setdefault(b_idx, {})[q] = k
+            for b_idx, ranks in by_bucket.items():
+                sub_lo = lo + b_idx * bw
+                sub_hi = hi if b_idx == nb - 1 else min(hi, sub_lo + bw)
+                below = iv["below"] + (int(csum[b_idx - 1]) if b_idx else 0)
+                nxt.append({"kid": iv["kid"], "lo": sub_lo, "hi": sub_hi,
+                            "below": below, "ranks": ranks,
+                            "count": int(hist[b_idx])})
+        pending = nxt
+
+    all_keys = keys + ([None] if has_null_key else [])
+    out_k, out_q, out_v = [], [], []
+    for kid, k in enumerate(all_keys):
+        for q in sorted(qs):
+            out_k.append(k)
+            out_q.append(float(q))
+            v = resolved[(kid, float(q))]
+            out_v.append(None if v != v else v)  # NaN -> null
+    return pa.table({
+        key_col: pa.array(out_k, key_type),
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array(out_v, pa.float64()),
+    })
+
+
+def _histogram_pass_keyed(ds, value_col, kid_array, kids, geos, batch_size):
+    lo_a = np.array([g[0] for g in geos], dtype=np.uint64)
+    hi_a = np.array([g[1] - 1 for g in geos], dtype=np.uint64)
+    bw_a = np.array([g[2] for g in geos], dtype=np.uint64)
+    nb_a = [g[3] for g in geos]
+    kid_a = list(kids)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = ~np.isnan(v)
+        kid = kid_array(t)[nn]
+        u = _order_key(v[nn])
+        ridx_out, bucket_out, cnt_out = [], [], []
+        for i in range(len(lo_a)):
+            m = (kid == kid_a[i]) & (u >= lo_a[i]) & (u <= hi_a[i])
+            if not m.any():
+                continue
+            b = ((u[m] - lo_a[i]) // bw_a[i]).astype(np.int64)
+            np.minimum(b, nb_a[i] - 1, out=b)
+            cnt = np.bincount(b, minlength=nb_a[i])
+            nz = np.flatnonzero(cnt)
+            ridx_out.append(np.full(len(nz), i, dtype=np.int32))
+            bucket_out.append(nz.astype(np.int32))
+            cnt_out.append(cnt[nz].astype(np.int64))
+        if not ridx_out:
+            return pa.table({"r": pa.array([], pa.int32()),
+                             "b": pa.array([], pa.int32()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({"r": pa.array(np.concatenate(ridx_out)),
+                         "b": pa.array(np.concatenate(bucket_out)),
+                         "c": pa.array(np.concatenate(cnt_out))})
+
+    hists = [np.zeros(nb, dtype=np.int64) for nb in nb_a]
+    for rb in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
+        r = t["r"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        for i in range(len(hists)):
+            m = r == i
+            if m.any():
+                np.add.at(hists[i], b[m], c[m])
+    return hists
+
+
+def _collect_exact_keyed(ds, value_col, kid_array, intervals, resolved,
+                         batch_size):
+    lo_a = np.array([iv["lo"] for iv in intervals], dtype=np.uint64)
+    hi_a = np.array([iv["hi"] - 1 for iv in intervals], dtype=np.uint64)
+    kid_a = [iv["kid"] for iv in intervals]
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = ~np.isnan(v)
+        kid = kid_array(t)[nn]
+        vv = v[nn]
+        u = _order_key(vv)
+        ridx, vals = [], []
+        for i in range(len(lo_a)):
+            m = (kid == kid_a[i]) & (u >= lo_a[i]) & (u <= hi_a[i])
+            if m.any():
+                ridx.append(np.full(int(m.sum()), i, dtype=np.int32))
+                vals.append(vv[m])
+        if not ridx:
+            return pa.table({"r": pa.array([], pa.int32()),
+                             "v": pa.array([], pa.float64())})
+        return pa.table({"r": pa.array(np.concatenate(ridx)),
+                         "v": pa.array(np.concatenate(vals))})
+
+    bufs: list[list[np.ndarray]] = [[] for _ in intervals]
+    for rb in ds.map_batches(
+        keep, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
+        r = t["r"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        for i in range(len(intervals)):
+            m = r == i
+            if m.any():
+                bufs[i].append(v[m])
+
+    for iv, parts in zip(intervals, bufs):
+        arr = np.concatenate(parts) if parts else np.array([], dtype=np.float64)
+        for q, k in iv["ranks"].items():
+            j = k - iv["below"] - 1
+            if not (0 <= j < len(arr)):
+                raise RuntimeError(
+                    f"rank {k} (kid={iv['kid']}) fell outside its candidate "
+                    f"interval (got {len(arr)} values, below={iv['below']})"
+                )
+            resolved[(iv["kid"], q)] = float(np.partition(arr, j)[j])

@@ -95,3 +95,62 @@ def test_large_collect_path_equals_refined_path():
     fast = _run(vals, max_candidates=1_000_000)  # first-pass collect
     slow = _run(vals, max_candidates=8)          # deep refinement
     assert fast == slow == _oracle(vals, QS)
+
+
+def _run_keyed(keys, vals, qs=(0.25, 0.5, 0.95), max_candidates=16):
+    from contest_parsing_ray.stages.quantiles import exact_quantiles_by_key
+
+    ds = ray.data.from_arrow(
+        pa.table({
+            "k": pa.array(keys),
+            "value": pa.array(vals, pa.float64(), from_pandas=True),
+        })
+    ).repartition(5)
+    t = exact_quantiles_by_key(ds, "k", "value", list(qs),
+                               max_candidates=max_candidates, batch_size=29)
+    return {(k, q): v for k, q, v in zip(t["k"].to_pylist(),
+                                         t["q"].to_pylist(),
+                                         t["value"].to_pylist())}
+
+
+def test_keyed_matches_duckdb_group_by():
+    rng = np.random.default_rng(5)
+    n = 1500
+    keys = rng.choice(["a", "b", "c", None], n, p=[0.5, 0.3, 0.1, 0.1]).tolist()
+    vals = rng.normal(size=n)
+    vals[rng.integers(0, n, 40)] = np.nan
+    # one group whose values are ALL null: must still emit NULL quantiles
+    keys += ["empty"] * 7
+    vals = np.concatenate([vals, np.full(7, np.nan)])
+    got = _run_keyed(keys, vals)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(?) AS k, unnest(?) AS value",
+        [keys, [None if np.isnan(x) else float(x) for x in vals]],
+    )
+    want = {}
+    for q in (0.25, 0.5, 0.95):
+        for k, v in con.execute(
+            f"SELECT k, quantile_disc(value, {q}) FROM t GROUP BY k"
+        ).fetchall():
+            want[(k, q)] = v
+    assert got == want
+
+
+def test_keyed_single_key_equals_global():
+    rng = np.random.default_rng(9)
+    vals = rng.exponential(2.0, 800)
+    keyed = _run_keyed(["only"] * len(vals), vals, qs=QS)
+    glob = _run(vals, qs=QS)
+    assert {q: v for (_, q), v in keyed.items()} == glob
+
+
+def test_keyed_int_keys():
+    rng = np.random.default_rng(13)
+    keys = rng.integers(0, 4, 600).tolist()
+    vals = rng.normal(size=600)
+    got = _run_keyed(keys, vals, qs=(0.5, 0.99), max_candidates=4)
+    for k in set(keys):
+        kv = np.sort(vals[np.array(keys) == k])
+        for q in (0.5, 0.99):
+            assert got[(k, q)] == kv[max(0, int(-(-q * len(kv) // 1)) - 1)]
