@@ -1235,6 +1235,23 @@ def _q_quantiles_by_type(sf_dir: str):
     )
 
 
+HEAVY_K = 130
+
+
+def _q_heavy_users(sf_dir: str):
+    """Exact heavy hitters (cnt * k > n) in two streaming passes: mergeable
+    Misra-Gries candidates (<= 2k keys ever leave a batch), then an exact
+    broadcast-verified count — no distinct-key-sized shuffle."""
+    import ray.data
+
+    from contest_parsing_ray.stages.heavy import heavy_hitters
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    return heavy_hitters(ev, "user_id", HEAVY_K)
+
+
 def _q_histogram(sf_dir: str):
     """Fixed-bin value distribution per event_type (per-batch bincount
     partials → tiny groupby merge; the exchange moves O(bins))."""
@@ -1504,6 +1521,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed order statistics (no global sort)
         "exact_quantiles_value": _q_exact_quantiles,
         "quantiles_by_type": _q_quantiles_by_type,
+        # exact heavy hitters: MG candidates + exact verify, O(k) exchange
+        "heavy_hitter_users": _q_heavy_users,
     }
 
 
@@ -2275,6 +2294,13 @@ FROM w WHERE dt IS NOT NULL GROUP BY 1, 2
             f" FROM events GROUP BY event_type"
             for q in QUANTILE_QS
         ),
+        "heavy_hitter_users": f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+HAVING COUNT(*) * {HEAVY_K} >
+       (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL)
+""",
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash
         # banding, the Jaeger/Prometheus fixture chain, the fake multimodal
