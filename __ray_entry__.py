@@ -1252,6 +1252,32 @@ def _q_heavy_users(sf_dir: str):
     return heavy_hitters(ev, "user_id", HEAVY_K)
 
 
+IV_WIDTH_US = 300_000_000  # each event covers [ts, ts + 5m)
+
+
+def _q_merged_intervals(sf_dir: str):
+    """Gaps-and-islands: merge each user's overlapping-or-touching
+    [ts, ts+5m) activity intervals into maximal islands (coverage
+    windows). Sequential state per key; keys co-located by ONE hash
+    exchange and processed vectorized (grouped cummax, no Python loop)."""
+    from contest_parsing_ray.stages.window import merge_intervals
+
+    ev = _events(sf_dir, columns=["ts", "user_id"])
+
+    def mk_iv(t: pa.Table) -> pa.Table:
+        s = t["event_time_us"]
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "user_id": t["user_id"],
+            "s": s,
+            "e": pc.add(s, IV_WIDTH_US),
+        })
+
+    iv = ev.map_batches(mk_iv, batch_format="pyarrow")
+    return merge_intervals(iv, "user_id", "s", "e")
+
+
 def _q_histogram(sf_dir: str):
     """Fixed-bin value distribution per event_type (per-batch bincount
     partials → tiny groupby merge; the exchange moves O(bins))."""
@@ -1523,6 +1549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_type": _q_quantiles_by_type,
         # exact heavy hitters: MG candidates + exact verify, O(k) exchange
         "heavy_hitter_users": _q_heavy_users,
+        # gaps-and-islands interval merge (coverage windows per user)
+        "merged_intervals_5m": _q_merged_intervals,
     }
 
 
@@ -2300,6 +2328,30 @@ FROM events WHERE user_id IS NOT NULL
 GROUP BY user_id
 HAVING COUNT(*) * {HEAVY_K} >
        (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL)
+""",
+        "merged_intervals_5m": f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {IV_WIDTH_US} AS e
+  FROM events
+), o AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+), g AS (
+  SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+              AS brk
+  FROM o
+), i AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM g
+)
+SELECT user_id, CAST(island AS BIGINT) AS island_id,
+       MIN(s) AS start_us, MAX(e) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM i GROUP BY 1, 2
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

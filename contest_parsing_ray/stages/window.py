@@ -518,3 +518,77 @@ def time_weighted_avg(
         num_partitions=num_partitions, batch_format="pandas",
         input_bytes=input_bytes,
     )
+
+
+def merge_intervals(
+    intervals: ray.data.Dataset,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Merge overlapping-or-touching intervals per key (gaps-and-islands):
+    one output row per maximal island — ``(key, island_id, start_us,
+    end_us, n_merged)``, island_id 1-based per key in start order.
+
+    Touching merges: an interval starting exactly at the running max end
+    joins the island (s <= prev_max), matching the SQL ``s > MAX(e) OVER
+    (... 1 PRECEDING)`` break rule. Null keys form their own group
+    (module-wide policy). Partitioning: one key's intervals fit one task
+    (hash co-location on ``key_col``) — island state is inherently
+    sequential per key, keys parallelize across partitions.
+
+    Reference analog: the trace-window grouping in Joiner.py, generalized
+    to arbitrary interval sets (session coverage, downtime windows).
+    """
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=df[key_col].dtype),
+                    "island_id": pd.Series([], dtype=np.int64),
+                    "start_us": pd.Series([], dtype=np.int64),
+                    "end_us": pd.Series([], dtype=np.int64),
+                    "n_merged": pd.Series([], dtype=np.int64),
+                }
+            )
+        codes, uniques = pd.factorize(
+            df[key_col], sort=False, use_na_sentinel=False
+        )
+        s = df[start_col].to_numpy().astype(np.int64)
+        e = df[end_col].to_numpy().astype(np.int64)
+        order = np.lexsort((e, s, codes))
+        cs, ss, es = codes[order], s[order], e[order]
+        # reset-aware running max end per key (C-level grouped cummax)
+        cummax = pd.Series(es).groupby(cs).cummax().to_numpy()
+        prev = pd.Series(cummax).groupby(cs).shift(1).to_numpy()
+        brk = np.isnan(prev) | (ss > prev)  # key's first row always breaks
+        starts_idx = np.flatnonzero(brk)
+        end_idx = np.append(starts_idx[1:], len(cs)) - 1
+        su = cs[starts_idx]
+        new_key = np.empty(len(su), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = su[1:] != su[:-1]
+        key_first = np.flatnonzero(new_key)
+        reps = np.diff(np.append(key_first, len(su)))
+        island_id = np.arange(len(su), dtype=np.int64) - np.repeat(
+            key_first, reps
+        ) + 1
+        return pd.DataFrame(
+            {
+                key_col: uniques[su],
+                "island_id": island_id,
+                "start_us": ss[starts_idx],
+                "end_us": cummax[end_idx].astype(np.int64),
+                "n_merged": np.diff(
+                    np.append(starts_idx, len(cs))
+                ).astype(np.int64),
+            }
+        )
+
+    cols = [key_col, start_col, end_col]
+    return hash_partitioned_map(
+        intervals.select_columns(cols), [key_col], merge,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

@@ -129,3 +129,85 @@ def test_time_weighted_avg_basic_and_edges():
     assert np.isnan(b["twa"]) and b["n_weighted"] == 1
     # null values dropped before pairing: "c" has nothing left
     assert got[got["k"] == "c"].empty
+
+
+def test_merge_intervals_islands():
+    from contest_parsing_ray.stages.window import merge_intervals
+
+    # key a: [0,10] [5,8] (contained) [10,20] (touching -> merges)
+    #        [25,30] new island; key b: single; null key: own group
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "b", None, None],
+            "s": [0, 5, 10, 25, 100, 7, 3],
+            "e": [10, 8, 20, 30, 110, 9, 5],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (
+        merge_intervals(ds, "k", "s", "e")
+        .to_pandas()
+        .sort_values(["k", "island_id"], na_position="last")
+        .reset_index(drop=True)
+    )
+    got = list(
+        zip(out["k"], out["island_id"], out["start_us"], out["end_us"],
+            out["n_merged"])
+    )
+    assert got[:3] == [("a", 1, 0, 20, 3), ("a", 2, 25, 30, 1),
+                       ("b", 1, 100, 110, 1)]
+    nulls = [g for g in got if not isinstance(g[0], str)]
+    assert len(nulls) == 2 and [n[1:] for n in nulls] == [
+        (1, 3, 5, 1), (2, 7, 9, 1)]
+
+
+def test_merge_intervals_matches_duckdb_gaps_islands():
+    import duckdb
+
+    from contest_parsing_ray.stages.window import merge_intervals
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice([f"k{i}" for i in range(7)], n),
+            "s": rng.integers(0, 5000, n).astype(np.int64),
+        }
+    )
+    df["e"] = df["s"] + rng.integers(1, 120, n).astype(np.int64)
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (
+        merge_intervals(ds, "k", "s", "e")
+        .to_pandas()
+        .sort_values(["k", "island_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("iv", df)
+    want = con.execute(
+        """
+WITH o AS (
+  SELECT k, s, e,
+         MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+), g AS (
+  SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+              AS brk
+  FROM o
+), i AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY k ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM g
+)
+SELECT k, CAST(island AS BIGINT) AS island_id,
+       MIN(s) AS start_us, MAX(e) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM i GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        out.astype({"island_id": np.int64}), want.astype(
+            {"island_id": np.int64}), check_dtype=False
+    )
