@@ -1166,6 +1166,25 @@ def _q_zscore(sf_dir: str):
     return _round_cols(out, ["cnt_mu", "cnt_sd", "cnt_z"])
 
 
+def _q_rolling_median(sf_dir: str):
+    """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
+    windows included) of the per-event_type hourly count series — the
+    robust-baseline companion of zscore_anomaly_1h."""
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+    from contest_parsing_ray.stages.window import rolling_quantile
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    return rolling_quantile(
+        r.select_columns(["event_type", "bucket_us", "cnt"]),
+        key_col="event_type", ts_col="bucket_us", value_col="cnt",
+        q=0.5, window=24, out_col="cnt_med",
+    )
+
+
 def _q_twa(sf_dir: str):
     """Time-weighted mean of value per (event_type, 1h floor bucket) —
     irregular sampling weighted by holding time, the timeseries-tier
@@ -1551,6 +1570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": _q_heavy_users,
         # gaps-and-islands interval merge (coverage windows per user)
         "merged_intervals_5m": _q_merged_intervals,
+        # robust rolling baseline: exact windowed median of the 1h series
+        "rolling_median_24h": _q_rolling_median,
     }
 
 
@@ -2352,6 +2373,18 @@ SELECT user_id, CAST(island AS BIGINT) AS island_id,
        MIN(s) AS start_us, MAX(e) AS end_us,
        CAST(COUNT(*) AS BIGINT) AS n_merged
 FROM i GROUP BY 1, 2
+""",
+        "rolling_median_24h": f"""
+WITH r AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_us, cnt,
+       CAST(quantile_disc(cnt, 0.5) OVER (
+         PARTITION BY event_type ORDER BY bucket_us
+         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS DOUBLE) AS cnt_med
+FROM r
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

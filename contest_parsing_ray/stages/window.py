@@ -592,3 +592,65 @@ def merge_intervals(
         intervals.select_columns(cols), [key_col], merge,
         num_partitions=num_partitions, batch_format="pandas",
     )
+
+
+def rolling_quantile(
+    series: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    q: float,
+    window: int,
+    out_col: str | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per key, ordered by ``ts_col``: EXACT discrete quantile of the
+    trailing ``window`` rows INCLUDING the current one (SQL frame ``ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW``), quantile_disc semantics
+    ``sorted[ceil(q*w)-1]`` where ``w`` counts the frame's non-null values
+    (partial head windows included, like the SQL window function).
+
+    Not pandas ``rolling().quantile(interpolation='lower')`` — that is
+    ``floor(q*(w-1))``, which diverges from quantile_disc whenever
+    ``frac(q*w) < q`` (e.g. q=0.9, w=9). Implemented as a per-key
+    ``sliding_window_view`` + row-sort: O(n * window log window) flat
+    numpy, no Python loop over rows. Same co-location + compact-series
+    contract as :func:`rolling_zscore`.
+    """
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    out_c = out_col or f"{value_col}_q{int(round(q * 100))}"
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col], kind="stable").reset_index(
+            drop=True
+        )
+        if len(df) == 0:
+            df[out_c] = pd.Series([], dtype=np.float64)
+            return df
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        codes, _ = pd.factorize(df[key_col], sort=False,
+                                use_na_sentinel=False)
+        x = df[value_col].to_numpy().astype(np.float64)
+        out = np.empty(len(x), dtype=np.float64)
+        for c in np.unique(codes):  # loop over KEYS (compact), not rows
+            m = codes == c
+            xv = x[m]
+            arr = np.concatenate([np.full(window - 1, np.nan), xv])
+            sw = sliding_window_view(arr, window)
+            srt = np.sort(sw, axis=1)  # NaN sorts last
+            w_eff = (~np.isnan(sw)).sum(axis=1)
+            idx = np.maximum(np.ceil(q * w_eff).astype(np.int64) - 1, 0)
+            vals = srt[np.arange(len(xv)), np.minimum(idx, window - 1)]
+            vals[w_eff == 0] = np.nan
+            out[m] = vals
+        df[out_c] = out
+        return df
+
+    return hash_partitioned_map(
+        series, [key_col], roll,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

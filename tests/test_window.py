@@ -211,3 +211,42 @@ FROM i GROUP BY 1, 2 ORDER BY 1, 2
         out.astype({"island_id": np.int64}), want.astype(
             {"island_id": np.int64}), check_dtype=False
     )
+
+
+def test_rolling_quantile_matches_duckdb_windowed_disc():
+    import duckdb
+
+    from contest_parsing_ray.stages.window import rolling_quantile
+
+    rng = np.random.default_rng(31)
+    n = 900
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "t": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 50, n).astype(np.float64),
+        }
+    )
+    # sprinkle nulls: window w counts only non-null values
+    df.loc[rng.integers(0, n, 25), "v"] = np.nan
+    ds = ray.data.from_pandas(df).repartition(5)
+    for q, w in ((0.5, 24), (0.9, 9), (0.25, 5), (1.0, 3)):
+        out = (
+            rolling_quantile(ds, "k", "t", "v", q=q, window=w, out_col="rq")
+            .to_pandas()
+            .sort_values(["k", "t"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("s", df)
+        want = con.execute(
+            f"""
+SELECT k, t, quantile_disc(v, {q}) OVER (
+  PARTITION BY k ORDER BY t
+  ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS rq
+FROM s ORDER BY k, t"""
+        ).df()
+        got = out["rq"].to_numpy()
+        exp = want["rq"].to_numpy()
+        both_nan = np.isnan(got) & np.isnan(exp)
+        assert (both_nan | (got == exp)).all(), (q, w)
