@@ -1166,6 +1166,16 @@ def _q_zscore(sf_dir: str):
     return _round_cols(out, ["cnt_mu", "cnt_sd", "cnt_z"])
 
 
+def _q_dup_ngrams(sf_dir: str):
+    """Per-doc duplicate 8-gram fraction over the RAW token arrays
+    (Gopher-style repetition quality signal, tokens payload): exact
+    distinct via in-batch lexsort of the actual gram columns — no hashing,
+    no exchange, one row per doc leaves each batch."""
+    from contest_parsing_ray.stages.tokens import dup_ngram_stats
+
+    return _round_cols(dup_ngram_stats(_seqs(sf_dir), n=8), ["dup_frac"])
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -1572,6 +1582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merged_intervals_5m": _q_merged_intervals,
         # robust rolling baseline: exact windowed median of the 1h series
         "rolling_median_24h": _q_rolling_median,
+        # tokens payload: per-doc duplicate 8-gram fraction (exact distinct)
+        "dup_ngram_frac": _q_dup_ngrams,
     }
 
 
@@ -2402,6 +2414,7 @@ FROM r
 # the driver's correctness scale; the sf0.001 pytest mirror treats them as
 # rows-only and tests/test_golden_oracles.py checks them at sf0.01).
 GOLDEN_ORACLE_KEYS = (
+    "dup_ngram_frac",
     "doc_fingerprints",
     "simhash_docs",
     "minhash_lsh_pairs",

@@ -183,3 +183,73 @@ def token_ngram_topk(
     )
     top = merged.sort(["cnt", "h"], descending=[True, False]).limit(k)
     return top.drop_columns(["h"])
+
+
+def dup_ngram_stats(
+    seqs: ray.data.Dataset,
+    n: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document duplicate n-gram fraction (Gopher-style repetition
+    signal over the RAW token ids): ``(doc_id, n_grams, n_distinct,
+    dup_frac = 1 - distinct/total)``, dup_frac null when the doc is
+    shorter than ``n`` tokens.
+
+    EXACT distinct — no hashing: the batch's grams are materialized as
+    ``n`` strided views of the flat zero-copy token buffer and lexsorted
+    per doc on their actual contents, so two distinct grams can never
+    collide. Embarrassingly parallel: one row per doc leaves each batch,
+    NO exchange at any point (contrast token_ngram_topk, whose corpus-wide
+    counts need one hash exchange).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def stats(b: pa.Table) -> pa.Table:
+        col = b[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        off_dt = np.int64 if pa.types.is_large_list(col.type) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+            col.offset : col.offset + len(col) + 1
+        ].astype(np.int64)
+        lengths = np.diff(offs)
+        n_win = np.maximum(lengths - (n - 1), 0)
+        total = int(n_win.sum())
+        n_distinct = np.zeros(len(col), dtype=np.int64)
+        if total:
+            # start index of every in-doc window (cross-boundary excluded)
+            base = np.repeat(offs[:-1][n_win > 0], n_win[n_win > 0])
+            run0 = np.repeat(np.cumsum(n_win) - n_win, n_win)
+            starts = base + (np.arange(total, dtype=np.int64) - run0)
+            docs = np.repeat(
+                np.arange(len(col), dtype=np.int64), n_win
+            )
+            cols = [flat[starts + i] for i in range(n)]
+            # lexsort: primary key = doc, then gram columns left-to-right
+            order = np.lexsort(tuple(reversed(cols)) + (docs,))
+            docs_s = docs[order]
+            new = np.ones(total, dtype=bool)
+            new[1:] = docs_s[1:] != docs_s[:-1]
+            for c in cols:
+                cs = c[order]
+                new[1:] |= cs[1:] != cs[:-1]
+            n_distinct = np.bincount(
+                docs_s[new], minlength=len(col)
+            ).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = 1.0 - n_distinct / n_win
+        return pa.table({
+            id_col: b[id_col],
+            "n_grams": pa.array(n_win.astype(np.int64)),
+            "n_distinct": pa.array(n_distinct),
+            "dup_frac": pa.array(
+                np.where(n_win > 0, frac, np.nan), from_pandas=True
+            ),
+        })
+
+    return seqs.select_columns([id_col, tokens_col]).map_batches(
+        stats, batch_format="pyarrow"
+    )

@@ -164,3 +164,71 @@ def test_null_key_guards():
             ray.data.from_pandas(df), "source", "ts_us", "value",
             lo=0.0, hi=10.0, split_us=1, n_bins=2,
         ).to_pandas()
+
+
+def test_dup_ngram_stats_exact_vs_duckdb_unnest():
+    import duckdb
+
+    from contest_parsing_ray.stages.tokens import dup_ngram_stats
+
+    rng = np.random.default_rng(17)
+    docs, toks = [], []
+    for i in range(80):
+        L = int(rng.integers(0, 40))
+        # tiny vocab so duplicate grams actually occur
+        toks.append(rng.integers(0, 4, L).astype(np.int32).tolist())
+        docs.append(f"d{i}")
+    docs.append("short")
+    toks.append([1, 2, 3])  # < n tokens: n_grams 0, dup_frac null
+    t = pa.table({
+        "doc_id": pa.array(docs),
+        "tokens": pa.array(toks, pa.large_list(pa.int32())),
+    })
+    n = 5
+    out = (
+        dup_ngram_stats(ray.data.from_arrow(t).repartition(4), n=n)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    con = duckdb.connect()
+    con.register("seqs", t)
+    want = con.execute(f"""
+WITH ix AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(1, len(tokens) - {n - 1})) AS i
+  FROM seqs
+), g AS (
+  SELECT doc_id, tokens[i:i+{n - 1}] AS gram FROM ix
+), s AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+  FROM g GROUP BY doc_id
+)
+SELECT q.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(s.n_distinct, 0) AS n_distinct,
+       1.0 - s.n_distinct / s.n_grams AS dup_frac
+FROM (SELECT DISTINCT doc_id FROM seqs) q LEFT JOIN s USING (doc_id)
+""").df().set_index("doc_id").sort_index()
+    assert (out["n_grams"] == want["n_grams"]).all()
+    assert (out["n_distinct"] == want["n_distinct"]).all()
+    both_nan = out["dup_frac"].isna() & want["dup_frac"].isna()
+    assert (both_nan | (out["dup_frac"] == want["dup_frac"])).all()
+
+
+def test_dup_ngram_stats_handcrafted():
+    from contest_parsing_ray.stages.tokens import dup_ngram_stats
+
+    t = pa.table({
+        "doc_id": pa.array(["rep", "uniq", "empty"]),
+        "tokens": pa.array(
+            [[1, 2, 1, 2, 1, 2], [1, 2, 3, 4, 5], []],
+            pa.large_list(pa.int32()),
+        ),
+    })
+    out = dup_ngram_stats(
+        ray.data.from_arrow(t), n=2).to_pandas().set_index("doc_id")
+    # rep: grams (1,2)(2,1)(1,2)(2,1)(1,2) -> 5 total, 2 distinct
+    assert out.loc["rep", "n_grams"] == 5 and out.loc["rep", "n_distinct"] == 2
+    assert out.loc["rep", "dup_frac"] == 1.0 - 2.0 / 5.0
+    assert out.loc["uniq", "dup_frac"] == 0.0
+    assert out.loc["empty", "n_grams"] == 0 and np.isnan(
+        out.loc["empty", "dup_frac"])

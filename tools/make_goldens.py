@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 GOLDEN_QUERIES = [
+    "dup_ngram_frac",
     "doc_fingerprints",
     "simhash_docs",
     "minhash_lsh_pairs",
