@@ -1176,6 +1176,30 @@ def _q_dup_ngrams(sf_dir: str):
     return _round_cols(dup_ngram_stats(_seqs(sf_dir), n=8), ["dup_frac"])
 
 
+def _q_corr_pairs(sf_dir: str):
+    """Which event types co-move: pairwise Pearson r between the per-type
+    1h count series. One bucket-hash exchange co-locates cross-sections;
+    each partition emits <= pairs sufficient-stat rows regardless of
+    bucket count; driver folds the closed form."""
+    from contest_parsing_ray.stages.corr import pairwise_corr
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    out = pairwise_corr(
+        r.select_columns(["event_type", "bucket_us", "cnt"]),
+        key_col="event_type", ts_col="bucket_us", value_col="cnt",
+    )
+    import pyarrow.compute as pc
+
+    return out.set_column(
+        out.schema.get_field_index("r"), "r", pc.round(out["r"], 6)
+    )
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -1584,6 +1608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median_24h": _q_rolling_median,
         # tokens payload: per-doc duplicate 8-gram fraction (exact distinct)
         "dup_ngram_frac": _q_dup_ngrams,
+        # cross-series co-movement: pairwise Pearson r of the 1h series
+        "series_corr_pairs": _q_corr_pairs,
     }
 
 
@@ -2397,6 +2423,19 @@ SELECT event_type, bucket_us, cnt,
          PARTITION BY event_type ORDER BY bucket_us
          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS DOUBLE) AS cnt_med
 FROM r
+""",
+        "series_corr_pairs": f"""
+WITH r AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS k1, b.event_type AS k2,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(corr(a.cnt, b.cnt), 6) AS r
+FROM r a JOIN r b ON a.bucket_us = b.bucket_us
+                 AND a.event_type < b.event_type
+GROUP BY 1, 2
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

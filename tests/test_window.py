@@ -250,3 +250,39 @@ FROM s ORDER BY k, t"""
         exp = want["rq"].to_numpy()
         both_nan = np.isnan(got) & np.isnan(exp)
         assert (both_nan | (got == exp)).all(), (q, w)
+
+
+def test_pairwise_corr_matches_duckdb():
+    import duckdb
+
+    from contest_parsing_ray.stages.corr import pairwise_corr
+
+    rng = np.random.default_rng(41)
+    buckets = np.arange(400, dtype=np.int64) * 3_600
+    rows = []
+    base = rng.normal(0, 1, len(buckets))
+    for k, beta in (("a", 1.0), ("b", -0.7), ("c", 0.0), ("const", None)):
+        for i, t in enumerate(buckets):
+            if rng.random() < 0.15:
+                continue  # missing buckets: inner-join semantics
+            if beta is None:
+                v = 5.0
+            else:
+                v = beta * base[i] + rng.normal(0, 0.3)
+            rows.append((k, int(t), float(v)))
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = pairwise_corr(ds, "k", "t", "v").to_pandas()
+    got = {(r.k1, r.k2): (r.n, None if pd.isna(r.r) else round(r.r, 6))
+           for r in out.itertuples()}
+    con = duckdb.connect()
+    con.register("s", df)
+    want = {}
+    for k1, k2, n, r in con.execute("""
+SELECT a.k AS k1, b.k AS k2, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(corr(a.v, b.v), 6) AS r
+FROM s a JOIN s b ON a.t = b.t AND a.k < b.k
+GROUP BY 1, 2""").fetchall():
+        want[(k1, k2)] = (n, r)
+    assert got == want
+    assert got[("a", "const")][1] is None  # zero variance -> NULL
