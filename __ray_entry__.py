@@ -1200,6 +1200,29 @@ def _q_corr_pairs(sf_dir: str):
     )
 
 
+CUSUM_K_SD, CUSUM_H_SD = 0.5, 5.0
+
+
+def _q_cusum(sf_dir: str):
+    """Two-sided CUSUM changepoint statistic (Page 1954) over the per-type
+    1h count series; the clamped recursion runs as grouped cumsum+cummin
+    (reflection identity), no sequential loop."""
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+    from contest_parsing_ray.stages.window import cusum
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    out = cusum(
+        r.select_columns(["event_type", "bucket_us", "cnt"]),
+        key_col="event_type", ts_col="bucket_us", value_col="cnt",
+        k_sd=CUSUM_K_SD, h_sd=CUSUM_H_SD,
+    )
+    return _round_cols(out, ["cnt_cusum_pos", "cnt_cusum_neg"])
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -1610,6 +1633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_frac": _q_dup_ngrams,
         # cross-series co-movement: pairwise Pearson r of the 1h series
         "series_corr_pairs": _q_corr_pairs,
+        # changepoint detection: two-sided CUSUM on the 1h series
+        "cusum_changepoints_1h": _q_cusum,
     }
 
 
@@ -2436,6 +2461,45 @@ SELECT a.event_type AS k1, b.event_type AS k2,
 FROM r a JOIN r b ON a.bucket_us = b.bucket_us
                  AND a.event_type < b.event_type
 GROUP BY 1, 2
+""",
+        "cusum_changepoints_1h": f"""
+WITH RECURSIVE r AS (
+  SELECT event_type, bucket_us, cnt,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY bucket_us) AS BIGINT) AS rn
+  FROM (
+    SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+  )
+), st AS (
+  SELECT event_type, AVG(CAST(cnt AS DOUBLE)) AS mu,
+         STDDEV_SAMP(CAST(cnt AS DOUBLE)) AS sd
+  FROM r GROUP BY 1
+), rj AS (
+  SELECT r.*, st.mu, st.sd FROM r JOIN st USING (event_type)
+), e AS (
+  SELECT event_type, bucket_us, cnt, rn, mu, sd,
+         CASE WHEN sd IS NULL THEN NULL
+              ELSE GREATEST(0.0, (cnt - mu) - {CUSUM_K_SD} * sd) END AS sp,
+         CASE WHEN sd IS NULL THEN NULL
+              ELSE GREATEST(0.0, (mu - cnt) - {CUSUM_K_SD} * sd) END AS sm
+  FROM rj WHERE rn = 1
+  UNION ALL
+  SELECT rj.event_type, rj.bucket_us, rj.cnt, rj.rn, rj.mu, rj.sd,
+         CASE WHEN rj.sd IS NULL THEN NULL
+              ELSE GREATEST(0.0, e.sp + (rj.cnt - rj.mu)
+                                 - {CUSUM_K_SD} * rj.sd) END,
+         CASE WHEN rj.sd IS NULL THEN NULL
+              ELSE GREATEST(0.0, e.sm + (rj.mu - rj.cnt)
+                                 - {CUSUM_K_SD} * rj.sd) END
+  FROM rj JOIN e ON rj.event_type = e.event_type AND rj.rn = e.rn + 1
+)
+SELECT event_type, bucket_us, cnt,
+       ROUND(sp, 6) AS cnt_cusum_pos, ROUND(sm, 6) AS cnt_cusum_neg,
+       COALESCE(sp > {CUSUM_H_SD} * sd OR sm > {CUSUM_H_SD} * sd, FALSE)
+         AS is_change
+FROM e
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

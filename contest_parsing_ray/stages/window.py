@@ -654,3 +654,65 @@ def rolling_quantile(
         series, [key_col], roll,
         num_partitions=num_partitions, batch_format="pandas",
     )
+
+
+def cusum(
+    series: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    k_sd: float = 0.5,
+    h_sd: float = 5.0,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Two-sided CUSUM changepoint statistic per key over an ordered
+    series (Page 1954): with per-key baseline ``mu``/``sd`` (sample std
+    over the whole series) and slack ``kappa = k_sd * sd``,
+
+        s+_t = max(0, s+_{t-1} + (x_t - mu) - kappa)
+        s-_t = max(0, s-_{t-1} + (mu - x_t) - kappa)
+
+    flagged ``is_change`` when either side exceeds ``h_sd * sd``. Keys
+    with undefined sd (fewer than 2 points) yield null statistics and
+    False flags.
+
+    The clamped recursion is computed WITHOUT a sequential loop via the
+    reflection identity ``s_t = c_t - min(0, min_{j<=t} c_j)`` (c = prefix
+    sum of the drift terms) — grouped cumsum + cummin, all C-level. One
+    key-hash exchange co-locates each key, which also makes the per-key
+    baseline local (no second pass); same compact-series contract as
+    rolling_zscore.
+    """
+    sp_c, sm_c = f"{value_col}_cusum_pos", f"{value_col}_cusum_neg"
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col], kind="stable").reset_index(
+            drop=True
+        )
+        if len(df) == 0:
+            df[sp_c] = pd.Series([], dtype=np.float64)
+            df[sm_c] = pd.Series([], dtype=np.float64)
+            df["is_change"] = pd.Series([], dtype=bool)
+            return df
+        g = df.groupby(key_col, sort=False, dropna=False)
+        x = df[value_col].astype(np.float64)
+        mu = g[value_col].transform("mean").astype(np.float64)
+        sd = g[value_col].transform(lambda s: s.std(ddof=1))
+        kappa = k_sd * sd
+        for drift, col in (((x - mu) - kappa, sp_c),
+                           ((mu - x) - kappa, sm_c)):
+            d = pd.DataFrame({"k": df[key_col], "d": drift})
+            gd = d.groupby("k", sort=False, dropna=False)["d"]
+            c = gd.cumsum()
+            run_min = pd.DataFrame({"k": df[key_col], "c": c}).groupby(
+                "k", sort=False, dropna=False)["c"].cummin()
+            df[col] = c - np.minimum(run_min, 0.0)
+        h = h_sd * sd
+        df["is_change"] = ((df[sp_c] > h) | (df[sm_c] > h)).fillna(
+            False).astype(bool)
+        return df
+
+    return hash_partitioned_map(
+        series, [key_col], score,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

@@ -286,3 +286,42 @@ GROUP BY 1, 2""").fetchall():
         want[(k1, k2)] = (n, r)
     assert got == want
     assert got[("a", "const")][1] is None  # zero variance -> NULL
+
+
+def test_cusum_matches_sequential_reference():
+    from contest_parsing_ray.stages.window import cusum
+
+    rng = np.random.default_rng(51)
+    rows = []
+    for k in ("stable", "shift"):
+        x = rng.normal(10, 1, 300)
+        if k == "shift":
+            x[200:] += 4.0  # level shift -> must alarm after 200
+        for i, v in enumerate(x):
+            rows.append((k, i, float(v)))
+    rows.append(("lone", 0, 5.0))  # sd undefined -> null stats, False flag
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    out = (
+        cusum(ray.data.from_pandas(df).repartition(4), "k", "t", "v")
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    # sequential reference loop per key
+    for k in ("stable", "shift"):
+        sub = df[df["k"] == k].sort_values("t")
+        x = sub["v"].to_numpy()
+        mu, sd = x.mean(), x.std(ddof=1)
+        kap = 0.5 * sd
+        sp = sm = 0.0
+        eng = out[out["k"] == k]
+        for i in range(len(x)):
+            sp = max(0.0, sp + (x[i] - mu) - kap)
+            sm = max(0.0, sm + (mu - x[i]) - kap)
+            assert abs(eng["v_cusum_pos"].iloc[i] - sp) < 1e-9
+            assert abs(eng["v_cusum_neg"].iloc[i] - sm) < 1e-9
+    shift = out[out["k"] == "shift"]
+    assert shift["is_change"].iloc[220:].all()
+    # a stable series may brush the threshold by chance; it must not be
+    # persistently alarmed the way the shifted series is
+    assert out[out["k"] == "stable"]["is_change"].mean() < 0.05
+    lone = out[out["k"] == "lone"]
+    assert lone["v_cusum_pos"].isna().all() and not lone["is_change"].any()
