@@ -1002,6 +1002,38 @@ def _q_asof(sf_dir: str):
     return joined.map_batches(rename, batch_format="pandas")
 
 
+def _q_asof_forward(sf_dir: str):
+    """Forward as-of join: each event picks the EARLIEST 1h rollup point at
+    or after its timestamp (DuckDB ASOF ON l.ts <= r.ts) — the lookahead
+    companion of asof_join_rollup."""
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+    from contest_parsing_ray.stages.window import asof_join
+
+    ev = _events(sf_dir, columns=["ts", "event_id", "event_type"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="event_id", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    joined = asof_join(
+        ev.select_columns(["event_id", "event_type", "event_time_us"]),
+        r.select_columns(["event_type", "bucket_us", "cnt"]),
+        key_col="event_type",
+        left_ts_col="event_time_us",
+        right_ts_col="bucket_us",
+        right_value_cols=["cnt"],
+        direction="forward",
+    )
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"bucket_us": "asof_bucket_us", "cnt": "asof_cnt"})
+        df["event_id"] = df["event_id"].astype(np.int64)
+        df["asof_bucket_us"] = df["asof_bucket_us"].astype(np.float64)
+        df["asof_cnt"] = df["asof_cnt"].astype(np.float64)
+        return df[["event_id", "event_type", "asof_bucket_us", "asof_cnt"]]
+
+    return joined.map_batches(rename, batch_format="pandas")
+
+
 def _q_trace_one_row(sf_dir: str):
     """A3 exploder tail: one wide row per user (trace analog) with per-
     event_type (service analog) aggregates — mean/min/max, span count,
@@ -1581,6 +1613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_end_to_end": _q_corpus_end_to_end,
         # time-series operators Ray Data lacks natively
         "asof_join_rollup": _q_asof,
+        "asof_join_forward": _q_asof_forward,
         "sliding_window_3h": _q_sliding,
         # A3 exploder tail: mode + list-join + per-service prefix pivot
         "trace_one_row": _q_trace_one_row,
@@ -2112,6 +2145,18 @@ SELECT e.event_id, e.event_type,
        CAST(r.cnt AS DOUBLE) AS asof_cnt
 FROM events e ASOF LEFT JOIN r
   ON e.event_type = r.event_type AND epoch_us(e.ts) >= r.bucket_us
+""",
+        "asof_join_forward": f"""
+WITH r AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type,
+       CAST(r.bucket_us AS DOUBLE) AS asof_bucket_us,
+       CAST(r.cnt AS DOUBLE) AS asof_cnt
+FROM events e ASOF LEFT JOIN r
+  ON e.event_type = r.event_type AND epoch_us(e.ts) <= r.bucket_us
 """,
         "sliding_window_3h": f"""
 WITH r AS (

@@ -27,13 +27,19 @@ def asof_join(
     right_ts_col: str,
     right_value_cols: list[str],
     num_partitions: int | None = None,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
-    """For every left row: attach the latest right row of the same key with
-    right_ts <= left_ts (backward as-of; ``pd.merge_asof`` semantics).
+    """For every left row: attach the matching right row of the same key —
+    ``backward`` (latest right_ts <= left_ts, the default), ``forward``
+    (earliest right_ts >= left_ts; DuckDB ``ASOF JOIN ON l.ts <= r.ts``),
+    or ``nearest`` (smallest |right_ts - left_ts|, ties to the earlier row
+    — pd.merge_asof semantics, no SQL analog).
 
     Both sides are tagged, unioned, co-located by key hash, and merged
     per-partition with ``pd.merge_asof`` per key — one shuffle total.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     l_schema = left.schema()
     r_schema = right.schema()
     lcols = l_schema.names
@@ -78,7 +84,7 @@ def asof_join(
             left_on=left_ts_col,
             right_on=right_ts_col,
             by=key_col,
-            direction="backward",
+            direction=direction,
         )
         return out
 

@@ -325,3 +325,38 @@ def test_cusum_matches_sequential_reference():
     assert out[out["k"] == "stable"]["is_change"].mean() < 0.05
     lone = out[out["k"] == "lone"]
     assert lone["v_cusum_pos"].isna().all() and not lone["is_change"].any()
+
+
+def test_asof_join_forward_and_nearest():
+    left = pd.DataFrame(
+        {"id": [1, 2, 3, 4], "k": ["a", "a", "b", "b"],
+         "ts": [100, 250, 50, 70]}
+    )
+    right = pd.DataFrame(
+        {"k": ["a", "a", "b"], "rts": [90, 200, 60], "v": [7.0, 8.0, 9.0]}
+    )
+    for direction in ("forward", "nearest"):
+        got = (
+            asof_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                key_col="k", left_ts_col="ts", right_ts_col="rts",
+                right_value_cols=["v"], num_partitions=4,
+                direction=direction,
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("rts"),
+            left_on="ts", right_on="rts", by="k", direction=direction,
+        ).sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["id", "k", "ts", "rts", "v"]], want, check_dtype=False
+        )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            key_col="k", left_ts_col="ts", right_ts_col="rts",
+            right_value_cols=["v"], direction="sideways",
+        )
