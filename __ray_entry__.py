@@ -1034,6 +1034,28 @@ def _q_asof_forward(sf_dir: str):
     return joined.map_batches(rename, batch_format="pandas")
 
 
+def _q_customers_no_urgent(sf_dir: str):
+    """Broadcast ANTI-join (SQL NOT EXISTS): customers with no URGENT
+    order. The urgent-custkey set is deduped per batch, shipped once via
+    ray.put, and the customer stream filters in place — zero large-side
+    shuffle (the anti twin of hot_user_events)."""
+    import ray.data
+
+    from contest_parsing_ray.stages.join import broadcast_semi_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    urgent = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    ).select_columns(["o_custkey"]).rename_columns(["c_custkey"])
+    return broadcast_semi_join(cust, urgent, on="c_custkey", anti=True)
+
+
 def _q_trace_one_row(sf_dir: str):
     """A3 exploder tail: one wide row per user (trace analog) with per-
     event_type (service analog) aggregates — mean/min/max, span count,
@@ -1614,6 +1636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-series operators Ray Data lacks natively
         "asof_join_rollup": _q_asof,
         "asof_join_forward": _q_asof_forward,
+        # broadcast anti-join (NOT EXISTS) on a second table
+        "customers_no_urgent_orders": _q_customers_no_urgent,
         "sliding_window_3h": _q_sliding,
         # A3 exploder tail: mode + list-join + per-service prefix pivot
         "trace_one_row": _q_trace_one_row,
@@ -2545,6 +2569,14 @@ SELECT event_type, bucket_us, cnt,
        COALESCE(sp > {CUSUM_H_SD} * sd OR sm > {CUSUM_H_SD} * sd, FALSE)
          AS is_change
 FROM e
+""",
+        "customers_no_urgent_orders": """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash
