@@ -73,6 +73,16 @@ BENCH_QUERIES = [
     "sessionize_30m",
     "value_histogram_20",
     "hot_user_events",
+    # round-3 additions (this session)
+    "exact_quantiles_value",
+    "quantiles_by_type",
+    "heavy_hitter_users",
+    "merged_intervals_5m",
+    "rolling_median_24h",
+    "dup_ngram_frac",
+    "series_corr_pairs",
+    "cusum_changepoints_1h",
+    "customers_no_urgent_orders",
 ]
 
 
