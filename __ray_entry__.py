@@ -1277,6 +1277,31 @@ def _q_cusum(sf_dir: str):
     return _round_cols(out, ["cnt_cusum_pos", "cnt_cusum_neg"])
 
 
+def _q_trend_slope(sf_dir: str):
+    """Per-type OLS trend (counts/hour drift) of the 1h count series;
+    regr_slope semantics, x shifted to each key's first bucket and scaled
+    us->hours so the moments stay in float range."""
+    from contest_parsing_ray.stages.corr import trend_slope
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    out = trend_slope(
+        r.select_columns(["event_type", "bucket_us", "cnt"]),
+        key_col="event_type", ts_col="bucket_us", value_col="cnt",
+    )
+    import pyarrow.compute as pc
+
+    for c in ("slope", "intercept"):
+        out = out.set_column(
+            out.schema.get_field_index(c), c, pc.round(out[c], 6)
+        )
+    return out
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -1692,6 +1717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "series_corr_pairs": _q_corr_pairs,
         # changepoint detection: two-sided CUSUM on the 1h series
         "cusum_changepoints_1h": _q_cusum,
+        # per-key OLS trend of the 1h series (regr_slope semantics)
+        "trend_slope_1h": _q_trend_slope,
     }
 
 
@@ -2577,6 +2604,22 @@ WHERE NOT EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
 )
+""",
+        "trend_slope_1h": f"""
+WITH r AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2
+), x AS (
+  SELECT event_type, cnt,
+         (bucket_us - MIN(bucket_us) OVER (PARTITION BY event_type))
+           / 3600000000.0 AS xh
+  FROM r
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(regr_slope(cnt, xh), 6) AS slope,
+       ROUND(regr_intercept(cnt, xh), 6) AS intercept
+FROM x GROUP BY event_type
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

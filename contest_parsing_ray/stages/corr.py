@@ -104,3 +104,75 @@ def pairwise_corr(
         "n": pa.array(out_n, pa.int64()),
         "r": pa.array(out_r, pa.float64()),
     })
+
+
+def trend_slope(
+    series: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    x_scale: float = 3_600_000_000.0,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Per-key OLS trend of value over time: ``(key, n, slope,
+    intercept)`` — SQL ``regr_slope/regr_intercept(y, x)`` semantics
+    (rows with a null on either side dropped; n < 2 or zero x-variance →
+    NULL slope).
+
+    x is ``(ts - per-key min ts) / x_scale`` (default µs→hours): raw-µs
+    regressors put x² near 1e30 where float64 sufficient stats lose the
+    answer to cancellation, and a per-µs slope rounds to 0 at 6 decimals.
+    The shift does not change the slope and keeps every moment well
+    scaled; the intercept is reported at the key's own first bucket
+    (x = 0), matching the oracle that applies the same shift.
+
+    ONE key-hash exchange co-locates each key; the whole fit is then local
+    (centered closed form, numerically stable) and one tiny row per key
+    returns to the driver. Same compact-series contract as pairwise_corr.
+    """
+
+    def fit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[key_col].notna() & df[value_col].notna()
+                & df[ts_col].notna()]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "key": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "slope": pd.Series([], dtype=np.float64),
+                "intercept": pd.Series([], dtype=np.float64),
+            })
+        rows = []
+        for k, sub in df.groupby(key_col, sort=False):
+            x = (sub[ts_col].to_numpy(np.int64)
+                 - int(sub[ts_col].min())) / x_scale
+            y = sub[value_col].to_numpy(np.float64)
+            n = len(x)
+            xm = x - x.mean()
+            sxx = float((xm * xm).sum())
+            if n < 2 or sxx == 0.0:
+                rows.append((str(k), n, None, None))
+                continue
+            slope = float((xm * (y - y.mean())).sum()) / sxx
+            rows.append((str(k), n, slope, float(y.mean() - slope * x.mean())))
+        return pd.DataFrame(rows, columns=["key", "n", "slope", "intercept"])
+
+    parts = hash_partitioned_map(
+        series.select_columns([key_col, ts_col, value_col]), [key_col],
+        fit, num_partitions=num_partitions, batch_format="pandas",
+    )
+    out = []
+    for rb in parts.iter_batches(batch_format="pandas"):
+        out.append(rb)
+    res = (pd.concat(out, ignore_index=True) if out
+           else pd.DataFrame(columns=["key", "n", "slope", "intercept"]))
+    res = res.sort_values("key").reset_index(drop=True)
+    return pa.table({
+        key_col: pa.array(res["key"].tolist(), pa.string()),
+        "n": pa.array(res["n"].astype(np.int64).tolist(), pa.int64()),
+        "slope": pa.array(
+            [None if pd.isna(v) else float(v) for v in res["slope"]],
+            pa.float64()),
+        "intercept": pa.array(
+            [None if pd.isna(v) else float(v) for v in res["intercept"]],
+            pa.float64()),
+    })

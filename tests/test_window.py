@@ -360,3 +360,46 @@ def test_asof_join_forward_and_nearest():
             key_col="k", left_ts_col="ts", right_ts_col="rts",
             right_value_cols=["v"], direction="sideways",
         )
+
+
+def test_trend_slope_matches_duckdb_regr():
+    import duckdb
+
+    from contest_parsing_ray.stages.corr import trend_slope
+
+    rng = np.random.default_rng(61)
+    rows = []
+    base_us = 1_650_000_000_000_000
+    for k, slope_h in (("up", 2.5), ("down", -1.0), ("flat", 0.0)):
+        for i in range(300):
+            ts = base_us + i * 3_600_000_000
+            v = 100 + slope_h * i + rng.normal(0, 3)
+            rows.append((k, ts, float(v)))
+    rows.append(("lone", base_us, 1.0))          # n=1 -> NULL slope
+    rows.append(("k0", base_us, 5.0))            # zero x-variance (dup ts)
+    rows.append(("k0", base_us, 9.0))
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    out = trend_slope(
+        ray.data.from_pandas(df).repartition(5), "k", "t", "v"
+    ).to_pandas().set_index("k")
+    con = duckdb.connect()
+    con.register("s", df)
+    want = con.execute("""
+WITH x AS (
+  SELECT k, v,
+         (t - MIN(t) OVER (PARTITION BY k)) / 3600000000.0 AS xh
+  FROM s
+)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(regr_slope(v, xh), 6) AS slope,
+       ROUND(regr_intercept(v, xh), 6) AS intercept
+FROM x GROUP BY k""").df().set_index("k")
+    for k in ("up", "down", "flat", "lone", "k0"):
+        assert out.loc[k, "n"] == want.loc[k, "n"]
+        for c in ("slope", "intercept"):
+            g, w = out.loc[k, c], want.loc[k, c]
+            if pd.isna(w):
+                assert pd.isna(g), (k, c)
+            else:
+                assert abs(round(g, 6) - w) <= 1e-6, (k, c, g, w)
+    assert abs(out.loc["up", "slope"] - 2.5) < 0.1
