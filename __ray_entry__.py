@@ -1302,6 +1302,26 @@ def _q_trend_slope(sf_dir: str):
     return out
 
 
+def _q_seasonal(sf_dir: str):
+    """Classical additive seasonal decomposition of the per-type 1h count
+    series: centered 24-row MA trend + hour-of-day seasonal index +
+    remainder (value = trend + seasonal + remainder)."""
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+    from contest_parsing_ray.stages.window import seasonal_decompose
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    out = seasonal_decompose(
+        r.select_columns(["event_type", "bucket_us", "cnt"]),
+        key_col="event_type", ts_col="bucket_us", value_col="cnt",
+        period=24, width_us=W1H,
+    )
+    return _round_cols(out, ["trend", "seasonal", "remainder"])
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -1719,6 +1739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_changepoints_1h": _q_cusum,
         # per-key OLS trend of the 1h series (regr_slope semantics)
         "trend_slope_1h": _q_trend_slope,
+        # classical additive seasonal decomposition (24h cycle)
+        "seasonal_decompose_1h": _q_seasonal,
     }
 
 
@@ -2620,6 +2642,29 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(regr_slope(cnt, xh), 6) AS slope,
        ROUND(regr_intercept(cnt, xh), 6) AS intercept
 FROM x GROUP BY event_type
+""",
+        "seasonal_decompose_1h": f"""
+WITH r AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, bucket_us, cnt,
+         CASE WHEN COUNT(*) OVER win = 24
+              THEN AVG(CAST(cnt AS DOUBLE)) OVER win END AS trend
+  FROM r
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_us
+                 ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+), p AS (
+  SELECT *, (bucket_us // {W1H}) % 24 AS phase FROM w
+), m AS (
+  SELECT event_type, phase, AVG(cnt - trend) AS seasonal
+  FROM p WHERE trend IS NOT NULL GROUP BY 1, 2
+)
+SELECT p.event_type, p.bucket_us, p.cnt, ROUND(p.trend, 6) AS trend,
+       ROUND(m.seasonal, 6) AS seasonal,
+       ROUND(p.cnt - p.trend - m.seasonal, 6) AS remainder
+FROM p LEFT JOIN m USING (event_type, phase)
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

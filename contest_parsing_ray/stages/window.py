@@ -722,3 +722,82 @@ def cusum(
         series, [key_col], score,
         num_partitions=num_partitions, batch_format="pandas",
     )
+
+
+def seasonal_decompose(
+    series: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    width_us: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Classical additive seasonal decomposition per key over a rollup
+    series: ``value = trend + seasonal + remainder``.
+
+    - ``trend``: centered ``period``-row moving average (frame
+      ``period//2 - 1 PRECEDING .. period//2 FOLLOWING`` for even periods,
+      symmetric for odd), defined only where the frame holds a full
+      ``period`` rows — row-frame semantics, identical to the SQL window.
+    - ``seasonal``: per (key, phase) mean of the detrended values, phase =
+      ``(ts // width_us) % period`` (hour-of-day for a 1h/24 series);
+      null where the phase never has a defined trend.
+    - ``remainder``: value - trend - seasonal.
+
+    One key-hash exchange; the trend is a cumsum difference per key and
+    the seasonal index a grouped mean — all C-level, loop only over
+    compact keys. The phase join-back is a local merge, not a shuffle.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    before = (period - 1) // 2 if period % 2 else period // 2 - 1
+    after = period - 1 - before
+
+    def decomp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col], kind="stable").reset_index(
+            drop=True
+        )
+        n = len(df)
+        trend = np.full(n, np.nan)
+        if n:
+            codes, _ = pd.factorize(df[key_col], sort=False,
+                                    use_na_sentinel=False)
+            x = df[value_col].to_numpy().astype(np.float64)
+            for c in np.unique(codes):
+                idx = np.flatnonzero(codes == c)
+                xv = x[idx]
+                m = len(xv)
+                if m < period:
+                    continue
+                csum = np.concatenate([[0.0], np.cumsum(xv)])
+                # window [i-before, i+after] valid for before<=i<m-after
+                i0, i1 = before, m - after
+                trend[idx[i0:i1]] = (
+                    csum[i0 + after + 1 : i1 + after + 1]
+                    - csum[i0 - before : i1 - before]
+                ) / period
+        df["trend"] = trend
+        phase = (
+            df[ts_col].to_numpy().astype(np.int64) // width_us
+        ) % period
+        df["_phase"] = phase
+        detr = df[value_col].astype(np.float64) - df["trend"]
+        df["_detr"] = detr
+        seas = (
+            df[df["trend"].notna()]
+            .groupby([key_col, "_phase"], sort=False, dropna=False)["_detr"]
+            .mean()
+            .rename("seasonal")
+        )
+        df = df.merge(seas, how="left",
+                      left_on=[key_col, "_phase"], right_index=True)
+        df["remainder"] = (
+            df[value_col].astype(np.float64) - df["trend"] - df["seasonal"]
+        )
+        return df.drop(columns=["_phase", "_detr"])
+
+    return hash_partitioned_map(
+        series, [key_col], decomp,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

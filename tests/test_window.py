@@ -403,3 +403,59 @@ FROM x GROUP BY k""").df().set_index("k")
             else:
                 assert abs(round(g, 6) - w) <= 1e-6, (k, c, g, w)
     assert abs(out.loc["up", "slope"] - 2.5) < 0.1
+
+
+def test_seasonal_decompose_matches_duckdb():
+    import duckdb
+
+    from contest_parsing_ray.stages.window import seasonal_decompose
+
+    rng = np.random.default_rng(71)
+    W = 3_600_000_000
+    period = 24
+    rows = []
+    for k in ("a", "b"):
+        phase_amp = 5.0 if k == "a" else 0.0
+        buckets = sorted(rng.choice(np.arange(500), 420, replace=False))
+        for i in buckets:  # gaps: row-frame semantics must still match SQL
+            v = 50 + 0.05 * i + phase_amp * np.sin(2 * np.pi * (i % 24) / 24)
+            rows.append((k, int(i) * W, float(v + rng.normal(0, 0.5))))
+    rows.append(("tiny", 0, 1.0))  # shorter than period: all-null trend
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    out = (
+        seasonal_decompose(
+            ray.data.from_pandas(df).repartition(5), "k", "t", "v",
+            period=period, width_us=W,
+        )
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("s", df)
+    want = con.execute(f"""
+WITH w AS (
+  SELECT k, t, v,
+         CASE WHEN COUNT(*) OVER win = {period}
+              THEN AVG(v) OVER win END AS trend
+  FROM s
+  WINDOW win AS (PARTITION BY k ORDER BY t
+                 ROWS BETWEEN {period // 2 - 1} PRECEDING
+                          AND {period // 2} FOLLOWING)
+), p AS (
+  SELECT *, (t // {W}) % {period} AS phase FROM w
+), m AS (
+  SELECT k, phase, AVG(v - trend) AS seasonal
+  FROM p WHERE trend IS NOT NULL GROUP BY 1, 2
+)
+SELECT p.k, p.t, p.v, p.trend, m.seasonal,
+       p.v - p.trend - m.seasonal AS remainder
+FROM p LEFT JOIN m USING (k, phase)
+ORDER BY k, t""").df()
+    for c in ("trend", "seasonal", "remainder"):
+        g = out[c].to_numpy()
+        w = want[c].to_numpy()
+        both_nan = np.isnan(g) & np.isnan(w)
+        assert (both_nan | (np.abs(g - w) < 1e-9)).all(), c
+    a = out[out["k"] == "a"]
+    # the sinusoidal key's seasonal index must actually capture the cycle
+    assert a["seasonal"].abs().max() > 3.0
+    assert np.isnan(out[out["k"] == "tiny"]["trend"]).all()
