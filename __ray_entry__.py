@@ -1322,6 +1322,24 @@ def _q_seasonal(sf_dir: str):
     return _round_cols(out, ["trend", "seasonal", "remainder"])
 
 
+def _q_winsorize(sf_dir: str):
+    """Outlier-robust clipping of events.value to each event_type's OWN
+    exact [p05, p95] quantile_disc bounds: bounds from the shared-pass
+    refinement engine, broadcast once, clip is a stateless vectorized map
+    — the events stream never shuffles."""
+    import ray.data
+
+    from contest_parsing_ray.stages.quantiles import winsorize_by_key
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    return winsorize_by_key(
+        ev, "event_type", "value", 0.05, 0.95, max_candidates=2048
+    )
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -1741,6 +1759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_slope_1h": _q_trend_slope,
         # classical additive seasonal decomposition (24h cycle)
         "seasonal_decompose_1h": _q_seasonal,
+        # outlier-robust clip at per-key exact quantile bounds
+        "winsorize_values_p05_p95": _q_winsorize,
     }
 
 
@@ -2665,6 +2685,17 @@ SELECT p.event_type, p.bucket_us, p.cnt, ROUND(p.trend, 6) AS trend,
        ROUND(m.seasonal, 6) AS seasonal,
        ROUND(p.cnt - p.trend - m.seasonal, 6) AS remainder
 FROM p LEFT JOIN m USING (event_type, phase)
+""",
+        "winsorize_values_p05_p95": """
+WITH b AS (
+  SELECT event_type, quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value IS NULL THEN NULL
+            ELSE LEAST(GREATEST(e.value, b.lo), b.hi) END AS value_wins
+FROM events e JOIN b USING (event_type)
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

@@ -517,3 +517,69 @@ def _collect_exact_keyed(ds, value_col, kid_array, intervals, resolved,
                     f"interval (got {len(arr)} values, below={iv['below']})"
                 )
             resolved[(iv["kid"], q)] = float(np.partition(arr, j)[j])
+
+
+def winsorize_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    q_lo: float,
+    q_hi: float,
+    out_col: str | None = None,
+    max_candidates: int = 4_000_000,
+    batch_size: int = 262_144,
+) -> ray.data.Dataset:
+    """Outlier-robust clipping: every value clamped to its OWN key's exact
+    [q_lo, q_hi] quantile_disc bounds (null values stay null; keys whose
+    bounds are undefined — all-null groups — pass values through).
+
+    Composition showcase: the per-key bounds come from
+    :func:`exact_quantiles_by_key` (a few counting passes, no sort), are
+    broadcast once via ``ray.put``, and the clip itself is a stateless
+    zero-copy ``pyarrow.compute`` map — the large side never shuffles.
+    """
+    if not (0.0 < q_lo <= q_hi <= 1.0):
+        raise ValueError(f"need 0 < q_lo <= q_hi <= 1, got {q_lo}, {q_hi}")
+    out_c = out_col or f"{value_col}_wins"
+
+    qt = exact_quantiles_by_key(
+        ds, key_col, value_col, sorted({q_lo, q_hi}),
+        max_candidates=max_candidates, batch_size=batch_size,
+    )
+    lo_of: dict[object, float] = {}
+    hi_of: dict[object, float] = {}
+    for k, q, v in zip(qt[key_col].to_pylist(), qt["q"].to_pylist(),
+                       qt["value"].to_pylist()):
+        if v is None:
+            continue
+        if q == q_lo:
+            lo_of[k] = v
+        if q == q_hi:
+            hi_of[k] = v
+
+    # dense bound arrays indexed by key position; unseen/null-bounded keys
+    # fall through to the +-inf pass-through slot at the end
+    bkeys = sorted(set(lo_of) | set(hi_of), key=repr)
+    lo_arr = np.array([lo_of.get(k, -np.inf) for k in bkeys] + [-np.inf])
+    hi_arr = np.array([hi_of.get(k, np.inf) for k in bkeys] + [np.inf])
+    vset = pa.array(bkeys) if bkeys else None
+    bounds_ref = ray.put((vset, lo_arr, hi_arr))
+
+    import pyarrow.compute as pc
+
+    def clip(t: pa.Table) -> pa.Table:
+        vs, lo_a, hi_a = ray.get(bounds_ref)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if vs is not None:
+            kid = pc.index_in(
+                t[key_col].combine_chunks().cast(vs.type), value_set=vs
+            ).fill_null(len(vs)).to_numpy(zero_copy_only=False).astype(
+                np.int64)
+        else:
+            kid = np.full(len(t), 0, dtype=np.int64)
+        out = np.minimum(np.maximum(v, lo_a[kid]), hi_a[kid])
+        out[np.isnan(v)] = np.nan
+        return t.append_column(out_c, pa.array(out, from_pandas=True))
+
+    return ds.map_batches(clip, batch_format="pyarrow",
+                          batch_size=batch_size)

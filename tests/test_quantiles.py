@@ -154,3 +154,47 @@ def test_keyed_int_keys():
         kv = np.sort(vals[np.array(keys) == k])
         for q in (0.5, 0.99):
             assert got[(k, q)] == kv[max(0, int(-(-q * len(kv) // 1)) - 1)]
+
+
+def test_winsorize_by_key_matches_duckdb():
+    import duckdb
+
+    from contest_parsing_ray.stages.quantiles import winsorize_by_key
+
+    rng = np.random.default_rng(23)
+    n = 1200
+    keys = rng.choice(["a", "b"], n).tolist() + ["nullv"] * 3
+    vals = np.concatenate([rng.normal(0, 10, n), np.full(3, np.nan)])
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys),
+        "value": pa.array(vals, pa.float64(), from_pandas=True),
+        "rid": pa.array(range(len(keys)), pa.int64()),
+    })).repartition(5)
+    out = (
+        winsorize_by_key(ds, "k", "value", 0.05, 0.95,
+                         max_candidates=8, batch_size=41)
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(?) AS k, unnest(?) AS value,"
+        " unnest(?) AS rid",
+        [keys, [None if np.isnan(x) else float(x) for x in vals],
+         list(range(len(keys)))],
+    )
+    want = con.execute("""
+WITH b AS (
+  SELECT k, quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM t GROUP BY k
+)
+SELECT t.rid,
+       CASE WHEN t.value IS NULL THEN NULL
+            ELSE LEAST(GREATEST(t.value, b.lo), b.hi) END AS w
+FROM t JOIN b USING (k) ORDER BY t.rid""").df()
+    g = out["value_wins"].to_numpy()
+    w = want["w"].to_numpy()
+    both_nan = np.isnan(g) & np.isnan(w)
+    assert (both_nan | (g == w)).all()
+    # clipping actually happened at both tails
+    assert (out["value_wins"] != out["value"]).sum() > 50
