@@ -1340,6 +1340,22 @@ def _q_winsorize(sf_dir: str):
     )
 
 
+def _q_percent_rank(sf_dir: str):
+    """Distributed PERCENT_RANK within event_type — no global sort: one
+    key exchange of the 3 projected columns, grouped C-level min-rank
+    in-partition."""
+    import ray.data
+
+    from contest_parsing_ray.stages.window import percent_rank
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    out = percent_rank(ev, "event_type", "value")
+    return _round_cols(out, ["pct_rank"])
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -1761,6 +1777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_decompose_1h": _q_seasonal,
         # outlier-robust clip at per-key exact quantile bounds
         "winsorize_values_p05_p95": _q_winsorize,
+        # distributed window rank (PERCENT_RANK per key, no global sort)
+        "value_percent_rank": _q_percent_rank,
     }
 
 
@@ -2696,6 +2714,12 @@ SELECT e.event_id, e.event_type, e.value,
        CASE WHEN e.value IS NULL THEN NULL
             ELSE LEAST(GREATEST(e.value, b.lo), b.hi) END AS value_wins
 FROM events e JOIN b USING (event_type)
+""",
+        "value_percent_rank": """
+SELECT event_id, event_type, value,
+       ROUND(PERCENT_RANK() OVER (
+         PARTITION BY event_type ORDER BY value), 6) AS pct_rank
+FROM events
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

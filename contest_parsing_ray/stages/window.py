@@ -801,3 +801,38 @@ def seasonal_decompose(
         series, [key_col], decomp,
         num_partitions=num_partitions, batch_format="pandas",
     )
+
+
+def percent_rank(
+    rows: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    out_col: str = "pct_rank",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """SQL ``PERCENT_RANK() OVER (PARTITION BY key ORDER BY value)``:
+    (min-rank - 1) / (n - 1) within each key, ties sharing the min rank,
+    nulls ranked LAST as one tie group (DuckDB's default NULLS LAST), and
+    0.0 for single-row keys (the SQL convention for the 0/0 frame).
+
+    Distributed rank without a global sort: ONE key-hash exchange
+    co-locates each key; ranking is a grouped C-level ``rank(method='min',
+    na_option='bottom')`` in-partition. The exchange carries only the
+    projected columns, so callers should select before ranking.
+    """
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            df[out_col] = pd.Series([], dtype=np.float64)
+            return df
+        g = df.groupby(key_col, sort=False, dropna=False)
+        r = g[value_col].rank(method="min", na_option="bottom")
+        n = g[value_col].transform("size").astype(np.float64)
+        pr = (r - 1.0) / (n - 1.0)
+        df[out_col] = np.where(n > 1, pr, 0.0)
+        return df
+
+    return hash_partitioned_map(
+        rows, [key_col], rank,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

@@ -459,3 +459,33 @@ ORDER BY k, t""").df()
     # the sinusoidal key's seasonal index must actually capture the cycle
     assert a["seasonal"].abs().max() > 3.0
     assert np.isnan(out[out["k"] == "tiny"]["trend"]).all()
+
+
+def test_percent_rank_matches_duckdb():
+    import duckdb
+
+    from contest_parsing_ray.stages.window import percent_rank
+
+    rng = np.random.default_rng(81)
+    n = 1500
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(0, 40, n).astype(np.float64),  # heavy ties
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    df.loc[rng.integers(0, n, 30), "v"] = np.nan
+    df = pd.concat(
+        [df, pd.DataFrame({"k": ["solo"], "v": [7.0], "rid": [n]})],
+        ignore_index=True,
+    )
+    out = (
+        percent_rank(ray.data.from_pandas(df).repartition(6), "k", "v")
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("s", df)
+    want = con.execute("""
+SELECT rid, PERCENT_RANK() OVER (PARTITION BY k ORDER BY v) AS pr
+FROM s ORDER BY rid""").df()
+    assert np.allclose(out["pct_rank"], want["pr"], atol=1e-12)
+    assert out[out["k"] == "solo"]["pct_rank"].iloc[0] == 0.0
