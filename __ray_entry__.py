@@ -1356,6 +1356,29 @@ def _q_percent_rank(sf_dir: str):
     return _round_cols(out, ["pct_rank"])
 
 
+def _q_record_high(sf_dir: str):
+    """New-high-watermark detection on the per-type 1h count series:
+    which buckets set a new all-time count record for their type."""
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+    from contest_parsing_ray.stages.window import running_record
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    out = running_record(
+        r.select_columns(["event_type", "bucket_us", "cnt"]),
+        key_col="event_type", ts_col="bucket_us", value_col="cnt",
+    )
+
+    def cast_pm(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("prev_max")
+        return t.set_column(i, "prev_max", t["prev_max"].cast(pa.float64()))
+
+    return out.map_batches(cast_pm, batch_format="pyarrow")
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -1779,6 +1802,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_values_p05_p95": _q_winsorize,
         # distributed window rank (PERCENT_RANK per key, no global sort)
         "value_percent_rank": _q_percent_rank,
+        # new-high-watermark flags on the 1h series
+        "record_high_1h": _q_record_high,
     }
 
 
@@ -2720,6 +2745,20 @@ SELECT event_id, event_type, value,
        ROUND(PERCENT_RANK() OVER (
          PARTITION BY event_type ORDER BY value), 6) AS pct_rank
 FROM events
+""",
+        "record_high_1h": f"""
+WITH r AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_us, cnt,
+       CAST(MAX(cnt) OVER w AS DOUBLE) AS prev_max,
+       CASE WHEN cnt IS NULL THEN FALSE
+            ELSE COALESCE(cnt > MAX(cnt) OVER w, TRUE) END AS is_record
+FROM r
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

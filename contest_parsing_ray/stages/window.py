@@ -836,3 +836,50 @@ def percent_rank(
         rows, [key_col], rank,
         num_partitions=num_partitions, batch_format="pandas",
     )
+
+
+def running_record(
+    series: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """New-high-watermark detection per key: adds ``prev_max`` (running max
+    of all STRICTLY EARLIER rows — SQL ``MAX(v) OVER (... ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``) and ``is_record`` (value > prev_max;
+    each key's first row is a record by convention, matching
+    ``COALESCE(v > prev_max, TRUE)``). Null values are never records and
+    do not raise the watermark (SQL MAX ignores NULLs).
+
+    Grouped cummax + shift after the one key exchange — the same
+    vectorized sweep as merge_intervals.
+    """
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col], kind="stable").reset_index(
+            drop=True
+        )
+        if len(df) == 0:
+            df["prev_max"] = pd.Series([], dtype=np.float64)
+            df["is_record"] = pd.Series([], dtype=bool)
+            return df
+        g = df.groupby(key_col, sort=False, dropna=False)
+        # cummax leaves NaN AT null rows (they don't poison later values,
+        # but they'd leak through shift) — forward-fill within the key so
+        # prev_max is the max over all earlier NON-NULL values, like SQL
+        cm = g[value_col].cummax()
+        tmp = pd.DataFrame({"k": df[key_col], "c": cm})
+        gc = tmp.groupby("k", sort=False, dropna=False)["c"]
+        df["prev_max"] = gc.ffill().groupby(
+            tmp["k"], sort=False, dropna=False).shift(1)
+        cmpv = df[value_col] > df["prev_max"]
+        df["is_record"] = np.where(
+            df["prev_max"].isna(), df[value_col].notna(), cmpv
+        )
+        return df
+
+    return hash_partitioned_map(
+        series, [key_col], flag,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

@@ -489,3 +489,37 @@ SELECT rid, PERCENT_RANK() OVER (PARTITION BY k ORDER BY v) AS pr
 FROM s ORDER BY rid""").df()
     assert np.allclose(out["pct_rank"], want["pr"], atol=1e-12)
     assert out[out["k"] == "solo"]["pct_rank"].iloc[0] == 0.0
+
+
+def test_running_record_matches_duckdb():
+    import duckdb
+
+    from contest_parsing_ray.stages.window import running_record
+
+    rng = np.random.default_rng(91)
+    n = 800
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "t": np.arange(n, dtype=np.int64),
+        "v": rng.normal(0, 10, n),
+    })
+    df.loc[rng.integers(0, n, 40), "v"] = np.nan  # nulls never records
+    out = (
+        running_record(ray.data.from_pandas(df).repartition(5), "k", "t", "v")
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("s", df)
+    want = con.execute("""
+SELECT t,
+       MAX(v) OVER (PARTITION BY k ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS prev_max,
+       CASE WHEN v IS NULL THEN FALSE
+            ELSE COALESCE(v > MAX(v) OVER (PARTITION BY k ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE)
+       END AS is_record
+FROM s ORDER BY t""").df()
+    pm_g, pm_w = out["prev_max"].to_numpy(), want["prev_max"].to_numpy()
+    assert ((np.isnan(pm_g) & np.isnan(pm_w)) | (pm_g == pm_w)).all()
+    assert (out["is_record"].to_numpy() == want["is_record"].to_numpy()).all()
