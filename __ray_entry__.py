@@ -1379,6 +1379,22 @@ def _q_record_high(sf_dir: str):
     return out.map_batches(cast_pm, batch_format="pyarrow")
 
 
+def _q_vocab_jaccard(sf_dir: str):
+    """Pairwise Jaccard between per-source token vocabularies over the
+    sequences corpus (domain-mixing diagnostic): per-batch presence
+    bitsets (vocab/8 bytes per key leave a batch), driver ORs + popcounts
+    pairs; exact."""
+    from contest_parsing_ray.stages.tokens import source_vocab_jaccard
+
+    out = source_vocab_jaccard(_seqs(sf_dir))
+    import pyarrow.compute as pc
+
+    return out.set_column(
+        out.schema.get_field_index("jaccard"), "jaccard",
+        pc.round(out["jaccard"], 6),
+    )
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -1804,6 +1820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percent_rank": _q_percent_rank,
         # new-high-watermark flags on the 1h series
         "record_high_1h": _q_record_high,
+        # tokens payload: pairwise source-vocabulary Jaccard (exact bitsets)
+        "source_vocab_jaccard": _q_vocab_jaccard,
     }
 
 
@@ -2777,6 +2795,7 @@ WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
 # rows-only and tests/test_golden_oracles.py checks them at sf0.01).
 GOLDEN_ORACLE_KEYS = (
     "dup_ngram_frac",
+    "source_vocab_jaccard",
     "doc_fingerprints",
     "simhash_docs",
     "minhash_lsh_pairs",

@@ -253,3 +253,99 @@ def dup_ngram_stats(
     return seqs.select_columns([id_col, tokens_col]).map_batches(
         stats, batch_format="pyarrow"
     )
+
+
+def source_vocab_jaccard(
+    seqs: ray.data.Dataset,
+    key_col: str = "source",
+    tokens_col: str = "tokens",
+) -> pa.Table:
+    """Pairwise Jaccard similarity between the DISTINCT-token vocabularies
+    of each key (which sources share a vocabulary — a domain-mixing
+    diagnostic over the raw token ids). → small ``(s1, s2, n_inter,
+    n_union, jaccard)`` table, every unordered pair with s1 < s2, exact.
+
+    Scale shape: each batch collapses its tokens into per-key presence
+    BITSETS (``np.packbits``; vocab/8 bytes per key) — the exchange moves
+    O(keys x vocab/8) bytes per batch, never token occurrences; the
+    driver ORs bitsets and popcounts pairs. Contract: bounded key
+    cardinality and a dense token-id domain (vocab-sized), the same as
+    vocab_histogram. Null keys are dropped (SQL self-join semantics).
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        off_dt = np.int64 if pa.types.is_large_list(col.type) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+            col.offset : col.offset + len(col) + 1
+        ].astype(np.int64)
+        lengths = np.diff(offs)
+        kcol = b[key_col].combine_chunks()
+        enc = kcol.dictionary_encode()
+        kidx = enc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        per_tok_key = np.repeat(kidx, lengths)
+        keys_out, bits_out, width_out = [], [], []
+        if len(flat):
+            max_id = int(flat.max())
+            for ki in range(len(enc.dictionary)):
+                ids = flat[per_tok_key == ki]
+                if len(ids) == 0:
+                    continue
+                pres = np.zeros(max_id + 1, dtype=bool)
+                pres[ids] = True
+                keys_out.append(enc.dictionary[ki].as_py())
+                bits_out.append(np.packbits(pres).tobytes())
+                width_out.append(max_id + 1)
+        return pa.table({
+            "k": pa.array(keys_out, pa.string()),
+            "bits": pa.array(bits_out, pa.binary()),
+            "width": pa.array(width_out, pa.int64()),
+        })
+
+    sets: dict[str, np.ndarray] = {}
+    for rb in seqs.select_columns([key_col, tokens_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
+        for k, bits in zip(t["k"].to_pylist(), t["bits"].to_pylist()):
+            arr = np.frombuffer(bits, dtype=np.uint8)
+            cur = sets.get(k)
+            if cur is None:
+                sets[k] = arr.copy()
+            else:
+                if len(arr) > len(cur):
+                    cur = np.concatenate(
+                        [cur, np.zeros(len(arr) - len(cur), np.uint8)])
+                a = arr if len(arr) == len(cur) else np.concatenate(
+                    [arr, np.zeros(len(cur) - len(arr), np.uint8)])
+                sets[k] = cur | a
+
+    popcnt = np.unpackbits  # popcount via unpack+sum (vocab-sized, tiny)
+    keys = sorted(sets)
+    sizes = {k: int(popcnt(sets[k]).sum()) for k in keys}
+    s1o, s2o, ni, nu, jc = [], [], [], [], []
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            a, bv = sets[keys[i]], sets[keys[j]]
+            if len(a) != len(bv):
+                m = max(len(a), len(bv))
+                a = np.concatenate([a, np.zeros(m - len(a), np.uint8)])
+                bv = np.concatenate([bv, np.zeros(m - len(bv), np.uint8)])
+            inter = int(popcnt(a & bv).sum())
+            union = sizes[keys[i]] + sizes[keys[j]] - inter
+            s1o.append(keys[i])
+            s2o.append(keys[j])
+            ni.append(inter)
+            nu.append(union)
+            jc.append(inter / union if union else None)
+    return pa.table({
+        "s1": pa.array(s1o, pa.string()),
+        "s2": pa.array(s2o, pa.string()),
+        "n_inter": pa.array(ni, pa.int64()),
+        "n_union": pa.array(nu, pa.int64()),
+        "jaccard": pa.array(jc, pa.float64()),
+    })

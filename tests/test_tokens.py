@@ -232,3 +232,69 @@ def test_dup_ngram_stats_handcrafted():
     assert out.loc["uniq", "dup_frac"] == 0.0
     assert out.loc["empty", "n_grams"] == 0 and np.isnan(
         out.loc["empty", "dup_frac"])
+
+
+def test_source_vocab_jaccard_matches_duckdb():
+    import duckdb
+
+    from contest_parsing_ray.stages.tokens import source_vocab_jaccard
+
+    rng = np.random.default_rng(27)
+    rows_src, rows_tok = [], []
+    pools = {"a": np.arange(0, 60), "b": np.arange(30, 90),
+             "c": np.arange(200, 230), "empty": np.arange(0)}
+    for s, pool in pools.items():
+        for _ in range(40):
+            L = int(rng.integers(0, 12))
+            toks = (rng.choice(pool, L).astype(np.int32).tolist()
+                    if len(pool) and L else [])
+            rows_src.append(s)
+            rows_tok.append(toks)
+    t = pa.table({
+        "source": pa.array(rows_src),
+        "tokens": pa.array(rows_tok, pa.large_list(pa.int32())),
+    })
+    out = source_vocab_jaccard(
+        ray.data.from_arrow(t).repartition(6))
+    got = {(r["s1"], r["s2"]): (r["n_inter"], r["n_union"],
+                                None if r["jaccard"] is None
+                                else round(r["jaccard"], 9))
+           for r in out.to_pylist()}
+    con = duckdb.connect()
+    con.register("seqs", t)
+    want = {}
+    for s1, s2, ninter, nunion, j in con.execute("""
+WITH st AS (SELECT DISTINCT source, unnest(tokens) AS tok FROM seqs),
+c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1),
+ks AS (SELECT DISTINCT source FROM seqs),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM ks a JOIN ks b ON a.source < b.source
+),
+i AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.s1, p.s2, COALESCE(i.n_inter, 0) AS n_inter,
+       COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - COALESCE(i.n_inter, 0)
+         AS n_union,
+       CASE WHEN COALESCE(ca.n, 0) + COALESCE(cb.n, 0)
+                 - COALESCE(i.n_inter, 0) = 0 THEN NULL
+            ELSE ROUND(COALESCE(i.n_inter, 0) * 1.0 /
+              (COALESCE(ca.n,0)+COALESCE(cb.n,0)-COALESCE(i.n_inter,0)), 9)
+       END AS j
+FROM pairs p
+LEFT JOIN i ON i.s1 = p.s1 AND i.s2 = p.s2
+LEFT JOIN c ca ON ca.source = p.s1
+LEFT JOIN c cb ON cb.source = p.s2
+""").fetchall():
+        want[(s1, s2)] = (ninter, nunion, j)
+    # the engine only emits keys that produced at least one token; "empty"
+    # has no vocabulary at all — the SQL cross-pair includes it with union 0
+    want_nonempty = {k: v for k, v in want.items()
+                     if "empty" not in k or v[1] > 0}
+    got_vs_want = {k: got[k] for k in got}
+    assert got_vs_want == {k: want[k] for k in got}
+    # pools a=0..59 and b=30..89 overlap on ~30 ids (minus sampling misses)
+    assert ("a", "b") in got and 20 < got[("a", "b")][0] <= 30

@@ -26,6 +26,7 @@ import pyarrow.parquet as pq
 
 GOLDEN_QUERIES = [
     "dup_ngram_frac",
+    "source_vocab_jaccard",
     "doc_fingerprints",
     "simhash_docs",
     "minhash_lsh_pairs",
