@@ -1395,6 +1395,29 @@ def _q_vocab_jaccard(sf_dir: str):
     )
 
 
+HOLT_A, HOLT_B = 0.3, 0.2
+
+
+def _q_holt(sf_dir: str):
+    """Holt linear smoothing of the per-type 1h count series: level +
+    trend + one-step-ahead forecast (the forecasting companion of
+    ewma_1h)."""
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+    from contest_parsing_ray.stages.window import holt_smooth
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    out = holt_smooth(
+        r.select_columns(["event_type", "bucket_us", "cnt"]),
+        key_col="event_type", ts_col="bucket_us", value_col="cnt",
+        alpha=HOLT_A, beta=HOLT_B,
+    )
+    return _round_cols(out, ["level", "trend", "forecast_next"])
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -1822,6 +1845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "record_high_1h": _q_record_high,
         # tokens payload: pairwise source-vocabulary Jaccard (exact bitsets)
         "source_vocab_jaccard": _q_vocab_jaccard,
+        # forecasting baseline: Holt linear level+trend smoothing
+        "holt_smooth_1h": _q_holt,
     }
 
 
@@ -2777,6 +2802,32 @@ SELECT event_type, bucket_us, cnt,
 FROM r
 WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+""",
+        "holt_smooth_1h": f"""
+WITH RECURSIVE r AS (
+  SELECT event_type, bucket_us, cnt,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY bucket_us) AS BIGINT) AS rn
+  FROM (
+    SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+  )
+), e AS (
+  SELECT event_type, bucket_us, cnt, rn,
+         CAST(cnt AS DOUBLE) AS lvl, CAST(0 AS DOUBLE) AS trd
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.bucket_us, r.cnt, r.rn,
+         {HOLT_A} * r.cnt + {1 - HOLT_A} * (e.lvl + e.trd),
+         {HOLT_B} * (({HOLT_A} * r.cnt + {1 - HOLT_A} * (e.lvl + e.trd))
+                     - e.lvl) + {1 - HOLT_B} * e.trd
+  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1
+)
+SELECT event_type, bucket_us, cnt,
+       ROUND(lvl, 6) AS level, ROUND(trd, 6) AS trend,
+       ROUND(lvl + trd, 6) AS forecast_next
+FROM e
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

@@ -883,3 +883,60 @@ def running_record(
         series, [key_col], flag,
         num_partitions=num_partitions, batch_format="pandas",
     )
+
+
+def holt_smooth(
+    series: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Holt linear (double-exponential) smoothing per key, ordered by
+    ``ts_col``: level ``l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})``, trend
+    ``b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}``, initialized ``l_1 = x_1,
+    b_1 = 0``. Adds ``level``, ``trend`` and ``forecast_next`` (= l + b,
+    the one-step-ahead prediction). Null values must be dropped by the
+    caller (a rollup count series has none).
+
+    Unlike EWMA (a pure convolution) the coupled level/trend recursion has
+    no stable closed form over long series (the eigen-decomposed variant
+    under/overflows past ~1e3 steps), so each key runs a plain loop —
+    bounded by the compact-series contract (points ∝ keys x buckets), and
+    keys parallelize across partitions as everywhere in this module.
+    """
+    if not (0.0 < alpha <= 1.0 and 0.0 <= beta <= 1.0):
+        raise ValueError(f"need 0<alpha<=1, 0<=beta<=1, got {alpha}, {beta}")
+
+    def smooth(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col], kind="stable").reset_index(
+            drop=True
+        )
+        n = len(df)
+        lvl = np.empty(n, dtype=np.float64)
+        trd = np.empty(n, dtype=np.float64)
+        if n:
+            codes, _ = pd.factorize(df[key_col], sort=False,
+                                    use_na_sentinel=False)
+            x = df[value_col].to_numpy().astype(np.float64)
+            for c in np.unique(codes):  # loop over compact keys
+                idx = np.flatnonzero(codes == c)
+                l_p = x[idx[0]]
+                b_p = 0.0
+                lvl[idx[0]], trd[idx[0]] = l_p, b_p
+                for i in idx[1:]:  # sequential by construction
+                    l_n = alpha * x[i] + (1 - alpha) * (l_p + b_p)
+                    b_p = beta * (l_n - l_p) + (1 - beta) * b_p
+                    l_p = l_n
+                    lvl[i], trd[i] = l_p, b_p
+        df["level"] = lvl
+        df["trend"] = trd
+        df["forecast_next"] = lvl + trd
+        return df
+
+    return hash_partitioned_map(
+        series, [key_col], smooth,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

@@ -523,3 +523,41 @@ FROM s ORDER BY t""").df()
     pm_g, pm_w = out["prev_max"].to_numpy(), want["prev_max"].to_numpy()
     assert ((np.isnan(pm_g) & np.isnan(pm_w)) | (pm_g == pm_w)).all()
     assert (out["is_record"].to_numpy() == want["is_record"].to_numpy()).all()
+
+
+def test_holt_matches_duckdb_recursive():
+    import duckdb
+
+    from contest_parsing_ray.stages.window import holt_smooth
+
+    rng = np.random.default_rng(101)
+    rows = []
+    for k in ("a", "b"):
+        x = 100 + np.cumsum(rng.normal(0.5, 2, 120))
+        for i, v in enumerate(x):
+            rows.append((k, i, float(v)))
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    out = (
+        holt_smooth(ray.data.from_pandas(df).repartition(4), "k", "t", "v",
+                    alpha=0.3, beta=0.2)
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("s", df)
+    want = con.execute("""
+WITH RECURSIVE r AS (
+  SELECT k, t, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) AS BIGINT) AS rn
+  FROM s
+), e AS (
+  SELECT k, t, v, rn, CAST(v AS DOUBLE) AS lvl, CAST(0 AS DOUBLE) AS trd
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.k, r.t, r.v, r.rn,
+         0.3 * r.v + 0.7 * (e.lvl + e.trd),
+         0.2 * ((0.3 * r.v + 0.7 * (e.lvl + e.trd)) - e.lvl) + 0.8 * e.trd
+  FROM r JOIN e ON r.k = e.k AND r.rn = e.rn + 1
+)
+SELECT k, t, lvl, trd FROM e ORDER BY k, t""").df()
+    assert np.allclose(out["level"], want["lvl"], atol=1e-9)
+    assert np.allclose(out["trend"], want["trd"], atol=1e-9)
