@@ -1418,6 +1418,19 @@ def _q_holt(sf_dir: str):
     return _round_cols(out, ["level", "trend", "forecast_next"])
 
 
+COHORT_W_US = 7 * 24 * W1H  # weekly cohorts
+
+
+def _q_cohort(sf_dir: str):
+    """Weekly cohort retention matrix: users bucketed by first-seen week,
+    distinct-counted in every week they are active. The unbounded user
+    dimension only ever lives inside per-user co-located partitions."""
+    from contest_parsing_ray.stages.cumulative import cohort_retention
+
+    ev = _events(sf_dir, columns=["ts", "user_id"])
+    return cohort_retention(ev, "user_id", "event_time_us", COHORT_W_US)
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -1847,6 +1860,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_jaccard": _q_vocab_jaccard,
         # forecasting baseline: Holt linear level+trend smoothing
         "holt_smooth_1h": _q_holt,
+        # weekly cohort retention matrix (first-seen x active period)
+        "cohort_retention_weekly": _q_cohort,
     }
 
 
@@ -2828,6 +2843,18 @@ SELECT event_type, bucket_us, cnt,
        ROUND(lvl, 6) AS level, ROUND(trd, 6) AS trend,
        ROUND(lvl + trd, 6) AS forecast_next
 FROM e
+""",
+        "cohort_retention_weekly": f"""
+WITH p AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // {COHORT_W_US}) * {COHORT_W_US} AS bucket_us
+  FROM events WHERE user_id IS NOT NULL
+), f AS (
+  SELECT user_id, MIN(bucket_us) AS cohort_us FROM p GROUP BY user_id
+)
+SELECT f.cohort_us, p.bucket_us,
+       CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+FROM p JOIN f USING (user_id) GROUP BY 1, 2
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

@@ -83,6 +83,14 @@ BENCH_QUERIES = [
     "series_corr_pairs",
     "cusum_changepoints_1h",
     "customers_no_urgent_orders",
+    "trend_slope_1h",
+    "seasonal_decompose_1h",
+    "winsorize_values_p05_p95",
+    "value_percent_rank",
+    "record_high_1h",
+    "source_vocab_jaccard",
+    "holt_smooth_1h",
+    "asof_join_forward",
 ]
 
 

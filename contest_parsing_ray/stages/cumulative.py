@@ -210,3 +210,91 @@ def approx_distinct(
         )
 
     return hash_partitioned_map(partials, [key_col], merge)
+
+
+def cohort_retention(
+    events: "ray.data.Dataset",
+    user_col: str,
+    ts_col: str,
+    width_us: int,
+    num_partitions: int | None = None,
+):
+    """Cohort retention matrix: users grouped by their FIRST-seen period
+    (floor bucket of ``width_us``), counted distinct in every period
+    they're active → ``(cohort_us, bucket_us, n_users)``.
+
+    Scale shape: each batch first collapses to its DISTINCT (user, bucket)
+    pairs (dictionary-encode + composite-code unique — rows out ∝ distinct
+    pairs, not events); ONE user-hash exchange then co-locates each user,
+    whose cohort (min bucket) and active set are computed locally; the
+    partials leaving that stage are (cohort, bucket, count) rows bounded
+    by periods² per partition, folded by a tiny driver sum. The user
+    dimension — the unbounded one — never appears in any global structure.
+    Null users are dropped (they are not a trackable cohort member).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ._shuffle import hash_partitioned_map
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        u = t[user_col].combine_chunks()
+        b = (t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+             // width_us) * width_us
+        enc = u.dictionary_encode()
+        uid = enc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = uid >= 0
+        uid, b = uid[keep], b[keep]
+        # composite (user, bucket) unique via lexsort
+        order = np.lexsort((b, uid))
+        us, bs = uid[order], b[order]
+        new = np.ones(len(us), dtype=bool)
+        new[1:] = (us[1:] != us[:-1]) | (bs[1:] != bs[:-1])
+        return pa.table({
+            user_col: enc.dictionary.take(pa.array(us[new], pa.int64())),
+            "bucket_us": pa.array(bs[new], pa.int64()),
+        })
+
+    pairs = events.select_columns([user_col, ts_col]).map_batches(
+        distinct_pairs, batch_format="pyarrow"
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "cohort_us": pd.Series([], dtype=np.int64),
+                "bucket_us": pd.Series([], dtype=np.int64),
+                "n_users": pd.Series([], dtype=np.int64),
+            })
+        # batches from different blocks may repeat a (user, bucket) pair —
+        # dedup again now that the user is fully co-located
+        df = df.drop_duplicates([user_col, "bucket_us"])
+        cohort = df.groupby(user_col, sort=False)["bucket_us"].transform(
+            "min")
+        out = (
+            pd.DataFrame({"cohort_us": cohort, "bucket_us": df["bucket_us"]})
+            .groupby(["cohort_us", "bucket_us"], sort=False)
+            .size()
+            .rename("n_users")
+            .reset_index()
+        )
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    parts = hash_partitioned_map(
+        pairs, [user_col], per_user,
+        num_partitions=num_partitions, batch_format="pandas",
+    )
+
+    acc: dict[tuple[int, int], int] = {}
+    for rb in parts.iter_batches(batch_format="pandas"):
+        for c, bkt, n in zip(rb["cohort_us"], rb["bucket_us"], rb["n_users"]):
+            acc[(int(c), int(bkt))] = acc.get((int(c), int(bkt)), 0) + int(n)
+    ks = sorted(acc)
+    return pa.table({
+        "cohort_us": pa.array([k[0] for k in ks], pa.int64()),
+        "bucket_us": pa.array([k[1] for k in ks], pa.int64()),
+        "n_users": pa.array([acc[k] for k in ks], pa.int64()),
+    })

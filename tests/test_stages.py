@@ -313,3 +313,42 @@ def test_encoder_bit_identity_property():
 
     ts_prop()
     val_prop()
+
+
+def test_cohort_retention_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from contest_parsing_ray.stages.cumulative import cohort_retention
+
+    rng = np.random.default_rng(37)
+    n = 3000
+    W = 100
+    df = pd.DataFrame({
+        "u": rng.choice([f"u{i}" for i in range(150)], n),
+        "t": rng.integers(0, 1000, n).astype(np.int64),
+    })
+    df.loc[rng.integers(0, n, 20), "u"] = None  # null users dropped
+    out = cohort_retention(
+        ray.data.from_pandas(df).repartition(7), "u", "t", W
+    ).to_pandas()
+    got = {(r.cohort_us, r.bucket_us): r.n_users for r in out.itertuples()}
+    con = duckdb.connect()
+    con.register("s", df)
+    want = {}
+    for c, b, nn in con.execute(f"""
+WITH p AS (
+  SELECT DISTINCT u, (t // {W}) * {W} AS bucket_us
+  FROM s WHERE u IS NOT NULL
+), f AS (
+  SELECT u, MIN(bucket_us) AS cohort_us FROM p GROUP BY u
+)
+SELECT f.cohort_us, p.bucket_us, CAST(COUNT(DISTINCT p.u) AS BIGINT)
+FROM p JOIN f USING (u) GROUP BY 1, 2""").fetchall():
+        want[(c, b)] = nn
+    assert got == want
+    # diagonal sanity: every cohort is fully present in its own period
+    firsts = {c: v for (c, b), v in want.items() if b == c}
+    assert all(got[(c, c)] == v for c, v in firsts.items())
