@@ -1431,6 +1431,21 @@ def _q_cohort(sf_dir: str):
     return cohort_retention(ev, "user_id", "event_time_us", COHORT_W_US)
 
 
+def _q_interarrival(sf_dir: str):
+    """Arrival-process profile per event_type: count/mean/median/p95 of
+    consecutive-event gaps (quantile_disc semantics), deterministic tie
+    order (ts, event_id)."""
+    from contest_parsing_ray.stages.window import interarrival_stats
+
+    ev = _events(sf_dir, columns=["ts", "event_id", "event_type"])
+    # mean is ONE double division of an exact int sum — deterministic on
+    # both sides, no rounding needed (ROUND at 1e9 scale only exposes
+    # half-even vs half-away tie-breaking)
+    return interarrival_stats(
+        ev, "event_type", "event_time_us", "event_id", qs=(0.5, 0.95)
+    )
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -1862,6 +1877,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_smooth_1h": _q_holt,
         # weekly cohort retention matrix (first-seen x active period)
         "cohort_retention_weekly": _q_cohort,
+        # arrival-process profile: inter-event gap stats per type
+        "interarrival_stats_by_type": _q_interarrival,
     }
 
 
@@ -2855,6 +2872,19 @@ WITH p AS (
 SELECT f.cohort_us, p.bucket_us,
        CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
 FROM p JOIN f USING (user_id) GROUP BY 1, 2
+""",
+        "interarrival_stats_by_type": """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+)
+SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS mean_gap_us,
+       CAST(quantile_disc(gap, 0.5) AS DOUBLE) AS q50_gap_us,
+       CAST(quantile_disc(gap, 0.95) AS DOUBLE) AS q95_gap_us
+FROM g GROUP BY event_type
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

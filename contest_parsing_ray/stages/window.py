@@ -940,3 +940,63 @@ def holt_smooth(
         series, [key_col], smooth,
         num_partitions=num_partitions, batch_format="pandas",
     )
+
+
+def interarrival_stats(
+    events: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    qs: tuple = (0.5, 0.95),
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key inter-arrival gap statistics: consecutive-event time deltas
+    (ordered by ``(ts, order_col)``; SQL ``ts - LAG(ts)``) reduced to
+    ``(key, n_gaps, mean_gap_us, q<q>_gap_us ...)``, quantile_disc
+    semantics per gap quantile. Keys with < 2 events emit n_gaps = 0 and
+    null stats.
+
+    One key exchange of the projected columns; gaps and their order
+    statistics are computed in-key (lexsort + diff + np.partition) — the
+    arrival-process profile of the north rule's irregular-sampling family
+    (the distribution behind gapfill's gaps).
+    """
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        qcols = [f"q{int(round(q * 100))}_gap_us" for q in qs]
+        if len(df) == 0:
+            base = {key_col: pd.Series([], dtype=df[key_col].dtype),
+                    "n_gaps": pd.Series([], dtype=np.int64),
+                    "mean_gap_us": pd.Series([], dtype=np.float64)}
+            base.update({c: pd.Series([], dtype=np.float64) for c in qcols})
+            return pd.DataFrame(base)
+        codes, uniques = pd.factorize(df[key_col], sort=False,
+                                      use_na_sentinel=False)
+        ts = df[ts_col].to_numpy().astype(np.int64)
+        ordv = df[order_col].to_numpy()
+        order = np.lexsort((ordv, ts, codes))
+        cs, tss = codes[order], ts[order]
+        rows = []
+        for c in np.unique(codes):
+            g = np.diff(tss[cs == c])  # int64: sum stays exact
+            n = len(g)
+            # mean as ONE double division of the exact integer sum — a
+            # float-accumulated mean differs from SQL AVG in the last ulp,
+            # which flips ROUND(x, 6) at 1e9-scale microsecond gaps
+            row = [uniques[c], n, int(g.sum()) / n if n else None]
+            for q in qs:
+                if n:
+                    j = max(0, int(-(-q * n // 1)) - 1)  # ceil(q*n)-1
+                    row.append(float(np.partition(g, j)[j]))
+                else:
+                    row.append(None)
+            rows.append(row)
+        return pd.DataFrame(
+            rows, columns=[key_col, "n_gaps", "mean_gap_us", *qcols]
+        )
+
+    cols = [key_col, ts_col, order_col]
+    return hash_partitioned_map(
+        events.select_columns(cols), [key_col], stats,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

@@ -561,3 +561,40 @@ WITH RECURSIVE r AS (
 SELECT k, t, lvl, trd FROM e ORDER BY k, t""").df()
     assert np.allclose(out["level"], want["lvl"], atol=1e-9)
     assert np.allclose(out["trend"], want["trd"], atol=1e-9)
+
+
+def test_interarrival_stats_matches_duckdb():
+    import duckdb
+
+    from contest_parsing_ray.stages.window import interarrival_stats
+
+    rng = np.random.default_rng(111)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "t": rng.integers(0, 10_000, n).astype(np.int64),
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    df = pd.concat([df, pd.DataFrame(
+        {"k": ["solo"], "t": [5], "rid": [n]})], ignore_index=True)
+    out = interarrival_stats(
+        ray.data.from_pandas(df).repartition(6), "k", "t", "rid"
+    ).to_pandas().set_index("k")
+    con = duckdb.connect()
+    con.register("s", df)
+    want = con.execute("""
+WITH g AS (
+  SELECT k, t - LAG(t) OVER (PARTITION BY k ORDER BY t, rid) AS gap
+  FROM s
+)
+SELECT k, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       AVG(CAST(gap AS DOUBLE)) AS mean_gap,
+       CAST(quantile_disc(gap, 0.5) AS DOUBLE) AS q50,
+       CAST(quantile_disc(gap, 0.95) AS DOUBLE) AS q95
+FROM g GROUP BY k""").df().set_index("k")
+    for k in ("a", "b", "c", "solo"):
+        assert out.loc[k, "n_gaps"] == want.loc[k, "n_gaps"]
+        for gc, wc in (("mean_gap_us", "mean_gap"), ("q50_gap_us", "q50"),
+                       ("q95_gap_us", "q95")):
+            g, w = out.loc[k, gc], want.loc[k, wc]
+            assert (pd.isna(g) and pd.isna(w)) or abs(g - w) < 1e-9, (k, gc)
