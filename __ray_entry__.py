@@ -1446,6 +1446,21 @@ def _q_interarrival(sf_dir: str):
     )
 
 
+def _q_minmax(sf_dir: str):
+    """Min-max normalize events.value within each event_type (broadcast
+    two-pass: streaming (key,min,max) partial fold, vectorized map; large
+    side never shuffles; bit-identical to the SQL window expression)."""
+    import ray.data
+
+    from contest_parsing_ray.stages.quantiles import minmax_normalize_by_key
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    return minmax_normalize_by_key(ev, "event_type", "value")
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -1879,6 +1894,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_weekly": _q_cohort,
         # arrival-process profile: inter-event gap stats per type
         "interarrival_stats_by_type": _q_interarrival,
+        # feature scaling: per-key min-max normalization
+        "minmax_normalize_values": _q_minmax,
     }
 
 
@@ -2885,6 +2902,13 @@ SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
        CAST(quantile_disc(gap, 0.5) AS DOUBLE) AS q50_gap_us,
        CAST(quantile_disc(gap, 0.95) AS DOUBLE) AS q95_gap_us
 FROM g GROUP BY event_type
+""",
+        "minmax_normalize_values": """
+SELECT event_id, event_type, value,
+       (value - MIN(value) OVER (PARTITION BY event_type))
+         / (MAX(value) OVER (PARTITION BY event_type)
+            - MIN(value) OVER (PARTITION BY event_type)) AS value_norm
+FROM events
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

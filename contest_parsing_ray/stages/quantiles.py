@@ -583,3 +583,86 @@ def winsorize_by_key(
 
     return ds.map_batches(clip, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def minmax_normalize_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    out_col: str | None = None,
+    batch_size: int = 262_144,
+) -> ray.data.Dataset:
+    """Scale each value into [0, 1] by its OWN key's min/max (SQL
+    ``(v - MIN(v) OVER (PARTITION BY key)) / (MAX..-MIN..)``); null when
+    the value is null or the key's range is zero/undefined.
+
+    Two-pass broadcast shape like winsorize, but the bounds pass is a
+    single streaming fold of per-batch (key, min, max) partials — exact
+    elements, so the normalized output is bit-identical to the SQL window
+    expression (same two double ops). The large side never shuffles.
+    """
+    out_c = out_col or f"{value_col}_norm"
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[key_col].combine_chunks()
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = ~np.isnan(v)
+        enc = col.dictionary_encode()
+        idx = enc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = nn & (idx >= 0)
+        ks, vs_ = idx[keep], v[keep]
+        if not len(ks):
+            return pa.table({"k": pa.array([], enc.dictionary.type),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        order = np.argsort(ks, kind="stable")
+        ks_s, vs_s = ks[order], vs_[order]
+        first = np.ones(len(ks_s), dtype=bool)
+        first[1:] = ks_s[1:] != ks_s[:-1]
+        starts = np.flatnonzero(first)
+        mn = np.minimum.reduceat(vs_s, starts)
+        mx = np.maximum.reduceat(vs_s, starts)
+        return pa.table({
+            "k": enc.dictionary.take(pa.array(ks_s[starts], pa.int64())),
+            "mn": pa.array(mn),
+            "mx": pa.array(mx),
+        })
+
+    lo_of: dict[object, float] = {}
+    hi_of: dict[object, float] = {}
+    for rb in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
+        for k, mn, mx in zip(t["k"].to_pylist(), t["mn"].to_pylist(),
+                             t["mx"].to_pylist()):
+            lo_of[k] = min(lo_of.get(k, np.inf), mn)
+            hi_of[k] = max(hi_of.get(k, -np.inf), mx)
+
+    import pyarrow.compute as pc
+
+    bkeys = sorted(lo_of, key=repr)
+    lo_arr = np.array([lo_of[k] for k in bkeys] + [np.nan])
+    hi_arr = np.array([hi_of[k] for k in bkeys] + [np.nan])
+    vset = pa.array(bkeys) if bkeys else None
+    bounds_ref = ray.put((vset, lo_arr, hi_arr))
+
+    def norm(t: pa.Table) -> pa.Table:
+        vs, lo_a, hi_a = ray.get(bounds_ref)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if vs is not None:
+            kid = pc.index_in(
+                t[key_col].combine_chunks().cast(vs.type), value_set=vs
+            ).fill_null(len(vs)).to_numpy(zero_copy_only=False).astype(
+                np.int64)
+        else:
+            kid = np.full(len(t), 0, dtype=np.int64)
+        lo, hi = lo_a[kid], hi_a[kid]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = (v - lo) / (hi - lo)
+        out[~np.isfinite(out)] = np.nan  # zero range / missing bounds
+        return t.append_column(out_c, pa.array(out, from_pandas=True))
+
+    return ds.map_batches(norm, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -198,3 +198,42 @@ FROM t JOIN b USING (k) ORDER BY t.rid""").df()
     assert (both_nan | (g == w)).all()
     # clipping actually happened at both tails
     assert (out["value_wins"] != out["value"]).sum() > 50
+
+
+def test_minmax_normalize_matches_duckdb_window():
+    import duckdb
+
+    from contest_parsing_ray.stages.quantiles import minmax_normalize_by_key
+
+    rng = np.random.default_rng(29)
+    n = 900
+    keys = rng.choice(["a", "b"], n).tolist() + ["const"] * 4 + ["onlynull"]
+    vals = np.concatenate([rng.normal(0, 100, n), np.full(4, 7.0),
+                           [np.nan]])
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys),
+        "value": pa.array(vals, pa.float64(), from_pandas=True),
+        "rid": pa.array(range(len(keys)), pa.int64()),
+    })).repartition(5)
+    out = (
+        minmax_normalize_by_key(ds, "k", "value", batch_size=37)
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(?) AS k, unnest(?) AS value,"
+        " unnest(?) AS rid",
+        [keys, [None if np.isnan(x) else float(x) for x in vals],
+         list(range(len(keys)))],
+    )
+    want = con.execute("""
+SELECT rid,
+       (value - MIN(value) OVER (PARTITION BY k))
+         / (MAX(value) OVER (PARTITION BY k)
+            - MIN(value) OVER (PARTITION BY k)) AS nv
+FROM t ORDER BY rid""").df()
+    g, w = out["value_norm"].to_numpy(), want["nv"].to_numpy()
+    both_nan = np.isnan(g) & np.isnan(w)
+    assert (both_nan | (g == w)).all()  # bit-identical, no rounding
+    # zero-range key -> SQL 0/0 = NULL on both sides
+    assert out[out["k"] == "const"]["value_norm"].isna().all()
