@@ -1669,6 +1669,46 @@ def _q_topn_per_key(sf_dir: str):
     return out.select_columns(["event_id", "event_type", "value"])
 
 
+def _q_latest_asof(sf_dir: str):
+    """Point-in-time snapshot (SCD-style): each user's LATEST event row as
+    of the global midpoint cutoff — filter + mergeable per-key argmax
+    (topn_per_key n=1 on ts, desc, event_id tiebreak): every batch
+    pre-trims to 1 row per key before the exchange."""
+    from ray.data.aggregate import Max, Min
+
+    from contest_parsing_ray.stages.window import topn_per_key
+
+    ev = _events(sf_dir, columns=["ts", "event_id", "user_id", "event_type",
+                                  "value"])
+    stats = ev.aggregate(Min("event_time_us"), Max("event_time_us"))
+    cutoff = (int(stats["min(event_time_us)"])
+              + int(stats["max(event_time_us)"])) // 2
+    upto = ev.filter(expr=f"event_time_us <= {cutoff}")
+    out = topn_per_key(
+        upto, key_col="user_id", value_col="event_time_us", n=1,
+        tiebreak_col="event_id",
+    )
+    return out.select_columns(
+        ["user_id", "event_id", "event_type", "value", "event_time_us"]
+    )
+
+
+def _q_user_entropy(sf_dir: str):
+    """Engagement diversity per user: Shannon entropy (nats) of each
+    user's event-type mix — composite-code bincount partials, one
+    user-hash exchange, per-user C-level reduction."""
+    import ray.data
+
+    from contest_parsing_ray.stages.histogram import key_mix_entropy
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    out = key_mix_entropy(ev, "user_id", "event_type")
+    return _round_cols(out, ["entropy"])
+
+
 def _q_events_in_sessions(sf_dir: str):
     """Range join (BETWEEN): assign every event to its session interval —
     sessions built by the sessionizer, events matched by ts ∈ [start, end]
@@ -1896,6 +1936,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_stats_by_type": _q_interarrival,
         # feature scaling: per-key min-max normalization
         "minmax_normalize_values": _q_minmax,
+        # point-in-time snapshot: latest row per user as of a cutoff
+        "latest_event_per_user_asof": _q_latest_asof,
+        # engagement diversity: per-user event-type mix entropy
+        "user_type_entropy": _q_user_entropy,
     }
 
 
@@ -2909,6 +2953,32 @@ SELECT event_id, event_type, value,
          / (MAX(value) OVER (PARTITION BY event_type)
             - MIN(value) OVER (PARTITION BY event_type)) AS value_norm
 FROM events
+""",
+        "latest_event_per_user_asof": """
+WITH c AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cutoff FROM events
+), r AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS event_time_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id) AS rn
+  FROM events, c WHERE epoch_us(ts) <= c.cutoff
+)
+SELECT user_id, event_id, event_type, value, event_time_us
+FROM r WHERE rn = 1
+""",
+        "user_type_entropy": """
+WITH g AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), a AS (
+  SELECT user_id, SUM(cnt) AS n, COUNT(*) AS k, SUM(cnt * ln(cnt)) AS clnc
+  FROM g GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, CAST(k AS BIGINT) AS n_cats,
+       ROUND(CASE WHEN k = 1 THEN 0.0
+                  ELSE GREATEST(ln(n) - clnc / n, 0.0) END, 6) AS entropy
+FROM a
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

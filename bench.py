@@ -91,6 +91,11 @@ BENCH_QUERIES = [
     "source_vocab_jaccard",
     "holt_smooth_1h",
     "asof_join_forward",
+    "minmax_normalize_values",
+    "cohort_retention_weekly",
+    "interarrival_stats_by_type",
+    "latest_event_per_user_asof",
+    "user_type_entropy",
 ]
 
 

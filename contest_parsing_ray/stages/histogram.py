@@ -206,3 +206,86 @@ def value_drift_psi(
         partials, [key_col], finish,
         num_partitions=num_partitions, batch_format="pandas",
     )
+
+
+def key_mix_entropy(
+    ds: "ray.data.Dataset",
+    entity_col: str,
+    cat_col: str,
+    num_partitions: int | None = None,
+):
+    """Per-entity Shannon entropy (natural log) of its category mix —
+    e.g. how diverse each user's event types are (an engagement-diversity
+    feature). → ``(entity, n_events, n_cats, entropy)``; single-category
+    entities get exactly 0.0; null entities/categories are dropped.
+
+    Scale shape: each batch collapses to (entity, cat, cnt) partials via
+    one composite-code bincount (rows out ∝ distinct pairs in the batch,
+    never events); ONE entity-hash exchange; the per-entity reduction is
+    H = ln(N) - Σ c·ln(c) / N over grouped sums — all C-level. The
+    unbounded entity dimension stays inside its partition.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ._shuffle import hash_partitioned_map
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = t[entity_col].combine_chunks().dictionary_encode()
+        c = t[cat_col].combine_chunks().dictionary_encode()
+        ei = e.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ci = c.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = (ei >= 0) & (ci >= 0)
+        ei, ci = ei[keep], ci[keep]
+        k = len(c.dictionary)
+        if not len(ei) or k == 0:
+            return pa.table({
+                entity_col: pa.array([], e.dictionary.type),
+                cat_col: pa.array([], c.dictionary.type),
+                "cnt": pa.array([], pa.int64()),
+            })
+        comp = ei * k + ci
+        cnt = np.bincount(comp)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            entity_col: e.dictionary.take(pa.array(nz // k, pa.int64())),
+            cat_col: c.dictionary.take(pa.array(nz % k, pa.int64())),
+            "cnt": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    pairs = ds.select_columns([entity_col, cat_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                entity_col: pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype=np.int64),
+                "n_cats": pd.Series([], dtype=np.int64),
+                "entropy": pd.Series([], dtype=np.float64),
+            })
+        g = (df.groupby([entity_col, cat_col], sort=False)["cnt"].sum()
+             .reset_index())
+        c = g["cnt"].to_numpy(np.float64)
+        g["clnc"] = c * np.log(c)
+        agg = g.groupby(entity_col, sort=False).agg(
+            n_events=("cnt", "sum"), n_cats=("cnt", "size"),
+            clnc=("clnc", "sum"),
+        ).reset_index()
+        n = agg["n_events"].to_numpy(np.float64)
+        h = np.log(n) - agg["clnc"].to_numpy(np.float64) / n
+        # single-category entities: exactly 0, not ln-rounding dust
+        h[agg["n_cats"].to_numpy() == 1] = 0.0
+        agg["entropy"] = np.maximum(h, 0.0)
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        agg["n_cats"] = agg["n_cats"].astype(np.int64)
+        return agg[[entity_col, "n_events", "n_cats", "entropy"]]
+
+    return hash_partitioned_map(
+        pairs, [entity_col], reduce,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

@@ -352,3 +352,43 @@ FROM p JOIN f USING (u) GROUP BY 1, 2""").fetchall():
     # diagonal sanity: every cohort is fully present in its own period
     firsts = {c: v for (c, b), v in want.items() if b == c}
     assert all(got[(c, c)] == v for c, v in firsts.items())
+
+
+def test_key_mix_entropy_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from contest_parsing_ray.stages.histogram import key_mix_entropy
+
+    rng = np.random.default_rng(43)
+    n = 2500
+    df = pd.DataFrame({
+        "u": rng.choice([f"u{i}" for i in range(60)], n),
+        "c": rng.choice(["a", "b", "c", "d"], n, p=[0.5, 0.3, 0.15, 0.05]),
+    })
+    df.loc[:20, "c"] = "a"  # make at least one heavily-skewed user likely
+    df = pd.concat([df, pd.DataFrame(
+        {"u": ["mono"] * 5, "c": ["a"] * 5})], ignore_index=True)
+    out = key_mix_entropy(
+        ray.data.from_pandas(df).repartition(6), "u", "c"
+    ).to_pandas().set_index("u").sort_index()
+    con = duckdb.connect()
+    con.register("s", df)
+    want = con.execute("""
+WITH g AS (
+  SELECT u, c, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM s WHERE u IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2
+), a AS (
+  SELECT u, SUM(cnt) AS n, COUNT(*) AS k, SUM(cnt * ln(cnt)) AS clnc
+  FROM g GROUP BY 1
+)
+SELECT u, CAST(n AS BIGINT) AS n_events, CAST(k AS BIGINT) AS n_cats,
+       CASE WHEN k = 1 THEN 0.0
+            ELSE GREATEST(ln(n) - clnc / n, 0.0) END AS entropy
+FROM a ORDER BY u""").df().set_index("u").sort_index()
+    assert (out["n_events"] == want["n_events"]).all()
+    assert (out["n_cats"] == want["n_cats"]).all()
+    assert np.allclose(out["entropy"], want["entropy"], atol=1e-9)
+    assert out.loc["mono", "entropy"] == 0.0
