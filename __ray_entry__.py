@@ -1709,6 +1709,20 @@ def _q_user_entropy(sf_dir: str):
     return _round_cols(out, ["entropy"])
 
 
+SLIDING_WIN = 24  # trailing 24 x 1h buckets
+
+
+def _q_sliding_distinct(sf_dir: str):
+    """EXACT trailing-24h distinct active users per present 1h bucket —
+    the sliding COUNT(DISTINCT) SQL has no window form of: per-user
+    coverage intervals merged in-partition, +-1 boundary deltas out,
+    driver prefix sum over the bucket grid."""
+    from contest_parsing_ray.stages.cumulative import sliding_distinct
+
+    ev = _events(sf_dir, columns=["ts", "user_id"])
+    return sliding_distinct(ev, "user_id", "event_time_us", W1H, SLIDING_WIN)
+
+
 def _q_events_in_sessions(sf_dir: str):
     """Range join (BETWEEN): assign every event to its session interval —
     sessions built by the sessionizer, events matched by ts ∈ [start, end]
@@ -1940,6 +1954,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user_asof": _q_latest_asof,
         # engagement diversity: per-user event-type mix entropy
         "user_type_entropy": _q_user_entropy,
+        # exact sliding-window COUNT(DISTINCT): trailing 24h active users
+        "sliding_distinct_users_24h": _q_sliding_distinct,
     }
 
 
@@ -2979,6 +2995,17 @@ SELECT user_id, CAST(n AS BIGINT) AS n_events, CAST(k AS BIGINT) AS n_cats,
        ROUND(CASE WHEN k = 1 THEN 0.0
                   ELSE GREATEST(ln(n) - clnc / n, 0.0) END, 6) AS entropy
 FROM a
+""",
+        "sliding_distinct_users_24h": f"""
+WITH p AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // {W1H}) * {W1H} AS b
+  FROM events WHERE user_id IS NOT NULL
+), grid AS (SELECT DISTINCT (epoch_us(ts) // {W1H}) * {W1H} AS b FROM events)
+SELECT g.b AS bucket_us, CAST(COUNT(DISTINCT p.user_id) AS BIGINT)
+         AS n_active
+FROM grid g LEFT JOIN p
+  ON p.b BETWEEN g.b - {(SLIDING_WIN - 1) * W1H} AND g.b
+GROUP BY 1
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

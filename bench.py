@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "interarrival_stats_by_type",
     "latest_event_per_user_asof",
     "user_type_entropy",
+    "sliding_distinct_users_24h",
 ]
 
 

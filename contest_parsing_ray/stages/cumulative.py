@@ -298,3 +298,115 @@ def cohort_retention(
         "bucket_us": pa.array([k[1] for k in ks], pa.int64()),
         "n_users": pa.array([acc[k] for k in ks], pa.int64()),
     })
+
+
+def sliding_distinct(
+    events: "ray.data.Dataset",
+    user_col: str,
+    ts_col: str,
+    width_us: int,
+    window_buckets: int,
+    num_partitions: int | None = None,
+):
+    """EXACT distinct entities active in the trailing ``window_buckets``
+    periods of each present bucket → ``(bucket_us, n_active)`` — the
+    sliding-window COUNT(DISTINCT) SQL has no window form of.
+
+    No per-window distinct is ever computed: a user active in bucket b
+    covers windows [b, b + (window-1)·W]; merging each user's coverage
+    intervals (the gaps-and-islands sweep, vectorized across users) turns
+    the whole problem into ±1 boundary deltas — at most 2 rows per island
+    leave a partition. The driver prefix-sums the deltas and reads the
+    count off at every present bucket. User dimension stays co-located;
+    driver state is O(distinct buckets). Null users dropped.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ._shuffle import hash_partitioned_map
+
+    span = window_buckets * width_us
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        u = t[user_col].combine_chunks()
+        b = (t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+             // width_us) * width_us
+        enc = u.dictionary_encode()
+        uid = enc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = uid >= 0
+        uid, b = uid[keep], b[keep]
+        order = np.lexsort((b, uid))
+        us, bs = uid[order], b[order]
+        new = np.ones(len(us), dtype=bool)
+        new[1:] = (us[1:] != us[:-1]) | (bs[1:] != bs[:-1])
+        return pa.table({
+            user_col: enc.dictionary.take(pa.array(us[new], pa.int64())),
+            "bucket_us": pa.array(bs[new], pa.int64()),
+        })
+
+    pairs = events.select_columns([user_col, ts_col]).map_batches(
+        distinct_pairs, batch_format="pyarrow"
+    )
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "pos_us": pd.Series([], dtype=np.int64),
+                "delta": pd.Series([], dtype=np.int64),
+            })
+        df = df.drop_duplicates([user_col, "bucket_us"])
+        codes, _ = pd.factorize(df[user_col], sort=False,
+                                use_na_sentinel=False)
+        s = df["bucket_us"].to_numpy(np.int64)
+        e = s + span  # exclusive end of the covered window range
+        order = np.lexsort((s, codes))
+        cs, ss, es = codes[order], s[order], e[order]
+        cummax = pd.Series(es).groupby(cs).cummax().to_numpy()
+        prev = pd.Series(cummax).groupby(cs).shift(1).to_numpy()
+        brk = np.isnan(prev) | (ss > prev)
+        starts_idx = np.flatnonzero(brk)
+        end_idx = np.append(starts_idx[1:], len(cs)) - 1
+        pos = np.concatenate([ss[starts_idx], cummax[end_idx]])
+        dlt = np.concatenate([
+            np.ones(len(starts_idx), dtype=np.int64),
+            -np.ones(len(starts_idx), dtype=np.int64),
+        ])
+        out = (pd.DataFrame({"pos_us": pos.astype(np.int64), "delta": dlt})
+               .groupby("pos_us", sort=False)["delta"].sum().reset_index())
+        return out
+
+    parts = hash_partitioned_map(
+        pairs, [user_col], deltas,
+        num_partitions=num_partitions, batch_format="pandas",
+    )
+
+    # grid of present buckets: tiny per-batch unique partials
+    def grid_partial(t: pa.Table) -> pa.Table:
+        b = (t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+             // width_us) * width_us
+        return pa.table({"bucket_us": pa.array(np.unique(b))})
+
+    grid: set[int] = set()
+    for rb in events.select_columns([ts_col]).map_batches(
+        grid_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
+        grid.update(t["bucket_us"].to_pylist())
+
+    acc: dict[int, int] = {}
+    for rb in parts.iter_batches(batch_format="pandas"):
+        for p, d in zip(rb["pos_us"], rb["delta"]):
+            acc[int(p)] = acc.get(int(p), 0) + int(d)
+    pos = np.array(sorted(acc), dtype=np.int64)
+    run = np.cumsum([acc[int(p)] for p in pos]) if len(pos) else np.array([])
+    gb = np.array(sorted(grid), dtype=np.int64)
+    # count at bucket b = running sum after all deltas with pos <= b
+    idx = np.searchsorted(pos, gb, side="right") - 1
+    counts = np.where(idx >= 0, run[np.maximum(idx, 0)], 0) if len(pos) else (
+        np.zeros(len(gb)))
+    return pa.table({
+        "bucket_us": pa.array(gb, pa.int64()),
+        "n_active": pa.array(counts.astype(np.int64), pa.int64()),
+    })

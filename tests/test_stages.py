@@ -392,3 +392,36 @@ FROM a ORDER BY u""").df().set_index("u").sort_index()
     assert (out["n_cats"] == want["n_cats"]).all()
     assert np.allclose(out["entropy"], want["entropy"], atol=1e-9)
     assert out.loc["mono", "entropy"] == 0.0
+
+
+def test_sliding_distinct_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from contest_parsing_ray.stages.cumulative import sliding_distinct
+
+    rng = np.random.default_rng(47)
+    n = 4000
+    W, WIN = 100, 24
+    df = pd.DataFrame({
+        "u": rng.choice([f"u{i}" for i in range(80)], n),
+        "t": rng.integers(0, 20_000, n).astype(np.int64),
+    })
+    df.loc[rng.integers(0, n, 25), "u"] = None
+    out = sliding_distinct(
+        ray.data.from_pandas(df).repartition(7), "u", "t", W, WIN
+    ).to_pandas()
+    got = dict(zip(out["bucket_us"], out["n_active"]))
+    con = duckdb.connect()
+    con.register("s", df)
+    want = dict(con.execute(f"""
+WITH p AS (
+  SELECT DISTINCT u, (t // {W}) * {W} AS b
+  FROM s WHERE u IS NOT NULL
+), grid AS (SELECT DISTINCT (t // {W}) * {W} AS b FROM s)
+SELECT g.b, CAST(COUNT(DISTINCT p.u) AS BIGINT)
+FROM grid g LEFT JOIN p ON p.b BETWEEN g.b - {(WIN - 1) * W} AND g.b
+GROUP BY 1""").fetchall())
+    assert got == want
