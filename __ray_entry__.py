@@ -1723,6 +1723,19 @@ def _q_sliding_distinct(sf_dir: str):
     return sliding_distinct(ev, "user_id", "event_time_us", W1H, SLIDING_WIN)
 
 
+W1D = 24 * W1H
+
+
+def _q_growth(sf_dir: str):
+    """Daily growth accounting: each present day decomposed into new /
+    retained / resurrected / churned users (churn attributed to the day
+    the user went missing)."""
+    from contest_parsing_ray.stages.cumulative import growth_accounting
+
+    ev = _events(sf_dir, columns=["ts", "user_id"])
+    return growth_accounting(ev, "user_id", "event_time_us", W1D)
+
+
 def _q_events_in_sessions(sf_dir: str):
     """Range join (BETWEEN): assign every event to its session interval —
     sessions built by the sessionizer, events matched by ts ∈ [start, end]
@@ -1956,6 +1969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_entropy": _q_user_entropy,
         # exact sliding-window COUNT(DISTINCT): trailing 24h active users
         "sliding_distinct_users_24h": _q_sliding_distinct,
+        # daily growth accounting: new/retained/resurrected/churned
+        "growth_accounting_1d": _q_growth,
     }
 
 
@@ -3006,6 +3021,32 @@ SELECT g.b AS bucket_us, CAST(COUNT(DISTINCT p.user_id) AS BIGINT)
 FROM grid g LEFT JOIN p
   ON p.b BETWEEN g.b - {(SLIDING_WIN - 1) * W1H} AND g.b
 GROUP BY 1
+""",
+        "growth_accounting_1d": f"""
+WITH p AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // {24 * W1H}) * {24 * W1H} AS b
+  FROM events WHERE user_id IS NOT NULL
+), f AS (SELECT user_id, MIN(b) AS first_b FROM p GROUP BY user_id),
+grid AS (
+  SELECT DISTINCT (epoch_us(ts) // {24 * W1H}) * {24 * W1H} AS b FROM events
+)
+SELECT g.b AS bucket_us,
+  CAST(COALESCE(SUM(CASE WHEN p.b = f.first_b THEN 1 END), 0) AS BIGINT)
+    AS n_new,
+  CAST(COALESCE(SUM(CASE WHEN p.b > f.first_b AND pr.user_id IS NOT NULL
+                     THEN 1 END), 0) AS BIGINT) AS n_retained,
+  CAST(COALESCE(SUM(CASE WHEN p.b > f.first_b AND pr.user_id IS NULL
+                     THEN 1 END), 0) AS BIGINT) AS n_resurrected,
+  CAST((SELECT COUNT(*) FROM p q
+        WHERE q.b = g.b - {24 * W1H}
+          AND NOT EXISTS (SELECT 1 FROM p r
+                          WHERE r.user_id = q.user_id AND r.b = g.b))
+       AS BIGINT) AS n_churned
+FROM grid g
+LEFT JOIN p ON p.b = g.b
+LEFT JOIN f ON f.user_id = p.user_id
+LEFT JOIN p pr ON pr.user_id = p.user_id AND pr.b = p.b - {24 * W1H}
+GROUP BY g.b
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

@@ -425,3 +425,50 @@ SELECT g.b, CAST(COUNT(DISTINCT p.u) AS BIGINT)
 FROM grid g LEFT JOIN p ON p.b BETWEEN g.b - {(WIN - 1) * W} AND g.b
 GROUP BY 1""").fetchall())
     assert got == want
+
+
+def test_growth_accounting_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from contest_parsing_ray.stages.cumulative import growth_accounting
+
+    rng = np.random.default_rng(53)
+    n = 3000
+    W = 100
+    df = pd.DataFrame({
+        "u": rng.choice([f"u{i}" for i in range(70)], n),
+        "t": rng.integers(0, 3000, n).astype(np.int64),
+    })
+    df.loc[rng.integers(0, n, 15), "u"] = None
+    out = growth_accounting(
+        ray.data.from_pandas(df).repartition(7), "u", "t", W
+    ).to_pandas().set_index("bucket_us")
+    con = duckdb.connect()
+    con.register("s", df)
+    want = con.execute(f"""
+WITH p AS (
+  SELECT DISTINCT u, (t // {W}) * {W} AS b FROM s WHERE u IS NOT NULL
+), f AS (SELECT u, MIN(b) AS first_b FROM p GROUP BY u),
+grid AS (SELECT DISTINCT (t // {W}) * {W} AS b FROM s)
+SELECT g.b AS bucket_us,
+  CAST(COALESCE(SUM(CASE WHEN p.b = f.first_b THEN 1 END), 0) AS BIGINT)
+    AS n_new,
+  CAST(COALESCE(SUM(CASE WHEN p.b > f.first_b AND pr.u IS NOT NULL
+                     THEN 1 END), 0) AS BIGINT) AS n_retained,
+  CAST(COALESCE(SUM(CASE WHEN p.b > f.first_b AND pr.u IS NULL
+                     THEN 1 END), 0) AS BIGINT) AS n_resurrected,
+  CAST((SELECT COUNT(*) FROM p q
+        WHERE q.b = g.b - {W}
+          AND NOT EXISTS (SELECT 1 FROM p r
+                          WHERE r.u = q.u AND r.b = g.b)) AS BIGINT)
+    AS n_churned
+FROM grid g
+LEFT JOIN p ON p.b = g.b
+LEFT JOIN f ON f.u = p.u
+LEFT JOIN p pr ON pr.u = p.u AND pr.b = p.b - {W}
+GROUP BY g.b ORDER BY g.b""").df().set_index("bucket_us")
+    pd.testing.assert_frame_equal(out.sort_index(), want.sort_index(),
+                                  check_dtype=False)
