@@ -1736,6 +1736,20 @@ def _q_growth(sf_dir: str):
     return growth_accounting(ev, "user_id", "event_time_us", W1D)
 
 
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def _q_funnel(sf_dir: str):
+    """Ordered funnel: users performing signup -> click -> purchase IN
+    ORDER (each step strictly after the earliest completion of the
+    previous). Per-user co-located, vectorized per step."""
+    from contest_parsing_ray.stages.cumulative import funnel
+
+    ev = _events(sf_dir, columns=["ts", "user_id", "event_type"])
+    return funnel(ev, "user_id", "event_time_us", "event_type",
+                  FUNNEL_STEPS)
+
+
 def _q_events_in_sessions(sf_dir: str):
     """Range join (BETWEEN): assign every event to its session interval —
     sessions built by the sessionizer, events matched by ts ∈ [start, end]
@@ -1971,6 +1985,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users_24h": _q_sliding_distinct,
         # daily growth accounting: new/retained/resurrected/churned
         "growth_accounting_1d": _q_growth,
+        # ordered funnel conversion (signup -> click -> purchase)
+        "funnel_signup_click_purchase": _q_funnel,
     }
 
 
@@ -3047,6 +3063,26 @@ LEFT JOIN p ON p.b = g.b
 LEFT JOIN f ON f.user_id = p.user_id
 LEFT JOIN p pr ON pr.user_id = p.user_id AND pr.b = p.b - {24 * W1H}
 GROUP BY g.b
+""",
+        "funnel_signup_click_purchase": """
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'signup' AS event_type,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "latest_event_per_user_asof",
     "user_type_entropy",
     "sliding_distinct_users_24h",
+    "growth_accounting_1d",
+    "funnel_signup_click_purchase",
 ]
 
 

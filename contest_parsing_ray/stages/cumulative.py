@@ -543,3 +543,65 @@ def growth_accounting(
         "n_resurrected": pa.array(cols[:, 2]),
         "n_churned": pa.array(cols[:, 3]),
     })
+
+
+def funnel(
+    events: "ray.data.Dataset",
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    num_partitions: int | None = None,
+):
+    """Ordered funnel conversion: for each prefix of ``steps``, how many
+    users performed them IN ORDER (step k strictly after their earliest
+    completion of step k-1; first occurrence greedily chosen, the standard
+    funnel semantics) → ``(step, event_type, n_users)``.
+
+    One user exchange; inside a partition each step is a filtered grouped
+    min joined against the previous step's per-user threshold — vectorized
+    across users, loop only over the (few) steps. Each partition emits one
+    count per step; the driver sums. Null users dropped.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ._shuffle import hash_partitioned_map
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+
+    def count_steps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[user_col].notna()]
+        counts = []
+        thresh = None  # pd.Series: user -> completion time of prev step
+        for k, s in enumerate(steps):
+            sub = df[df[type_col] == s]
+            if thresh is not None:
+                t = sub[user_col].map(thresh)
+                sub = sub[t.notna() & (sub[ts_col] > t)]
+            if len(sub) == 0:
+                counts.extend([0] * (len(steps) - k))
+                break
+            thresh = sub.groupby(user_col, sort=False)[ts_col].min()
+            counts.append(len(thresh))
+        return pd.DataFrame({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "n_users": np.array(counts, dtype=np.int64),
+        })
+
+    cols = [user_col, ts_col, type_col]
+    parts = hash_partitioned_map(
+        events.select_columns(cols), [user_col], count_steps,
+        num_partitions=num_partitions, batch_format="pandas",
+    )
+    totals = np.zeros(len(steps), dtype=np.int64)
+    for rb in parts.iter_batches(batch_format="pandas"):
+        for st, n in zip(rb["step"], rb["n_users"]):
+            totals[int(st) - 1] += int(n)
+    return pa.table({
+        "step": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+        "event_type": pa.array(list(steps), pa.string()),
+        "n_users": pa.array(totals),
+    })

@@ -472,3 +472,47 @@ LEFT JOIN p pr ON pr.u = p.u AND pr.b = p.b - {W}
 GROUP BY g.b ORDER BY g.b""").df().set_index("bucket_us")
     pd.testing.assert_frame_equal(out.sort_index(), want.sort_index(),
                                   check_dtype=False)
+
+
+def test_funnel_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from contest_parsing_ray.stages.cumulative import funnel
+
+    rng = np.random.default_rng(59)
+    n = 4000
+    df = pd.DataFrame({
+        "u": rng.choice([f"u{i}" for i in range(120)], n),
+        "c": rng.choice(["signup", "click", "purchase", "view"], n),
+        "t": rng.integers(0, 100_000, n).astype(np.int64),
+    })
+    # a user who purchases BEFORE clicking must not count as step 3
+    df = pd.concat([df, pd.DataFrame({
+        "u": ["order_matters"] * 3,
+        "c": ["purchase", "signup", "click"],
+        "t": [10, 20, 30],
+    })], ignore_index=True)
+    out = funnel(
+        ray.data.from_pandas(df).repartition(7), "u", "t", "c",
+        ["signup", "click", "purchase"],
+    ).to_pandas()
+    got = dict(zip(out["step"], out["n_users"]))
+    con = duckdb.connect()
+    con.register("s", df)
+    want = con.execute("""
+WITH s1 AS (
+  SELECT u, MIN(t) AS t1 FROM s WHERE c = 'signup' GROUP BY u
+), s2 AS (
+  SELECT e.u, MIN(e.t) AS t2 FROM s e JOIN s1 USING (u)
+  WHERE e.c = 'click' AND e.t > s1.t1 GROUP BY e.u
+), s3 AS (
+  SELECT e.u, MIN(e.t) AS t3 FROM s e JOIN s2 USING (u)
+  WHERE e.c = 'purchase' AND e.t > s2.t2 GROUP BY e.u
+)
+SELECT (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2),
+       (SELECT COUNT(*) FROM s3)""").fetchone()
+    assert (got[1], got[2], got[3]) == want
+    assert got[1] >= got[2] >= got[3] > 0
