@@ -1750,6 +1750,23 @@ def _q_funnel(sf_dir: str):
                   FUNNEL_STEPS)
 
 
+def _q_transitions(sf_dir: str):
+    """First-order Markov transition matrix between consecutive event
+    types per user (LAG semantics, deterministic (ts, event_id) order),
+    with row-normalized probabilities."""
+    from contest_parsing_ray.stages.cumulative import transition_matrix
+
+    ev = _events(sf_dir, columns=["ts", "event_id", "user_id", "event_type"])
+    out = transition_matrix(
+        ev, "user_id", "event_time_us", "event_type", "event_id"
+    )
+    import pyarrow.compute as pc
+
+    return out.set_column(
+        out.schema.get_field_index("p"), "p", pc.round(out["p"], 6)
+    )
+
+
 def _q_events_in_sessions(sf_dir: str):
     """Range join (BETWEEN): assign every event to its session interval —
     sessions built by the sessionizer, events matched by ts ∈ [start, end]
@@ -1987,6 +2004,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "growth_accounting_1d": _q_growth,
         # ordered funnel conversion (signup -> click -> purchase)
         "funnel_signup_click_purchase": _q_funnel,
+        # sequence modeling: per-user event-type transition matrix
+        "type_transition_matrix": _q_transitions,
     }
 
 
@@ -3083,6 +3102,21 @@ SELECT 1 AS step, 'signup' AS event_type,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
 UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
 UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+""",
+        "type_transition_matrix": """
+WITH q AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events WHERE user_id IS NOT NULL
+), g AS (
+  SELECT prev AS from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM q WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, cnt,
+       ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY from_type), 6) AS p
+FROM g
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

@@ -605,3 +605,71 @@ def funnel(
         "event_type": pa.array(list(steps), pa.string()),
         "n_users": pa.array(totals),
     })
+
+
+def transition_matrix(
+    events: "ray.data.Dataset",
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str,
+    num_partitions: int | None = None,
+):
+    """First-order Markov transition counts between consecutive events of
+    the same user (ordered by ``(ts, order_col)``) → ``(from_type,
+    to_type, cnt, p)`` with ``p`` the row-normalized probability (SQL:
+    LAG + group count / window sum). Null users dropped; a null type is
+    its own state only if present (matches SQL grouping on the LAG pair
+    where both grouping keys may be NULL — events data has none).
+
+    One user exchange of 4 projected columns; the pair extraction is a
+    lexsort + shift inside each partition, and only (from, to, cnt)
+    partials — bounded by types² — leave it.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ._shuffle import hash_partitioned_map
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[user_col].notna()]
+        if len(df) < 2:
+            return pd.DataFrame({
+                "from_type": pd.Series([], dtype=object),
+                "to_type": pd.Series([], dtype=object),
+                "cnt": pd.Series([], dtype=np.int64),
+            })
+        codes, _ = pd.factorize(df[user_col], sort=False)
+        ts = df[ts_col].to_numpy(np.int64)
+        ordv = df[order_col].to_numpy()
+        order = np.lexsort((ordv, ts, codes))
+        cs = codes[order]
+        tp = df[type_col].to_numpy()[order]
+        same = cs[1:] == cs[:-1]
+        out = (pd.DataFrame({"from_type": tp[:-1][same],
+                             "to_type": tp[1:][same]})
+               .groupby(["from_type", "to_type"], sort=False, dropna=False)
+               .size().rename("cnt").reset_index())
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    cols = [user_col, ts_col, type_col, order_col]
+    parts = hash_partitioned_map(
+        events.select_columns(cols), [user_col], pairs,
+        num_partitions=num_partitions, batch_format="pandas",
+    )
+    acc: dict[tuple, int] = {}
+    for rb in parts.iter_batches(batch_format="pandas"):
+        for f, t_, c in zip(rb["from_type"], rb["to_type"], rb["cnt"]):
+            acc[(f, t_)] = acc.get((f, t_), 0) + int(c)
+    row_tot: dict[object, int] = {}
+    for (f, _), c in acc.items():
+        row_tot[f] = row_tot.get(f, 0) + c
+    ks = sorted(acc)
+    return pa.table({
+        "from_type": pa.array([k[0] for k in ks], pa.string()),
+        "to_type": pa.array([k[1] for k in ks], pa.string()),
+        "cnt": pa.array([acc[k] for k in ks], pa.int64()),
+        "p": pa.array([acc[k] / row_tot[k[0]] for k in ks], pa.float64()),
+    })

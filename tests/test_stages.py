@@ -516,3 +516,42 @@ SELECT (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2),
        (SELECT COUNT(*) FROM s3)""").fetchone()
     assert (got[1], got[2], got[3]) == want
     assert got[1] >= got[2] >= got[3] > 0
+
+
+def test_transition_matrix_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from contest_parsing_ray.stages.cumulative import transition_matrix
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    df = pd.DataFrame({
+        "u": rng.choice([f"u{i}" for i in range(50)], n),
+        "c": rng.choice(["a", "b", "c"], n),
+        "t": rng.integers(0, 50_000, n).astype(np.int64),
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    out = transition_matrix(
+        ray.data.from_pandas(df).repartition(6), "u", "t", "c", "rid"
+    ).to_pandas()
+    got = {(r.from_type, r.to_type): (r.cnt, round(r.p, 9))
+           for r in out.itertuples()}
+    con = duckdb.connect()
+    con.register("s", df)
+    want = {}
+    for f, t_, c, p in con.execute("""
+WITH q AS (
+  SELECT u, c, LAG(c) OVER (PARTITION BY u ORDER BY t, rid) AS prev
+  FROM s
+), g AS (
+  SELECT prev AS from_type, c AS to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM q WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, cnt,
+       ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY from_type), 9) AS p
+FROM g""").fetchall():
+        want[(f, t_)] = (c, p)
+    assert got == want
