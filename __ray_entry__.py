@@ -1767,6 +1767,28 @@ def _q_transitions(sf_dir: str):
     )
 
 
+def _q_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the per-type 1h count series (ROW-lag corr
+    semantics) — how self-similar each type's traffic is hour-over-hour."""
+    from contest_parsing_ray.stages.corr import autocorr
+    from contest_parsing_ray.stages.rollup import rollup_tiers
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    r = rollup_tiers(
+        ev, {"1h": W1H}, value_col="value", key_col="event_type",
+        ts_col="event_time_us",
+    )["1h"]
+    out = autocorr(
+        r.select_columns(["event_type", "bucket_us", "cnt"]),
+        key_col="event_type", ts_col="bucket_us", value_col="cnt", lag=1,
+    )
+    import pyarrow.compute as pc
+
+    return out.set_column(
+        out.schema.get_field_index("acf"), "acf", pc.round(out["acf"], 6)
+    )
+
+
 def _q_events_in_sessions(sf_dir: str):
     """Range join (BETWEEN): assign every event to its session interval —
     sessions built by the sessionizer, events matched by ts ∈ [start, end]
@@ -2006,6 +2028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_signup_click_purchase": _q_funnel,
         # sequence modeling: per-user event-type transition matrix
         "type_transition_matrix": _q_transitions,
+        # lag-1 autocorrelation of the 1h series
+        "autocorr_lag1_1h": _q_autocorr,
     }
 
 
@@ -3117,6 +3141,21 @@ WITH q AS (
 SELECT from_type, to_type, cnt,
        ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY from_type), 6) AS p
 FROM g
+""",
+        "autocorr_lag1_1h": f"""
+WITH r AS (
+  SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, cnt,
+         LAG(cnt, 1) OVER (PARTITION BY event_type ORDER BY bucket_us)
+           AS prev
+  FROM r
+)
+SELECT event_type, CAST(COUNT(prev) AS BIGINT) AS n,
+       ROUND(corr(cnt, prev), 6) AS acf
+FROM l GROUP BY event_type
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

@@ -176,3 +176,61 @@ def trend_slope(
             [None if pd.isna(v) else float(v) for v in res["intercept"]],
             pa.float64()),
     })
+
+
+def autocorr(
+    series: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lag: int = 1,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Per-key lag-``lag`` autocorrelation of an ordered series (SQL
+    ``corr(x, LAG(x, lag))`` row semantics — ROW lag, not time lag) →
+    small ``(key, n, acf)`` table; NULL when fewer than 2 pairs or zero
+    variance on either side. Same one-exchange compact-series shape as
+    trend_slope.
+    """
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+
+    def fit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[key_col].notna()]
+        rows = []
+        for k, sub in df.groupby(key_col, sort=False):
+            sub = sub.sort_values(ts_col, kind="stable")
+            x = sub[value_col].to_numpy(np.float64)
+            if len(x) <= lag:
+                rows.append((str(k), 0, None))
+                continue
+            a, b = x[lag:], x[:-lag]
+            m = ~(np.isnan(a) | np.isnan(b))
+            a, b = a[m], b[m]
+            n = len(a)
+            if n < 2:
+                rows.append((str(k), n, None))
+                continue
+            am, bm = a - a.mean(), b - b.mean()
+            den2 = (am * am).sum() * (bm * bm).sum()
+            acf = float((am * bm).sum() / np.sqrt(den2)) if den2 > 0 else None
+            rows.append((str(k), n, acf))
+        return pd.DataFrame(rows, columns=["key", "n", "acf"])
+
+    parts = hash_partitioned_map(
+        series.select_columns([key_col, ts_col, value_col]), [key_col],
+        fit, num_partitions=num_partitions, batch_format="pandas",
+    )
+    out = []
+    for rb in parts.iter_batches(batch_format="pandas"):
+        out.append(rb)
+    res = (pd.concat(out, ignore_index=True) if out
+           else pd.DataFrame(columns=["key", "n", "acf"]))
+    res = res.sort_values("key").reset_index(drop=True)
+    return pa.table({
+        key_col: pa.array(res["key"].tolist(), pa.string()),
+        "n": pa.array(res["n"].astype(np.int64).tolist(), pa.int64()),
+        "acf": pa.array(
+            [None if pd.isna(v) else float(v) for v in res["acf"]],
+            pa.float64()),
+    })

@@ -598,3 +598,37 @@ FROM g GROUP BY k""").df().set_index("k")
                        ("q95_gap_us", "q95")):
             g, w = out.loc[k, gc], want.loc[k, wc]
             assert (pd.isna(g) and pd.isna(w)) or abs(g - w) < 1e-9, (k, gc)
+
+
+def test_autocorr_matches_duckdb():
+    import duckdb
+
+    from contest_parsing_ray.stages.corr import autocorr
+
+    rng = np.random.default_rng(67)
+    rows = []
+    for k in ("smooth", "noise", "short"):
+        m = {"smooth": 300, "noise": 300, "short": 2}[k]
+        x = (np.cumsum(rng.normal(0, 1, m)) if k == "smooth"
+             else rng.normal(0, 1, m))
+        for i, v in enumerate(x):
+            rows.append((k, i, float(v)))
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    for lag in (1, 3):
+        out = autocorr(
+            ray.data.from_pandas(df).repartition(5), "k", "t", "v", lag=lag
+        ).to_pandas().set_index("k")
+        con = duckdb.connect()
+        con.register("s", df)
+        want = con.execute(f"""
+WITH l AS (
+  SELECT k, v, LAG(v, {lag}) OVER (PARTITION BY k ORDER BY t) AS prev
+  FROM s
+)
+SELECT k, CAST(COUNT(prev) AS BIGINT) AS n, corr(v, prev) AS acf
+FROM l GROUP BY k""").df().set_index("k")
+        for k in ("smooth", "noise", "short"):
+            assert out.loc[k, "n"] == want.loc[k, "n"], (k, lag)
+            g, w = out.loc[k, "acf"], want.loc[k, "acf"]
+            assert (pd.isna(g) and pd.isna(w)) or abs(g - w) < 1e-9
+    assert out.loc["smooth", "acf"] > 0.8  # random walk: high lag-ACF
