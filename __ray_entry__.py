@@ -1789,6 +1789,21 @@ def _q_autocorr(sf_dir: str):
     )
 
 
+SPLIT_FR = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_B1 = int(0.8 * 2**64)
+_SPLIT_B2 = int(0.9 * 2**64)
+
+
+def _q_split(sf_dir: str):
+    """Deterministic train/val/test assignment: md5-priority bands —
+    a pure function of doc_id, stable across cluster shapes, restarts
+    and engines (the oracle recomputes the same bands); shuffle-free."""
+    from contest_parsing_ray.stages.sampling import hash_split
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source"])
+    return hash_split(docs, "doc_id", SPLIT_FR)
+
+
 def _q_events_in_sessions(sf_dir: str):
     """Range join (BETWEEN): assign every event to its session interval —
     sessions built by the sessionizer, events matched by ts ∈ [start, end]
@@ -2030,6 +2045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_transition_matrix": _q_transitions,
         # lag-1 autocorrelation of the 1h series
         "autocorr_lag1_1h": _q_autocorr,
+        # data mixing: deterministic train/val/test split bands
+        "train_val_test_split": _q_split,
     }
 
 
@@ -3156,6 +3173,15 @@ WITH r AS (
 SELECT event_type, CAST(COUNT(prev) AS BIGINT) AS n,
        ROUND(corr(cnt, prev), 6) AS acf
 FROM l GROUP BY event_type
+""",
+        "train_val_test_split": f"""
+SELECT doc_id, source,
+  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+            AS UBIGINT) < {_SPLIT_B1} THEN 'train'
+       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+            AS UBIGINT) < {_SPLIT_B2} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

@@ -168,3 +168,41 @@ def hash_sample_weighted(
     pruned = ds.map_batches(partial, batch_format="pandas")
     top = pruned.sort(["__key", id_col], descending=[True, False]).limit(k)
     return top.map_batches(lambda df: df.drop(columns="__key"), batch_format="pandas")
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    id_col: str,
+    fractions: dict[str, float],
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: the md5 priority of the id
+    partitions [0, 2^64) into contiguous bands sized by ``fractions``
+    (insertion order; they must sum to 1). A row's split is a pure
+    function of its id — identical on any cluster shape, across restarts,
+    and across engines (the SQL oracle recomputes the same bands from the
+    same md5) — the property that keeps eval sets stable as the corpus
+    is re-sharded or appended to. Shuffle-free single map.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    # cumulative upper bounds in uint64 space; last band pinned to 2^64
+    bounds = []
+    acc = 0.0
+    for i, n in enumerate(names):
+        acc += fractions[n]
+        bounds.append((1 << 64) if i == len(names) - 1
+                      else min(int(acc * (1 << 64)), (1 << 64)))
+    i_bounds = [int(b) for b in bounds]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        pri = md5_priority(batch[id_col].to_pylist())
+        idx = np.zeros(len(pri), dtype=np.int64)
+        for i, ub in enumerate(i_bounds[:-1]):
+            idx += (pri >= np.uint64(ub)).astype(np.int64)
+        lab = pa.array([names[i] for i in idx], pa.string())
+        return batch.append_column(out_col, lab)
+
+    return ds.map_batches(assign, batch_format="pyarrow")

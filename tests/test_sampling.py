@@ -129,3 +129,41 @@ def test_weighted_sample_matches_reference_and_biases_heavy():
     assert heavy > 0.6
     with pytest.raises(ValueError, match="k must"):
         hash_sample_weighted(ray.data.from_pandas(df), "doc_id", "w", k=0)
+
+
+def test_hash_split_deterministic_and_proportional():
+    import duckdb
+    import pyarrow as pa
+
+    from contest_parsing_ray.stages.sampling import hash_split, md5_priority
+
+    ids = [f"doc{i}" for i in range(4000)]
+    t = pa.table({"doc_id": pa.array(ids)})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(
+        ray.data.from_arrow(t).repartition(5), "doc_id", fr
+    ).to_pandas().set_index("doc_id")["split"]
+    # engine assignment == direct band lookup of the md5 priority
+    pri = md5_priority(ids)
+    b1, b2 = int(0.8 * 2**64), int(0.9 * 2**64)
+    for i, d in enumerate(ids):
+        want = "train" if pri[i] < b1 else ("val" if pri[i] < b2 else "test")
+        assert out[d] == want
+    # == the SQL recomputation (portability across engines)
+    con = duckdb.connect()
+    con.register("docs", t)
+    sql = con.execute(f"""
+SELECT doc_id,
+  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+            AS UBIGINT) < {b1} THEN 'train'
+       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+            AS UBIGINT) < {b2} THEN 'val'
+       ELSE 'test' END AS split
+FROM docs""").df().set_index("doc_id")["split"]
+    assert (out.sort_index() == sql.sort_index()).all()
+    frac = out.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03 and abs(frac["val"] - 0.1) < 0.02
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        hash_split(ray.data.from_arrow(t), "doc_id", {"a": 0.5, "b": 0.4})
