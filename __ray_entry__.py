@@ -1804,6 +1804,22 @@ def _q_split(sf_dir: str):
     return hash_split(docs, "doc_id", SPLIT_FR)
 
 
+PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def _q_profile(sf_dir: str):
+    """Ingest data-quality audit: per column n / n_null / numeric-or-
+    temporal min/max (one streaming pass of mergeable scalar partials)."""
+    import ray.data
+
+    from contest_parsing_ray.stages.histogram import profile_columns
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=PROFILE_COLS
+    )
+    return profile_columns(ev)
+
+
 def _q_events_in_sessions(sf_dir: str):
     """Range join (BETWEEN): assign every event to its session interval —
     sessions built by the sessionizer, events matched by ts ∈ [start, end]
@@ -2047,6 +2063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_lag1_1h": _q_autocorr,
         # data mixing: deterministic train/val/test split bands
         "train_val_test_split": _q_split,
+        # ingest audit: per-column null/min/max profile
+        "profile_events": _q_profile,
     }
 
 
@@ -3183,6 +3201,15 @@ SELECT doc_id, source,
        ELSE 'test' END AS split
 FROM documents
 """,
+        "profile_events": """SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v FROM events
+UNION ALL
+SELECT 'ts' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(ts) AS BIGINT) AS n_null, CAST(MIN(epoch_us(ts)) AS DOUBLE) AS min_v, CAST(MAX(epoch_us(ts)) AS DOUBLE) AS max_v FROM events
+UNION ALL
+SELECT 'user_id' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS n_null, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v FROM events
+UNION ALL
+SELECT 'event_type' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_null, NULL AS min_v, NULL AS max_v FROM events
+UNION ALL
+SELECT 'value' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_null, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v FROM events""",
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash
         # banding, the Jaeger/Prometheus fixture chain, the fake multimodal

@@ -289,3 +289,74 @@ def key_mix_entropy(
         pairs, [entity_col], reduce,
         num_partitions=num_partitions, batch_format="pandas",
     )
+
+
+def profile_columns(
+    ds: "ray.data.Dataset",
+    columns: list[str] | None = None,
+    batch_size: int = 262_144,
+):
+    """Data-quality profile: one row per column — ``(column, n, n_null,
+    min_v, max_v)``, min/max as float64 for numeric/temporal columns and
+    NULL for strings/binary/lists (counts still reported). The audit that
+    gates an ingest: mergeable per-batch partials (a handful of scalars
+    per column per batch), driver fold, ONE streaming pass over only the
+    requested columns.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols, ns, nulls, mns, mxs = [], [], [], [], []
+        for name in t.column_names:
+            c = t[name]
+            cols.append(name)
+            ns.append(len(c))
+            nulls.append(c.null_count)
+            ty = c.type
+            numeric = (pa.types.is_integer(ty) or pa.types.is_floating(ty)
+                       or pa.types.is_timestamp(ty))
+            if numeric and len(c) > c.null_count:
+                cc = c.cast(pa.int64()) if pa.types.is_timestamp(ty) else c
+                mm = pc.min_max(cc)
+                mns.append(float(mm["min"].cast(pa.float64()).as_py()))
+                mxs.append(float(mm["max"].cast(pa.float64()).as_py()))
+            else:
+                mns.append(None)
+                mxs.append(None)
+        return pa.table({
+            "column": pa.array(cols, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_null": pa.array(nulls, pa.int64()),
+            "min_v": pa.array(mns, pa.float64()),
+            "max_v": pa.array(mxs, pa.float64()),
+        })
+
+    if columns:
+        ds = ds.select_columns(columns)
+    acc: dict[str, list] = {}
+    for rb in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
+        for name, n, nn, mn, mx in zip(
+            t["column"].to_pylist(), t["n"].to_pylist(),
+            t["n_null"].to_pylist(), t["min_v"].to_pylist(),
+            t["max_v"].to_pylist(),
+        ):
+            row = acc.setdefault(name, [0, 0, None, None])
+            row[0] += n
+            row[1] += nn
+            if mn is not None:
+                row[2] = mn if row[2] is None else min(row[2], mn)
+            if mx is not None:
+                row[3] = mx if row[3] is None else max(row[3], mx)
+    ks = sorted(acc)
+    return pa.table({
+        "column": pa.array(ks, pa.string()),
+        "n": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "n_null": pa.array([acc[k][1] for k in ks], pa.int64()),
+        "min_v": pa.array([acc[k][2] for k in ks], pa.float64()),
+        "max_v": pa.array([acc[k][3] for k in ks], pa.float64()),
+    })

@@ -555,3 +555,25 @@ SELECT from_type, to_type, cnt,
 FROM g""").fetchall():
         want[(f, t_)] = (c, p)
     assert got == want
+
+
+def test_profile_columns_handcrafted():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from contest_parsing_ray.stages.histogram import profile_columns
+
+    t = pa.table({
+        "i": pa.array([3, None, 1, 7], pa.int64()),
+        "s": pa.array(["a", None, None, "b"]),
+        "f": pa.array([1.5, 2.5, None, -4.0], pa.float64()),
+    })
+    out = profile_columns(
+        ray.data.from_arrow(t).repartition(3), batch_size=2
+    ).to_pylist()
+    rows = {r["column"]: r for r in out}
+    assert rows["i"] == {"column": "i", "n": 4, "n_null": 1,
+                         "min_v": 1.0, "max_v": 7.0}
+    assert rows["s"]["n_null"] == 2 and rows["s"]["min_v"] is None
+    assert rows["f"]["min_v"] == -4.0 and rows["f"]["max_v"] == 2.5
