@@ -1820,6 +1820,18 @@ def _q_profile(sf_dir: str):
     return profile_columns(ev)
 
 
+def _q_conversion_lag(sf_dir: str):
+    """Time-to-convert distribution: first signup -> first subsequent
+    purchase per user; exact mean/median/p95 of the lags."""
+    from contest_parsing_ray.stages.cumulative import conversion_lag_stats
+
+    ev = _events(sf_dir, columns=["ts", "user_id", "event_type"])
+    return conversion_lag_stats(
+        ev, "user_id", "event_time_us", "event_type",
+        "signup", "purchase", qs=(0.5, 0.95),
+    )
+
+
 def _q_events_in_sessions(sf_dir: str):
     """Range join (BETWEEN): assign every event to its session interval —
     sessions built by the sessionizer, events matched by ts ∈ [start, end]
@@ -2065,6 +2077,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": _q_split,
         # ingest audit: per-column null/min/max profile
         "profile_events": _q_profile,
+        # time-to-convert distribution (signup -> purchase lags)
+        "conversion_lag_stats": _q_conversion_lag,
     }
 
 
@@ -3210,6 +3224,22 @@ UNION ALL
 SELECT 'event_type' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_null, NULL AS min_v, NULL AS max_v FROM events
 UNION ALL
 SELECT 'value' AS column, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_null, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v FROM events""",
+        "conversion_lag_stats": """
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2, MAX(s1.t1) AS t1
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+  GROUP BY e.user_id
+), l AS (SELECT t2 - t1 AS lag FROM s2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(SUM(lag) AS DOUBLE) / COUNT(*) AS mean_lag_us,
+       CAST(quantile_disc(lag, 0.5) AS DOUBLE) AS q50_lag_us,
+       CAST(quantile_disc(lag, 0.95) AS DOUBLE) AS q95_lag_us
+FROM l
+""",
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash
         # banding, the Jaeger/Prometheus fixture chain, the fake multimodal

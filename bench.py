@@ -99,6 +99,11 @@ BENCH_QUERIES = [
     "sliding_distinct_users_24h",
     "growth_accounting_1d",
     "funnel_signup_click_purchase",
+    "type_transition_matrix",
+    "autocorr_lag1_1h",
+    "train_val_test_split",
+    "profile_events",
+    "conversion_lag_stats",
 ]
 
 

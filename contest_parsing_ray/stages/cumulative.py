@@ -673,3 +673,73 @@ def transition_matrix(
         "cnt": pa.array([acc[k] for k in ks], pa.int64()),
         "p": pa.array([acc[k] / row_tot[k[0]] for k in ks], pa.float64()),
     })
+
+
+def conversion_lag_stats(
+    events: "ray.data.Dataset",
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    qs: tuple = (0.5, 0.95),
+    num_partitions: int | None = None,
+):
+    """Time-to-convert distribution: per user, the lag from the FIRST
+    ``from_type`` event to the first ``to_type`` event strictly after it
+    (funnel step semantics); lags reduced to ``(n_converted, mean_lag_us,
+    q<q>_lag_us ...)`` — one summary row. quantile_disc semantics; mean is
+    ONE double division of the exact int64 lag sum.
+
+    One user exchange; thresholds and lags are grouped mins in-partition;
+    each partition ships its raw lags (<= its user count, already a
+    reduction of events) and the driver selects the exact quantiles —
+    users converge to one scalar each, so the collect is entity-bounded.
+    For unbounded entity counts switch the final selection to
+    ``stages.quantiles.exact_quantiles`` over the lag Dataset.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ._shuffle import hash_partitioned_map
+
+    def lags(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[user_col].notna()]
+        a = df[df[type_col] == from_type]
+        if len(a) == 0:
+            return pd.DataFrame({"lag": pd.Series([], dtype=np.int64)})
+        t1 = a.groupby(user_col, sort=False)[ts_col].min()
+        b = df[df[type_col] == to_type]
+        tb = b[user_col].map(t1)
+        b = b[tb.notna() & (b[ts_col] > tb)]
+        if len(b) == 0:
+            return pd.DataFrame({"lag": pd.Series([], dtype=np.int64)})
+        t2 = b.groupby(user_col, sort=False)[ts_col].min()
+        lag = (t2 - t1.reindex(t2.index)).astype(np.int64)
+        return pd.DataFrame({"lag": lag.to_numpy()})
+
+    cols = [user_col, ts_col, type_col]
+    parts = hash_partitioned_map(
+        events.select_columns(cols), [user_col], lags,
+        num_partitions=num_partitions, batch_format="pandas",
+    )
+    all_lags = []
+    for rb in parts.iter_batches(batch_format="pandas"):
+        if len(rb):
+            all_lags.append(rb["lag"].to_numpy(np.int64))
+    lag = (np.concatenate(all_lags) if all_lags
+           else np.array([], dtype=np.int64))
+    n = len(lag)
+    cols_out = {"n_converted": pa.array([n], pa.int64()),
+                "mean_lag_us": pa.array(
+                    [int(lag.sum()) / n if n else None], pa.float64())}
+    for q in qs:
+        name = f"q{int(round(q * 100))}_lag_us"
+        if n:
+            j = max(0, int(-(-q * n // 1)) - 1)
+            cols_out[name] = pa.array(
+                [float(np.partition(lag, j)[j])], pa.float64())
+        else:
+            cols_out[name] = pa.array([None], pa.float64())
+    return pa.table(cols_out)
