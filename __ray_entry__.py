@@ -1832,6 +1832,24 @@ def _q_conversion_lag(sf_dir: str):
     )
 
 
+def _q_robust_z(sf_dir: str):
+    """Median/MAD robust z-score of events.value within each event_type
+    (heavy-tail-safe outlier score): two shared-pass exact-quantile
+    rounds (median, then MAD over the on-the-fly |x-med| column), bounds
+    broadcast, stateless vectorized score — no large-side shuffle."""
+    import ray.data
+
+    from contest_parsing_ray.stages.quantiles import robust_zscore_by_key
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    out = robust_zscore_by_key(ev, "event_type", "value",
+                               max_candidates=2048)
+    return _round_cols(out, ["value_rz"])
+
+
 def _q_events_in_sessions(sf_dir: str):
     """Range join (BETWEEN): assign every event to its session interval —
     sessions built by the sessionizer, events matched by ts ∈ [start, end]
@@ -2079,6 +2097,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": _q_profile,
         # time-to-convert distribution (signup -> purchase lags)
         "conversion_lag_stats": _q_conversion_lag,
+        # heavy-tail-safe outlier score: median/MAD robust z per key
+        "robust_zscore_values": _q_robust_z,
     }
 
 
@@ -3239,6 +3259,20 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
        CAST(quantile_disc(lag, 0.5) AS DOUBLE) AS q50_lag_us,
        CAST(quantile_disc(lag, 0.95) AS DOUBLE) AS q95_lag_us
 FROM l
+""",
+        "robust_zscore_values": """
+WITH m AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), d AS (
+  SELECT e.event_type, quantile_disc(ABS(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN m USING (event_type)
+  WHERE e.value IS NOT NULL GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND(CASE WHEN d.mad > 0
+             THEN (e.value - m.med) / (1.4826 * d.mad) END, 6) AS value_rz
+FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

@@ -666,3 +666,84 @@ def minmax_normalize_by_key(
 
     return ds.map_batches(norm, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def robust_zscore_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    out_col: str | None = None,
+    max_candidates: int = 4_000_000,
+    batch_size: int = 262_144,
+) -> ray.data.Dataset:
+    """Median/MAD robust z-score per key: ``(x - median_k) / (1.4826 *
+    MAD_k)`` with median = quantile_disc(0.5) and MAD =
+    quantile_disc(|x - median_k|, 0.5) — the outlier score a plain
+    mean/std z-score can't give on heavy-tailed data (the anomaly-family
+    companion of rolling_zscore; 1.4826 makes MAD consistent with sigma
+    under normality). Null values stay null; zero-MAD or undefined keys
+    yield null scores.
+
+    Fully streaming composition of the shared-pass quantile engine: pass
+    group 1 resolves every key's median; a derived ``|x - med|`` column
+    (computed on the fly per batch, never materialized) feeds pass group
+    2 for the MADs; both broadcast once and the final score is a
+    stateless vectorized map. The large side never shuffles.
+    """
+    out_c = out_col or f"{value_col}_rz"
+
+    med_t = exact_quantiles_by_key(
+        ds, key_col, value_col, [0.5],
+        max_candidates=max_candidates, batch_size=batch_size,
+    )
+    med_of = {k: v for k, v in zip(med_t[key_col].to_pylist(),
+                                   med_t["value"].to_pylist())
+              if v is not None}
+
+    import pyarrow.compute as pc
+
+    mkeys = sorted(med_of, key=repr)
+    med_arr = np.array([med_of[k] for k in mkeys] + [np.nan])
+    mvset = pa.array(mkeys) if mkeys else None
+    med_ref = ray.put((mvset, med_arr))
+
+    def kid_of(t: pa.Table, vs):
+        if vs is None:
+            return np.full(len(t), 0, dtype=np.int64)
+        return pc.index_in(
+            t[key_col].combine_chunks().cast(vs.type), value_set=vs
+        ).fill_null(len(vs)).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def absdev(t: pa.Table) -> pa.Table:
+        vs, med = ray.get(med_ref)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = np.abs(v - med[kid_of(t, vs)])
+        return pa.table({
+            key_col: t[key_col],
+            "__absdev": pa.array(d, from_pandas=True),
+        })
+
+    dev_ds = ds.map_batches(absdev, batch_format="pyarrow",
+                            batch_size=batch_size)
+    mad_t = exact_quantiles_by_key(
+        dev_ds, key_col, "__absdev", [0.5],
+        max_candidates=max_candidates, batch_size=batch_size,
+    )
+    mad_of = {k: v for k, v in zip(mad_t[key_col].to_pylist(),
+                                   mad_t["value"].to_pylist())
+              if v is not None}
+    mad_arr = np.array([mad_of.get(k, np.nan) for k in mkeys] + [np.nan])
+    both_ref = ray.put((mvset, med_arr, mad_arr))
+
+    def score(t: pa.Table) -> pa.Table:
+        vs, med, mad = ray.get(both_ref)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        kid = kid_of(t, vs)
+        denom = 1.4826 * mad[kid]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rz = (v - med[kid]) / denom
+        rz[~np.isfinite(rz)] = np.nan
+        return t.append_column(out_c, pa.array(rz, from_pandas=True))
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -237,3 +237,48 @@ FROM t ORDER BY rid""").df()
     assert (both_nan | (g == w)).all()  # bit-identical, no rounding
     # zero-range key -> SQL 0/0 = NULL on both sides
     assert out[out["k"] == "const"]["value_norm"].isna().all()
+
+
+def test_robust_zscore_matches_duckdb():
+    import duckdb
+
+    from contest_parsing_ray.stages.quantiles import robust_zscore_by_key
+
+    rng = np.random.default_rng(71)
+    n = 800
+    keys = rng.choice(["a", "b"], n).tolist() + ["const"] * 5
+    vals = np.concatenate([rng.standard_cauchy(n) * 10, np.full(5, 3.0)])
+    vals[5] = np.nan
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys),
+        "value": pa.array(vals, pa.float64(), from_pandas=True),
+        "rid": pa.array(range(len(keys)), pa.int64()),
+    })).repartition(5)
+    out = (
+        robust_zscore_by_key(ds, "k", "value", max_candidates=16,
+                             batch_size=43)
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(?) AS k, unnest(?) AS value,"
+        " unnest(?) AS rid",
+        [keys, [None if np.isnan(x) else float(x) for x in vals],
+         list(range(len(keys)))],
+    )
+    want = con.execute("""
+WITH m AS (
+  SELECT k, quantile_disc(value, 0.5) AS med FROM t GROUP BY k
+), d AS (
+  SELECT t.k, quantile_disc(ABS(t.value - m.med), 0.5) AS mad
+  FROM t JOIN m USING (k) WHERE t.value IS NOT NULL GROUP BY t.k
+)
+SELECT t.rid,
+       CASE WHEN d.mad > 0
+            THEN (t.value - m.med) / (1.4826 * d.mad) END AS rz
+FROM t JOIN m USING (k) JOIN d USING (k) ORDER BY t.rid""").df()
+    g, w = out["value_rz"].to_numpy(), want["rz"].to_numpy()
+    both_nan = np.isnan(g) & np.isnan(w)
+    assert (both_nan | (np.abs(g - w) < 1e-12)).all()
+    # zero-MAD key -> all null scores
+    assert out[out["k"] == "const"]["value_rz"].isna().all()
