@@ -1461,6 +1461,22 @@ def _q_minmax(sf_dir: str):
     return minmax_normalize_by_key(ev, "event_type", "value")
 
 
+def _q_vocab_containment(sf_dir: str):
+    """Asymmetric vocabulary containment between sources (|A∩B|/|A| and
+    /|B|) — which smaller vocabulary lives inside which larger one, the
+    signal Jaccard's symmetric union hides; same bitset machinery."""
+    from contest_parsing_ray.stages.tokens import source_vocab_jaccard
+
+    out = source_vocab_jaccard(_seqs(sf_dir), containment=True)
+    import pyarrow.compute as pc
+
+    for c in ("jaccard", "c_s1_in_s2", "c_s2_in_s1"):
+        out = out.set_column(
+            out.schema.get_field_index(c), c, pc.round(out[c], 6)
+        )
+    return out
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -2099,6 +2115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_lag_stats": _q_conversion_lag,
         # heavy-tail-safe outlier score: median/MAD robust z per key
         "robust_zscore_values": _q_robust_z,
+        # tokens payload: asymmetric source-vocabulary containment
+        "source_vocab_containment": _q_vocab_containment,
     }
 
 
@@ -3292,6 +3310,7 @@ FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
 GOLDEN_ORACLE_KEYS = (
     "dup_ngram_frac",
     "source_vocab_jaccard",
+    "source_vocab_containment",
     "doc_fingerprints",
     "simhash_docs",
     "minhash_lsh_pairs",

@@ -259,6 +259,7 @@ def source_vocab_jaccard(
     seqs: ray.data.Dataset,
     key_col: str = "source",
     tokens_col: str = "tokens",
+    containment: bool = False,
 ) -> pa.Table:
     """Pairwise Jaccard similarity between the DISTINCT-token vocabularies
     of each key (which sources share a vocabulary — a domain-mixing
@@ -271,6 +272,11 @@ def source_vocab_jaccard(
     driver ORs bitsets and popcounts pairs. Contract: bounded key
     cardinality and a dense token-id domain (vocab-sized), the same as
     vocab_histogram. Null keys are dropped (SQL self-join semantics).
+
+    ``containment=True`` appends the asymmetric containments ``c_s1_in_s2
+    = |A∩B| / |B|`` and ``c_s2_in_s1 = |A∩B| / |A|`` — which smaller
+    vocabulary lives inside which larger one, the signal Jaccard's
+    symmetric union denominator hides for very different-sized sources.
     """
 
     def partial(b: pa.Table) -> pa.Table:
@@ -342,10 +348,18 @@ def source_vocab_jaccard(
             ni.append(inter)
             nu.append(union)
             jc.append(inter / union if union else None)
-    return pa.table({
+    cols = {
         "s1": pa.array(s1o, pa.string()),
         "s2": pa.array(s2o, pa.string()),
         "n_inter": pa.array(ni, pa.int64()),
         "n_union": pa.array(nu, pa.int64()),
         "jaccard": pa.array(jc, pa.float64()),
-    })
+    }
+    if containment:
+        cols["c_s1_in_s2"] = pa.array(
+            [i_ / sizes[s2] if sizes[s2] else None
+             for i_, s2 in zip(ni, s2o)], pa.float64())
+        cols["c_s2_in_s1"] = pa.array(
+            [i_ / sizes[s1] if sizes[s1] else None
+             for i_, s1 in zip(ni, s1o)], pa.float64())
+    return pa.table(cols)

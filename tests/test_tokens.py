@@ -298,3 +298,23 @@ LEFT JOIN c cb ON cb.source = p.s2
     assert got_vs_want == {k: want[k] for k in got}
     # pools a=0..59 and b=30..89 overlap on ~30 ids (minus sampling misses)
     assert ("a", "b") in got and 20 < got[("a", "b")][0] <= 30
+
+
+def test_source_vocab_containment():
+    from contest_parsing_ray.stages.tokens import source_vocab_jaccard
+
+    t = pa.table({
+        "source": pa.array(["big"] * 3 + ["sub"] * 2),
+        "tokens": pa.array(
+            [[0, 1, 2, 3], [4, 5], [6, 7], [0, 1], [2, 3]],
+            pa.large_list(pa.int32()),
+        ),
+    })
+    out = source_vocab_jaccard(
+        ray.data.from_arrow(t), containment=True).to_pylist()
+    r = out[0]
+    # sub's vocab {0,1,2,3} is fully inside big's {0..7}
+    assert (r["s1"], r["s2"]) == ("big", "sub")
+    assert r["n_inter"] == 4 and r["n_union"] == 8
+    assert r["c_s2_in_s1"] == 4 / 8  # |A∩B| / |big|
+    assert r["c_s1_in_s2"] == 4 / 4 == 1.0  # fully contained in sub-dir

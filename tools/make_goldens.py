@@ -27,6 +27,7 @@ import pyarrow.parquet as pq
 GOLDEN_QUERIES = [
     "dup_ngram_frac",
     "source_vocab_jaccard",
+    "source_vocab_containment",
     "doc_fingerprints",
     "simhash_docs",
     "minhash_lsh_pairs",
