@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "train_val_test_split",
     "profile_events",
     "conversion_lag_stats",
+    "robust_zscore_values",
+    "source_vocab_containment",
 ]
 
 
