@@ -1477,6 +1477,17 @@ def _q_vocab_containment(sf_dir: str):
     return out
 
 
+def _q_token_richness(sf_dir: str):
+    """Vocabulary-richness diagnostics per source over the raw token ids:
+    total tokens, vocab size, hapax count (global cnt==1 — correct
+    because each (key, token) pair meets in exactly one partition of the
+    counting exchange), type-token ratio."""
+    from contest_parsing_ray.stages.tokens import source_token_richness
+
+    out = source_token_richness(_seqs(sf_dir))
+    return _round_cols(out, ["type_token_ratio"])
+
+
 def _q_rolling_median(sf_dir: str):
     """Trailing 24h rolling MEDIAN (exact quantile_disc, partial head
     windows included) of the per-event_type hourly count series — the
@@ -2117,6 +2128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_zscore_values": _q_robust_z,
         # tokens payload: asymmetric source-vocabulary containment
         "source_vocab_containment": _q_vocab_containment,
+        # tokens payload: per-source hapax / type-token-ratio richness
+        "source_token_richness": _q_token_richness,
     }
 
 
@@ -3311,6 +3324,7 @@ GOLDEN_ORACLE_KEYS = (
     "dup_ngram_frac",
     "source_vocab_jaccard",
     "source_vocab_containment",
+    "source_token_richness",
     "doc_fingerprints",
     "simhash_docs",
     "minhash_lsh_pairs",

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "conversion_lag_stats",
     "robust_zscore_values",
     "source_vocab_containment",
+    "source_token_richness",
 ]
 
 

@@ -363,3 +363,100 @@ def source_vocab_jaccard(
             [i_ / sizes[s1] if sizes[s1] else None
              for i_, s1 in zip(ni, s1o)], pa.float64())
     return pa.table(cols)
+
+
+def source_token_richness(
+    seqs: ray.data.Dataset,
+    key_col: str = "source",
+    tokens_col: str = "tokens",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Vocabulary-richness diagnostics per key over the raw token ids:
+    ``(key, n_tokens, vocab_size, n_hapax, type_token_ratio)`` — hapax =
+    ids occurring exactly once in the key's whole corpus (needs GLOBAL
+    counts, so unlike the presence-bitset Jaccard this is a counting
+    exchange), TTR = vocab/tokens. Null keys dropped.
+
+    Per-batch (key, token, cnt) bincount partials (<= keys x vocab rows
+    per batch, never occurrences), ONE hash exchange on the token id
+    domain, per-partition merge + per-key scalar reduction.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = _flat_tokens(col)
+        off_dt = np.int64 if pa.types.is_large_list(col.type) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+            col.offset : col.offset + len(col) + 1
+        ].astype(np.int64)
+        lengths = np.diff(offs)
+        kcol = b[key_col].combine_chunks()
+        enc = kcol.dictionary_encode()
+        kidx = enc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        per_tok = np.repeat(kidx, lengths)
+        keep = per_tok >= 0
+        flat, per_tok = flat[keep], per_tok[keep]
+        if not len(flat):
+            return pa.table({"k": pa.array([], pa.string()),
+                             "token_id": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        vmax = int(flat.max()) + 1
+        comp = per_tok * vmax + flat
+        cnt = np.bincount(comp)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "k": pa.array([str(enc.dictionary[i].as_py())
+                           for i in nz // vmax], pa.string()),
+            "token_id": pa.array((nz % vmax).astype(np.int64)),
+            "cnt": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    import pandas as pd
+
+    parts = seqs.select_columns([key_col, tokens_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "k": pd.Series([], dtype=object),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "vocab_size": pd.Series([], dtype=np.int64),
+                "n_hapax": pd.Series([], dtype=np.int64),
+            })
+        g = (df.groupby(["k", "token_id"], sort=False)["cnt"].sum()
+             .reset_index())
+        agg = g.groupby("k", sort=False).agg(
+            n_tokens=("cnt", "sum"), vocab_size=("cnt", "size"),
+            n_hapax=("cnt", lambda s: int((s == 1).sum())),
+        ).reset_index()
+        for c in ("n_tokens", "vocab_size", "n_hapax"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    from ._shuffle import hash_partitioned_map
+
+    # exchange keyed on (k, token_id): each (key, token) pair's partials
+    # meet in exactly one partition, so cnt==1 is a global statement
+    red = hash_partitioned_map(
+        parts, ["k", "token_id"], reduce,
+        num_partitions=num_partitions, batch_format="pandas",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            df["type_token_ratio"] = pd.Series([], dtype=np.float64)
+            return df
+        out = df.groupby("k", sort=False).sum().reset_index()
+        out["type_token_ratio"] = out["vocab_size"] / out["n_tokens"]
+        return out
+
+    # second tiny fold: partitions each hold partial per-key sums
+    return hash_partitioned_map(
+        red, ["k"], finish, num_partitions=num_partitions,
+        batch_format="pandas",
+    )

@@ -318,3 +318,46 @@ def test_source_vocab_containment():
     assert r["n_inter"] == 4 and r["n_union"] == 8
     assert r["c_s2_in_s1"] == 4 / 8  # |A∩B| / |big|
     assert r["c_s1_in_s2"] == 4 / 4 == 1.0  # fully contained in sub-dir
+
+
+def test_source_token_richness_matches_duckdb():
+    import duckdb
+
+    from contest_parsing_ray.stages.tokens import source_token_richness
+
+    rng = np.random.default_rng(73)
+    srcs, toks = [], []
+    for s, vocab in (("rich", 500), ("poor", 5)):
+        for _ in range(60):
+            L = int(rng.integers(0, 25))
+            srcs.append(s)
+            toks.append(rng.integers(0, vocab, L).astype(np.int32).tolist())
+    srcs.append(None)
+    toks.append([1, 2, 3])  # null key dropped
+    t = pa.table({
+        "source": pa.array(srcs),
+        "tokens": pa.array(toks, pa.large_list(pa.int32())),
+    })
+    out = source_token_richness(
+        ray.data.from_arrow(t).repartition(5)
+    ).to_pandas().set_index("k").sort_index()
+    con = duckdb.connect()
+    con.register("seqs", t)
+    want = con.execute("""
+WITH u AS (
+  SELECT source, unnest(tokens) AS tok FROM seqs WHERE source IS NOT NULL
+), c AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY 1, 2
+)
+SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       COUNT(*) * 1.0 / SUM(cnt) AS ttr
+FROM c GROUP BY source ORDER BY source""").df().set_index("source")
+    for k in ("rich", "poor"):
+        for a, b in (("n_tokens", "n_tokens"), ("vocab_size", "vocab_size"),
+                     ("n_hapax", "n_hapax"), ("type_token_ratio", "ttr")):
+            assert abs(out.loc[k, a] - want.loc[k, b]) < 1e-12, (k, a)
+    assert len(out) == 2  # null key dropped
+    assert out.loc["rich", "type_token_ratio"] > out.loc[
+        "poor", "type_token_ratio"]

@@ -28,6 +28,7 @@ GOLDEN_QUERIES = [
     "dup_ngram_frac",
     "source_vocab_jaccard",
     "source_vocab_containment",
+    "source_token_richness",
     "doc_fingerprints",
     "simhash_docs",
     "minhash_lsh_pairs",
