@@ -1877,6 +1877,17 @@ def _q_robust_z(sf_dir: str):
     return _round_cols(out, ["value_rz"])
 
 
+def _q_gini(sf_dir: str):
+    """Daily traffic-concentration Gini over per-user event counts (0 =
+    uniform load, ->1 = one user dominates) — the skew monitor that tells
+    the rollup's salt heuristic when keys go hot."""
+    from contest_parsing_ray.stages.histogram import activity_gini
+
+    ev = _events(sf_dir, columns=["ts", "user_id"])
+    out = activity_gini(ev, "event_time_us", "user_id", W1D)
+    return _round_cols(out, ["gini"])
+
+
 def _q_events_in_sessions(sf_dir: str):
     """Range join (BETWEEN): assign every event to its session interval —
     sessions built by the sessionizer, events matched by ts ∈ [start, end]
@@ -2130,6 +2141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_containment": _q_vocab_containment,
         # tokens payload: per-source hapax / type-token-ratio richness
         "source_token_richness": _q_token_richness,
+        # load-skew monitor: daily Gini of per-user activity
+        "activity_gini_1d": _q_gini,
     }
 
 
@@ -3304,6 +3317,22 @@ SELECT e.event_id, e.event_type, e.value,
        ROUND(CASE WHEN d.mad > 0
              THEN (e.value - m.med) / (1.4826 * d.mad) END, 6) AS value_rz
 FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
+""",
+        "activity_gini_1d": f"""
+WITH c AS (
+  SELECT (epoch_us(ts) // {24 * W1H}) * {24 * W1H} AS bucket_us, user_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+), r AS (
+  SELECT bucket_us, cnt,
+         ROW_NUMBER() OVER (PARTITION BY bucket_us
+                            ORDER BY cnt, user_id) AS i
+  FROM c
+)
+SELECT bucket_us, CAST(COUNT(*) AS BIGINT) AS n_entities,
+       ROUND(2.0 * SUM(i * cnt) / (COUNT(*) * SUM(cnt))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM r GROUP BY bucket_us
 """,
         # Pinned-golden oracles (below): operators whose semantics are not
         # SQL-expressible (custom 64-bit hash algorithms, MinHash/SimHash

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "robust_zscore_values",
     "source_vocab_containment",
     "source_token_richness",
+    "activity_gini_1d",
 ]
 
 

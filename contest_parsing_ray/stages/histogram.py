@@ -360,3 +360,80 @@ def profile_columns(
         "min_v": pa.array([acc[k][2] for k in ks], pa.float64()),
         "max_v": pa.array([acc[k][3] for k in ks], pa.float64()),
     })
+
+
+def activity_gini(
+    ds: "ray.data.Dataset",
+    bucket_col_src: str,
+    entity_col: str,
+    width_us: int,
+    num_partitions: int | None = None,
+):
+    """Traffic-concentration Gini coefficient per period: how unequally a
+    bucket's events are spread across entities (0 = uniform, →1 = one
+    entity dominates) → ``(bucket_us, n_entities, gini)`` via the sorted
+    closed form ``G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n`` (rank-tie invariant:
+    equal counts contribute the same Σi·x under any tie order). Null
+    entities dropped.
+
+    Per-batch (bucket, entity, cnt) composite-code bincount partials, ONE
+    exchange on the BUCKET (all of a bucket's entity counts meet in one
+    partition, where same-pair partials merge by sum), vectorized
+    per-bucket sort + dot product.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ._shuffle import hash_partitioned_map
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = t[entity_col].combine_chunks().dictionary_encode()
+        ei = e.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = (t[bucket_col_src].to_numpy(zero_copy_only=False)
+             .astype(np.int64) // width_us) * width_us
+        keep = ei >= 0
+        ei, b = ei[keep], b[keep]
+        if not len(ei):
+            return pa.table({"bucket_us": pa.array([], pa.int64()),
+                             entity_col: pa.array([], e.dictionary.type),
+                             "cnt": pa.array([], pa.int64())})
+        bcodes, buniq = pd.factorize(b, sort=False)
+        k = len(e.dictionary)
+        comp = bcodes * k + ei
+        cnt = np.bincount(comp)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "bucket_us": pa.array(buniq[nz // k].astype(np.int64)),
+            entity_col: e.dictionary.take(pa.array(nz % k, pa.int64())),
+            "cnt": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    pairs = ds.select_columns([bucket_col_src, entity_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def gini(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "bucket_us": pd.Series([], dtype=np.int64),
+                "n_entities": pd.Series([], dtype=np.int64),
+                "gini": pd.Series([], dtype=np.float64),
+            })
+        g = (df.groupby(["bucket_us", entity_col], sort=False)["cnt"].sum()
+             .reset_index())
+        rows = []
+        for bk, sub in g.groupby("bucket_us", sort=False):
+            x = np.sort(sub["cnt"].to_numpy(np.float64))
+            n = len(x)
+            i = np.arange(1, n + 1, dtype=np.float64)
+            gval = 2.0 * float(i @ x) / (n * float(x.sum())) - (n + 1.0) / n
+            rows.append((int(bk), n, gval))
+        return pd.DataFrame(rows,
+                            columns=["bucket_us", "n_entities", "gini"])
+
+    return hash_partitioned_map(
+        pairs, ["bucket_us"], gini,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

@@ -577,3 +577,46 @@ def test_profile_columns_handcrafted():
                          "min_v": 1.0, "max_v": 7.0}
     assert rows["s"]["n_null"] == 2 and rows["s"]["min_v"] is None
     assert rows["f"]["min_v"] == -4.0 and rows["f"]["max_v"] == 2.5
+
+
+def test_activity_gini_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from contest_parsing_ray.stages.histogram import activity_gini
+
+    rng = np.random.default_rng(79)
+    n = 3000
+    W = 1000
+    df = pd.DataFrame({
+        "u": rng.choice([f"u{i}" for i in range(40)], n,
+                        p=np.linspace(1, 10, 40) / np.linspace(1, 10, 40).sum()),
+        "t": rng.integers(0, 10_000, n).astype(np.int64),
+    })
+    df.loc[rng.integers(0, n, 10), "u"] = None
+    out = activity_gini(
+        ray.data.from_pandas(df).repartition(6), "t", "u", W
+    ).to_pandas().set_index("bucket_us").sort_index()
+    con = duckdb.connect()
+    con.register("s", df)
+    want = con.execute(f"""
+WITH c AS (
+  SELECT (t // {W}) * {W} AS b, u, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM s WHERE u IS NOT NULL GROUP BY 1, 2
+), r AS (
+  SELECT b, cnt,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY cnt, u) AS i
+  FROM c
+)
+SELECT b, CAST(COUNT(*) AS BIGINT) AS n_entities,
+       2.0 * SUM(i * cnt) / (COUNT(*) * SUM(cnt))
+         - (COUNT(*) + 1.0) / COUNT(*) AS gini
+FROM r GROUP BY b ORDER BY b""").df().set_index("b").sort_index()
+    assert (out["n_entities"] == want["n_entities"]).all()
+    assert np.allclose(out["gini"], want["gini"], atol=1e-12)
+    # uniform case: gini exactly 0
+    u = pd.DataFrame({"u": ["a", "b", "c"], "t": [0, 1, 2]})
+    g0 = activity_gini(ray.data.from_pandas(u), "t", "u", 1000).to_pandas()
+    assert g0["gini"].iloc[0] == 0.0
