@@ -1979,79 +1979,16 @@ def _q_word_topk(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # NOTE on ordering: the driver's oracle harness checks the FIRST 50
+    # entries in insertion order. Round 3 verified the original first-50
+    # (rollups .. redact_docs — all green in CORRECTNESS_r03.json); those
+    # keep their pytest + mirror-gate pins and now sit AFTER the 50
+    # operators that had not yet earned a hard driver check (VERDICT.md
+    # round-3 task #1). New round-4 operators append at the end and rotate
+    # into the window next round.
     return {
-        # continuous aggregates / rollup tiers (SURVEY A1/A3/A8, M10/F3)
-        "rollup_1m": _rollup_query("1m", W1M),
-        "rollup_5m": _rollup_query("5m", W5M),
-        "rollup_1h": _rollup_query("1h", W1H),
-        "rollup_floor_1h": _rollup_query("1h", W1H, mode="floor"),
-        # cumulative aggregates (SURVEY J2/A4)
-        "cumulative_counts_1m": _q_cumulative,
-        "cumulative_distinct_users_1m": _q_cumulative_distinct,
-        # dedup (SURVEY D1/D2)
-        "dedup_keep_first_events": _q_dedup("first"),
-        "dedup_keep_none_events": _q_dedup("none"),
-        # gap-fill + widen + top-k (SURVEY ST4 / A3+M13+J8 / O-ops)
-        "gapfill_locf_1h": _q_gapfill,
-        "gapfill_linear_1h": _q_gapfill_mode("linear"),
-        "widen_1h": _q_widen,
-        "topk_buckets": _q_topk,
-        # tree stats (SURVEY G1/G2)
-        "tree_chain_depths": _q_tree,
-        # joins + classic aggregates (SURVEY J1/J5-shape)
-        "order_priority_rollup": _q_order_priority,
-        "q1_pricing_summary": _q_q1,
-        # text analysis (training-data ops)
-        "doc_token_counts": _q_token_counts,
-        "doc_quality": _q_quality,
-        "exact_dedup_docs": _q_dedup_docs,
-        "lang_id_docs": _q_langid,
-        "doc_fingerprints": _q_fingerprint,
-        # near-dup family
-        "minhash_lsh_pairs": _q_minhash,
-        "minhash_clusters": _q_minhash_clusters,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        # data-mixing family: deterministic hash-priority sampling
-        "sample_docs_rate_25": _q_sample_rate,
-        "sample_docs_per_source_10": _q_sample_topk,
-        "sample_docs_weighted_30": _q_sample_weighted,
-        "simhash_docs": _q_simhash,
-        "simhash_neardup_pairs": _q_simhash_pairs,
-        "embedding_neardup_pairs": _q_emb_neardup,
-        "lsh_neardup_pairs": _q_lsh_neardup,
-        # similarity search
-        "ann_topk_cosine": _q_ann,
-        "ivf_topk_cosine": _q_ivf,
-        "pq_topk_cosine": _q_pq,
-        # multimodal plumbing (stubbed decode)
-        "multimodal_decode_stub": _q_multimodal,
-        # REAL WAV codec: RIFF/PCM parse + sample features (golden oracle)
-        "multimodal_decode_wav": _q_multimodal_wav,
-        # REAL PNG codec: zlib + numpy unfilter + pixel features (golden oracle)
-        "multimodal_decode_png": _q_multimodal_png,
-        # Gorilla compression roundtrip (SQL-checkable: decode == rollup)
-        "compress_roundtrip_1h": _q_compress_roundtrip,
-        "range_read_1h": _q_range_read,
-        # reference Joiner analog on F2 fixtures (rows-only; goldens in tests)
-        "telemetry_join_fixture": _q_telemetry_fixture,
-        # S1 discovery + end-to-end JoinManager.process analog (rows-only)
-        "corpus_end_to_end": _q_corpus_end_to_end,
-        # time-series operators Ray Data lacks natively
-        "asof_join_rollup": _q_asof,
-        "asof_join_forward": _q_asof_forward,
-        # broadcast anti-join (NOT EXISTS) on a second table
-        "customers_no_urgent_orders": _q_customers_no_urgent,
-        "sliding_window_3h": _q_sliding,
-        # A3 exploder tail: mode + list-join + per-service prefix pivot
-        "trace_one_row": _q_trace_one_row,
-        # order-dependent rollup: open/high/low/close + counter rate
-        "ohlc_rate_1h": _q_ohlc,
-        "m4_downsample_1h": _q_m4,
-        "lttb_events_200": _q_lttb,
-        # gap-split sessionization (web-log analog of trace grouping)
-        "sessionize_30m": _q_sessionize,
-        # training-data text ops: redaction, repetition, corpus vocab
-        "redact_docs": _q_redact,
+        # ---- block A: driver window (unchecked before round 4) ----------
+        # training-data text ops: repetition, corpus vocab
         "doc_repetition": _q_repetition,
         "word_topk_docs": _q_word_topk,
         # distribution / filter / smoothing family
@@ -2143,6 +2080,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_richness": _q_token_richness,
         # load-skew monitor: daily Gini of per-user activity
         "activity_gini_1d": _q_gini,
+        # ---- block B: driver-green in round 3 (CORRECTNESS_r03.json) ----
+        # continuous aggregates / rollup tiers (SURVEY A1/A3/A8, M10/F3)
+        "rollup_1m": _rollup_query("1m", W1M),
+        "rollup_5m": _rollup_query("5m", W5M),
+        "rollup_1h": _rollup_query("1h", W1H),
+        "rollup_floor_1h": _rollup_query("1h", W1H, mode="floor"),
+        # cumulative aggregates (SURVEY J2/A4)
+        "cumulative_counts_1m": _q_cumulative,
+        "cumulative_distinct_users_1m": _q_cumulative_distinct,
+        # dedup (SURVEY D1/D2)
+        "dedup_keep_first_events": _q_dedup("first"),
+        "dedup_keep_none_events": _q_dedup("none"),
+        # gap-fill + widen + top-k (SURVEY ST4 / A3+M13+J8 / O-ops)
+        "gapfill_locf_1h": _q_gapfill,
+        "gapfill_linear_1h": _q_gapfill_mode("linear"),
+        "widen_1h": _q_widen,
+        "topk_buckets": _q_topk,
+        # tree stats (SURVEY G1/G2)
+        "tree_chain_depths": _q_tree,
+        # joins + classic aggregates (SURVEY J1/J5-shape)
+        "order_priority_rollup": _q_order_priority,
+        "q1_pricing_summary": _q_q1,
+        # text analysis (training-data ops)
+        "doc_token_counts": _q_token_counts,
+        "doc_quality": _q_quality,
+        "exact_dedup_docs": _q_dedup_docs,
+        "lang_id_docs": _q_langid,
+        "doc_fingerprints": _q_fingerprint,
+        # near-dup family
+        "minhash_lsh_pairs": _q_minhash,
+        "minhash_clusters": _q_minhash_clusters,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        # data-mixing family: deterministic hash-priority sampling
+        "sample_docs_rate_25": _q_sample_rate,
+        "sample_docs_per_source_10": _q_sample_topk,
+        "sample_docs_weighted_30": _q_sample_weighted,
+        "simhash_docs": _q_simhash,
+        "simhash_neardup_pairs": _q_simhash_pairs,
+        "embedding_neardup_pairs": _q_emb_neardup,
+        "lsh_neardup_pairs": _q_lsh_neardup,
+        # similarity search
+        "ann_topk_cosine": _q_ann,
+        "ivf_topk_cosine": _q_ivf,
+        "pq_topk_cosine": _q_pq,
+        # multimodal plumbing (stubbed decode)
+        "multimodal_decode_stub": _q_multimodal,
+        # REAL WAV codec: RIFF/PCM parse + sample features (golden oracle)
+        "multimodal_decode_wav": _q_multimodal_wav,
+        # REAL PNG codec: zlib + numpy unfilter + pixel features (golden oracle)
+        "multimodal_decode_png": _q_multimodal_png,
+        # Gorilla compression roundtrip (SQL-checkable: decode == rollup)
+        "compress_roundtrip_1h": _q_compress_roundtrip,
+        "range_read_1h": _q_range_read,
+        # reference Joiner analog on F2 fixtures (rows-only; goldens in tests)
+        "telemetry_join_fixture": _q_telemetry_fixture,
+        # S1 discovery + end-to-end JoinManager.process analog (rows-only)
+        "corpus_end_to_end": _q_corpus_end_to_end,
+        # time-series operators Ray Data lacks natively
+        "asof_join_rollup": _q_asof,
+        "asof_join_forward": _q_asof_forward,
+        # broadcast anti-join (NOT EXISTS) on a second table
+        "customers_no_urgent_orders": _q_customers_no_urgent,
+        "sliding_window_3h": _q_sliding,
+        # A3 exploder tail: mode + list-join + per-service prefix pivot
+        "trace_one_row": _q_trace_one_row,
+        # order-dependent rollup: open/high/low/close + counter rate
+        "ohlc_rate_1h": _q_ohlc,
+        "m4_downsample_1h": _q_m4,
+        "lttb_events_200": _q_lttb,
+        # gap-split sessionization (web-log analog of trace grouping)
+        "sessionize_30m": _q_sessionize,
+        # training-data text op: PII-pattern redaction
+        "redact_docs": _q_redact,
     }
 
 
