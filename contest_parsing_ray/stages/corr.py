@@ -38,10 +38,21 @@ def pairwise_corr(
 ) -> pa.Table:
     """→ small driver table ``(k1, k2, n, r)`` for every unordered key
     pair, ``k1 < k2`` (string order), ``r`` the sample Pearson
-    correlation over co-present buckets (null when undefined)."""
+    correlation over co-present buckets (null when undefined).
+
+    Input contract: ONE row per (key, bucket) — a compact series such as a
+    rollup tier, the shape the SQL bucket-equality self-join oracle
+    assumes. Duplicate (key, bucket) rows would be mean-collapsed by the
+    pivot while SQL corr weights every duplicate row combination, so they
+    raise instead of silently diverging."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df[key_col].notna() & df[value_col].notna()]
+        if df.duplicated(subset=[key_col, ts_col]).any():
+            raise ValueError(
+                "pairwise_corr input must be unique per (key, bucket); "
+                "pre-aggregate the series (e.g. a rollup tier) first"
+            )
         if len(df) == 0:
             return pd.DataFrame({
                 "k1": pd.Series([], dtype=object),

@@ -133,11 +133,12 @@ def value_drift_psi(
             return empty
         # EXACT fp-expression parity with the SQL oracle (and with
         # value_histogram): (v - lo) * n THEN / (hi - lo) — a re-associated
-        # form could bin boundary values differently
+        # form could bin boundary values differently; clip BEFORE the int
+        # cast (as value_histogram does) — a float large enough to overflow
+        # int64 (incl. +inf) would otherwise wrap and land in bin 0
         bins = np.clip(
-            np.floor((v - lo) * n_bins / (hi - lo)).astype(np.int64),
-            0, n_bins - 1,
-        )
+            np.floor((v - lo) * n_bins / (hi - lo)), 0, n_bins - 1
+        ).astype(np.int64)
         period = (ts >= split_us).astype(np.int64)
         kcol = batch[key_col].combine_chunks()
         if kcol.null_count:

@@ -74,6 +74,16 @@ def exact_quantiles(
     — quantiles are a scalar summary, not a dataset. Driver memory is
     O(2^16 * len(qs)) per pass plus one <=``max_candidates`` float array in
     the final collect; every Ray pass streams with backpressure.
+
+    Deterministic-rescan contract: the refinement loop re-executes ``ds``
+    once per pass (count, histogram passes, final collect) and requires
+    every scan to yield the SAME multiset of values. Reads of immutable
+    files satisfy this; a nondeterministic upstream (unstable ``sample``/
+    ``limit``, wall-clock-dependent transforms) does not — the mismatch
+    surfaces as the _collect_exact candidate-count RuntimeError at best.
+    ``materialize()`` such an input first (its blocks then pin; fine for
+    the small inputs where nondeterminism is typical, and the multi-pass
+    design exists precisely so LARGE deterministic inputs never have to).
     """
     if not qs:
         return pa.table({"q": pa.array([], pa.float64()),
@@ -280,7 +290,9 @@ def exact_quantiles_by_key(
     keys there are. CONTRACT: driver memory is O(keys * len(qs) * 2^16 * 8B)
     per pass — sized for tier-stats key cardinalities (sources, event
     types, <= a few thousand keys). For high-cardinality keys use the
-    mergeable qsum sketch in ``stages/rollup.py`` instead.
+    mergeable qsum sketch in ``stages/rollup.py`` instead. The
+    deterministic-rescan contract of ``exact_quantiles`` applies here too
+    (``ds`` is re-executed once per refinement pass).
 
     Returns ``pa.Table (key_col, q, value)`` sorted by (key, q), key column
     in the input's type.
@@ -608,10 +620,12 @@ def minmax_normalize_by_key(
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         nn = ~np.isnan(v)
         enc = col.dictionary_encode()
+        # null keys form their OWN group (SQL PARTITION BY groups NULLs
+        # together) — the -1 sentinel sorts first and round-trips to a
+        # null "k" entry below, like winsorize_by_key's null-key slot
         idx = enc.indices.fill_null(-1).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        keep = nn & (idx >= 0)
-        ks, vs_ = idx[keep], v[keep]
+        ks, vs_ = idx[nn], v[nn]
         if not len(ks):
             return pa.table({"k": pa.array([], enc.dictionary.type),
                              "mn": pa.array([], pa.float64()),
@@ -623,18 +637,24 @@ def minmax_normalize_by_key(
         starts = np.flatnonzero(first)
         mn = np.minimum.reduceat(vs_s, starts)
         mx = np.maximum.reduceat(vs_s, starts)
+        gk = ks_s[starts]
+        k_out = enc.dictionary.take(
+            pa.array([None if i < 0 else int(i) for i in gk], pa.int64())
+        )
         return pa.table({
-            "k": enc.dictionary.take(pa.array(ks_s[starts], pa.int64())),
+            "k": k_out,
             "mn": pa.array(mn),
             "mx": pa.array(mx),
         })
 
     lo_of: dict[object, float] = {}
     hi_of: dict[object, float] = {}
+    ktype: pa.DataType | None = None
     for rb in ds.map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size
     ).iter_batches(batch_format="pyarrow"):
         t = pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
+        ktype = t["k"].type
         for k, mn, mx in zip(t["k"].to_pylist(), t["mn"].to_pylist(),
                              t["mx"].to_pylist()):
             lo_of[k] = min(lo_of.get(k, np.inf), mn)
@@ -645,7 +665,9 @@ def minmax_normalize_by_key(
     bkeys = sorted(lo_of, key=repr)
     lo_arr = np.array([lo_of[k] for k in bkeys] + [np.nan])
     hi_arr = np.array([hi_of[k] for k in bkeys] + [np.nan])
-    vset = pa.array(bkeys) if bkeys else None
+    # typed explicitly: an all-null key set would otherwise infer a
+    # null-typed value_set the key column cannot cast to
+    vset = pa.array(bkeys, type=ktype) if bkeys else None
     bounds_ref = ray.put((vset, lo_arr, hi_arr))
 
     def norm(t: pa.Table) -> pa.Table:

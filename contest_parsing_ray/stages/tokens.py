@@ -27,6 +27,33 @@ def _flat_tokens(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return col.flatten().to_numpy(zero_copy_only=False)
 
 
+def _flat_with_offsets(
+    col: pa.ChunkedArray | pa.Array,
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """``(combined col, flat values, per-row offsets)`` for a list column.
+
+    The offset-window kernels below index the flattened value buffer with
+    windows derived from the raw offsets buffer. ``flatten()`` DROPS the
+    values under null list entries, while a null entry may legally span a
+    non-empty offset extent — the two views would silently misalign,
+    attributing tokens to the wrong rows. Tokenized corpora have no null
+    token arrays, so refuse them loudly instead of guessing."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(
+            "null entries in the tokens list column; filter or fill them "
+            "before the token-payload operators (offset-window kernels "
+            "cannot represent null rows)"
+        )
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    off_dt = np.int64 if pa.types.is_large_list(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    return col, flat, offs
+
+
 def vocab_histogram(
     seqs: ray.data.Dataset,
     tokens_col: str = "tokens",
@@ -100,14 +127,8 @@ def token_ngram_topk(
     PRIME = np.uint64(1099511628211)
 
     def partial(b: pa.Table) -> pa.Table:
-        col = b[tokens_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-        off_dt = np.int64 if pa.types.is_large_list(col.type) else np.int32
-        offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
-            col.offset : col.offset + len(col) + 1
-        ].astype(np.int64)
+        col, flat, offs = _flat_with_offsets(b[tokens_col])
+        flat = flat.astype(np.uint64)
         lengths = np.diff(offs)
         n_win = np.maximum(lengths - (n - 1), 0)
         total = int(n_win.sum())
@@ -207,14 +228,7 @@ def dup_ngram_stats(
         raise ValueError(f"n must be >= 1, got {n}")
 
     def stats(b: pa.Table) -> pa.Table:
-        col = b[tokens_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False)
-        off_dt = np.int64 if pa.types.is_large_list(col.type) else np.int32
-        offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
-            col.offset : col.offset + len(col) + 1
-        ].astype(np.int64)
+        col, flat, offs = _flat_with_offsets(b[tokens_col])
         lengths = np.diff(offs)
         n_win = np.maximum(lengths - (n - 1), 0)
         total = int(n_win.sum())
@@ -280,14 +294,7 @@ def source_vocab_jaccard(
     """
 
     def partial(b: pa.Table) -> pa.Table:
-        col = b[tokens_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False)
-        off_dt = np.int64 if pa.types.is_large_list(col.type) else np.int32
-        offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
-            col.offset : col.offset + len(col) + 1
-        ].astype(np.int64)
+        col, flat, offs = _flat_with_offsets(b[tokens_col])
         lengths = np.diff(offs)
         kcol = b[key_col].combine_chunks()
         enc = kcol.dictionary_encode()
@@ -383,14 +390,7 @@ def source_token_richness(
     """
 
     def partial(b: pa.Table) -> pa.Table:
-        col = b[tokens_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = _flat_tokens(col)
-        off_dt = np.int64 if pa.types.is_large_list(col.type) else np.int32
-        offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
-            col.offset : col.offset + len(col) + 1
-        ].astype(np.int64)
+        col, flat, offs = _flat_with_offsets(b[tokens_col])
         lengths = np.diff(offs)
         kcol = b[key_col].combine_chunks()
         enc = kcol.dictionary_encode()

@@ -282,3 +282,27 @@ FROM t JOIN m USING (k) JOIN d USING (k) ORDER BY t.rid""").df()
     assert (both_nan | (np.abs(g - w) < 1e-12)).all()
     # zero-MAD key -> all null scores
     assert out[out["k"] == "const"]["value_rz"].isna().all()
+
+
+def test_minmax_normalize_null_keys_form_group():
+    """ADVICE round-3: SQL PARTITION BY groups NULL keys together — they
+    must get real min/max bounds, not unconditional NaN."""
+    import pandas as pd
+
+    from contest_parsing_ray.stages.quantiles import minmax_normalize_by_key
+
+    df = pd.DataFrame(
+        {
+            "k": pd.array(["a", "a", None, None, None], dtype=object),
+            "value": [0.0, 10.0, 5.0, 15.0, 10.0],
+        }
+    )
+    out = (
+        minmax_normalize_by_key(ray.data.from_pandas(df), "k", "value")
+        .to_pandas()
+    )
+    nul = out[out["k"].isna()].sort_values("value")
+    # null-key partition bounds are [5, 15]
+    assert nul["value_norm"].tolist() == [0.0, 0.5, 1.0]
+    a = out[out["k"] == "a"].sort_values("value")
+    assert a["value_norm"].tolist() == [0.0, 1.0]

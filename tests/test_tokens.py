@@ -361,3 +361,58 @@ FROM c GROUP BY source ORDER BY source""").df().set_index("source")
     assert len(out) == 2  # null key dropped
     assert out.loc["rich", "type_token_ratio"] > out.loc[
         "poor", "type_token_ratio"]
+
+
+def test_psi_extreme_values_clip_to_edge_bins():
+    """ADVICE round-3: +inf / int64-overflowing floats must land in the TOP
+    bin (clip-then-cast), not wrap to bin 0 — a mass move toward huge
+    values is exactly the drift PSI must not read as zero."""
+    from contest_parsing_ray.stages.histogram import value_drift_psi
+
+    df = pd.DataFrame(
+        {
+            "key": ["k"] * 4,
+            "ts_us": [0, 0, 10, 10],
+            "value": [1.0, 2.0, np.inf, 1e300],
+        }
+    )
+    got = value_drift_psi(
+        ray.data.from_pandas(df), "key", "ts_us", "value",
+        lo=0.0, hi=10.0, split_us=5, n_bins=2,
+    ).to_pandas()
+    # a=(2,0), b=(0,2); add-half smoothing -> psi = (4/3) ln 5
+    want = (4.0 / 3.0) * np.log(5.0)
+    assert abs(got["psi"].iloc[0] - want) < 1e-12
+    # under the pre-fix wrap both halves read (2,0) and psi collapsed to 0
+    assert got["psi"].iloc[0] > 1.0
+
+
+def test_token_ops_reject_null_token_rows():
+    """ADVICE round-3: a null tokens entry makes flatten() and the raw
+    offsets buffer disagree — every offset-window kernel must refuse."""
+    import pytest
+
+    from contest_parsing_ray.stages.tokens import (
+        dup_ngram_stats,
+        source_token_richness,
+        source_vocab_jaccard,
+        token_ngram_topk,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            "tokens": pa.array([[1, 2, 3], None, [4, 5]],
+                               pa.list_(pa.int32())),
+            "source": ["s1", "s2", "s1"],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    for op in (
+        lambda: token_ngram_topk(ds, n=2, k=5).to_pandas(),
+        lambda: dup_ngram_stats(ds, n=2).to_pandas(),
+        lambda: source_vocab_jaccard(ds, key_col="source").to_pandas(),
+        lambda: source_token_richness(ds, key_col="source").to_pandas(),
+    ):
+        with pytest.raises(Exception, match="null entries in the tokens"):
+            op()

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data
 
 from contest_parsing_ray.stages.window import (
@@ -632,3 +633,31 @@ FROM l GROUP BY k""").df().set_index("k")
             g, w = out.loc[k, "acf"], want.loc[k, "acf"]
             assert (pd.isna(g) and pd.isna(w)) or abs(g - w) < 1e-9
     assert out.loc["smooth", "acf"] > 0.8  # random walk: high lag-ACF
+
+
+def test_interval_join_rejects_column_collision():
+    """ADVICE round-3: a same-named interval column must raise loudly, not
+    silently keep the event side's values."""
+    from contest_parsing_ray.stages.window import interval_join
+
+    ev = pd.DataFrame({"u": ["a"], "ts": [5], "tag": [1]})
+    iv = pd.DataFrame({"u": ["a"], "lo": [0], "hi": [10], "tag": [2]})
+    with pytest.raises(ValueError, match="collide with event columns"):
+        interval_join(
+            ray.data.from_pandas(ev), ray.data.from_pandas(iv),
+            key_col="u", ts_col="ts", lo_col="lo", hi_col="hi",
+            interval_cols=["tag"],
+        )
+
+
+def test_pairwise_corr_rejects_duplicate_buckets():
+    """ADVICE round-3: duplicate (key, bucket) rows would be mean-collapsed
+    by the pivot while the SQL self-join oracle weights every combination;
+    the compact-series contract is now enforced."""
+    from contest_parsing_ray.stages.corr import pairwise_corr
+
+    df = pd.DataFrame(
+        {"k": ["a", "a", "b"], "t": [1, 1, 1], "v": [1.0, 2.0, 3.0]}
+    )
+    with pytest.raises(Exception, match="unique per \\(key, bucket\\)"):
+        pairwise_corr(ray.data.from_pandas(df), "k", "t", "v")
