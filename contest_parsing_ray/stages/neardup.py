@@ -556,10 +556,25 @@ def embedding_neardup_pairs(
     )
 
 
+def _empty_clusters() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "cluster_rep": pa.array([], pa.string()),
+                "cluster_size": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+
 def cluster_pairs(
     pairs: ray.data.Dataset,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    mode: str = "auto",
+    driver_max_pairs: int = 2_000_000,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Connected components over a near-duplicate pair list →
     ``(doc_id, cluster_rep, cluster_size)`` for every doc that appears in
@@ -567,27 +582,38 @@ def cluster_pairs(
     deterministic survivor rule the LSH buckets and exact dedup use, so
     "keep cluster_rep, drop the rest" is a stable dedup decision.
 
-    The pair list is the VERIFIED candidate output of the neardup family —
-    orders of magnitude smaller than the corpus by construction (banded
-    LSH + capped buckets + exact-similarity verify), so union-find runs on
-    the driver: the same size class as the exact-dedup winner table. For
-    adversarially dense pair graphs, swap in iterative min-label
-    propagation over the hash exchange (per round: label := min over
-    neighbors' labels; rounds = graph diameter).
+    Two engines behind one result contract:
+
+    - ``driver``: union-find over the collected pair list. The verified
+      neardup pair output is orders of magnitude smaller than the corpus
+      by construction (banded LSH + capped buckets + exact verify), so
+      this is the fast path at normal duplication rates.
+    - ``distributed``: iterative min-label propagation over a hash
+      exchange (:func:`_propagate_min_labels`) — no driver
+      materialization, for duplicate-heavy corpora where the pair list
+      itself is at data scale.
+
+    ``mode="auto"`` (default) picks by pair count: ≤ ``driver_max_pairs``
+    → driver, else distributed. Both are deterministic and agree exactly
+    (property-tested on cliques/chains/random graphs).
     """
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown mode {mode!r}")
     refs = pairs.select_columns([id_a, id_b]).to_arrow_refs()
-    blocks = ray.get(refs) if refs else []
-    blocks = [t for t in blocks if t.num_rows]
-    if not blocks:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_id": pa.array([], pa.string()),
-                    "cluster_rep": pa.array([], pa.string()),
-                    "cluster_size": pa.array([], pa.int64()),
-                }
+    if not refs:
+        return _empty_clusters()
+    if mode != "driver":
+        nrow = ray.remote(lambda t: t.num_rows).options(num_cpus=0)
+        total = sum(ray.get([nrow.remote(r) for r in refs]))
+        if total == 0:
+            return _empty_clusters()
+        if mode == "distributed" or total > driver_max_pairs:
+            return _propagate_min_labels(
+                refs, id_a, id_b, num_partitions=num_partitions
             )
-        )
+    blocks = [t for t in ray.get(refs) if t.num_rows]
+    if not blocks:
+        return _empty_clusters()
     tbl = pa.concat_tables(blocks, promote_options="default")
     a = tbl[id_a].to_pylist()
     b = tbl[id_b].to_pylist()
@@ -629,6 +655,210 @@ def cluster_pairs(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def _propagate_min_labels(
+    edge_refs: list,
+    id_a: str,
+    id_b: str,
+    num_partitions: int | None = None,
+    max_rounds: int = 512,
+) -> ray.data.Dataset:
+    """Distributed connected components by iterative min-label propagation
+    — the scale path of :func:`cluster_pairs` for pair graphs too large to
+    union-find on the driver.
+
+    Every node starts labeled with its own id; per round each node whose
+    label changed pushes it along its edges (ONE hash exchange keyed by
+    the destination node) and every node keeps the minimum of what it
+    holds and what arrived, plus a local pointer-jump over labels owned by
+    the same shard. Fixpoint (zero changes anywhere) = every node carries
+    its component's minimum id — the same ``cluster_rep`` the union-find
+    path produces. Rounds ≤ graph diameter (near-dup components are
+    near-cliques, so typically 2-3); per round only the CHANGED frontier
+    re-sends, so late rounds cost ~nothing. Nothing ever materializes on
+    the driver except one int per shard per round.
+    """
+    import pandas as pd
+
+    from ._shuffle import hash64_column
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    P = num_partitions or max(4, min(64, cpus))
+
+    @ray.remote(num_cpus=1)
+    def split_edges(t: pa.Table):
+        # both orientations so every endpoint owns an out-edge list; route
+        # each directed edge to hash(src) % P
+        a = t[id_a].combine_chunks()
+        b = t[id_b].combine_chunks()
+        src = pa.chunked_array([a, b]).combine_chunks()
+        dst = pa.chunked_array([b, a]).combine_chunks()
+        part = (hash64_column(src) % np.uint64(P)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        tt = pa.table({"src": src, "dst": dst}).take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(P + 1))
+        out = [tt.slice(lo, hi - lo) for lo, hi in zip(bounds[:-1], bounds[1:])]
+        return out if P > 1 else out[0]
+
+    @ray.remote(num_cpus=1)
+    def init_shard(*parts):
+        ts = [p for p in parts if p is not None and len(p)]
+        if not ts:
+            return None
+        adj = pa.concat_tables(ts).combine_chunks()
+        src = adj["src"].to_numpy(zero_copy_only=False)
+        dst = adj["dst"].to_numpy(zero_copy_only=False)
+        nodes = np.sort(pd.unique(src))
+        src_idx = pd.Index(nodes).get_indexer(src).astype(np.int64)
+        # static routing: pre-partition edges by hash(dst) so gen() is a
+        # mask + slice per round, no re-hashing
+        dpart = (hash64_column(pa.array(dst)) % np.uint64(P)).astype(np.int64)
+        order = np.argsort(dpart, kind="stable")
+        bounds = np.searchsorted(dpart[order], np.arange(P + 1))
+        labels = nodes.copy()
+        changed = np.ones(len(nodes), dtype=bool)
+        return {
+            "src_idx": src_idx[order],
+            "dst": dst[order],
+            "bounds": bounds.astype(np.int64),
+            "nodes": nodes,
+            "labels": labels,
+            "changed": changed,
+        }
+
+    @ray.remote(num_cpus=1)
+    def gen(state):
+        if state is None or not state["changed"].any():
+            return [None] * P if P > 1 else None
+        out = []
+        si, dv, bounds = state["src_idx"], state["dst"], state["bounds"]
+        labels, changed = state["labels"], state["changed"]
+        for q in range(P):
+            lo, hi = bounds[q], bounds[q + 1]
+            m = changed[si[lo:hi]]
+            if not m.any():
+                out.append(None)
+                continue
+            out.append(
+                pa.table(
+                    {
+                        "dst": pa.array(dv[lo:hi][m]),
+                        "lab": pa.array(labels[si[lo:hi][m]]),
+                    }
+                )
+            )
+        return out if P > 1 else out[0]
+
+    @ray.remote(num_cpus=1, num_returns=2)
+    def apply(state, *msg_parts):
+        if state is None:
+            return None, 0
+        nodes, labels = state["nodes"], state["labels"]
+        msgs = [m for m in msg_parts if m is not None and len(m)]
+        new = labels.copy()
+        if msgs:
+            mt = pa.concat_tables(msgs, promote_options="default")
+            dst = mt["dst"].to_numpy(zero_copy_only=False)
+            lab = mt["lab"].to_numpy(zero_copy_only=False)
+            idx = pd.Index(nodes).get_indexer(dst)
+            mins = pd.Series(lab).groupby(idx).min()
+            ci = mins.index.to_numpy()
+            cv = mins.to_numpy()
+            better = cv < new[ci]
+            new[ci[better]] = cv[better]
+        # local pointer jump: labels naming nodes this shard owns can skip
+        # straight to those nodes' (smaller-or-equal) labels — free rounds
+        pidx = pd.Index(nodes)
+        for _ in range(3):
+            li = pidx.get_indexer(new)
+            has = li >= 0
+            if not has.any():
+                break
+            jumped = new.copy()
+            jumped[has] = new[li[has]]
+            smaller = jumped < new
+            if not smaller.any():
+                break
+            new = np.where(smaller, jumped, new)
+        chg = new != labels
+        state = dict(state)
+        state["labels"], state["changed"] = new, chg
+        return state, int(chg.sum())
+
+    @ray.remote(num_cpus=1)
+    def size_split(state):
+        if state is None:
+            return [None] * P if P > 1 else None
+        nodes, labels = state["nodes"], state["labels"]
+        part = (hash64_column(pa.array(labels)) % np.uint64(P)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        bounds = np.searchsorted(part[order], np.arange(P + 1))
+        t = pa.table({"doc_id": pa.array(nodes[order]),
+                      "cluster_rep": pa.array(labels[order])})
+        out = [t.slice(lo, hi - lo) for lo, hi in zip(bounds[:-1], bounds[1:])]
+        return out if P > 1 else out[0]
+
+    @ray.remote(num_cpus=1)
+    def size_reduce(*parts):
+        ts = [p for p in parts if p is not None and len(p)]
+        if not ts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "cluster_rep": pa.array([], pa.string()),
+                    "cluster_size": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.concat_tables(ts, promote_options="default").combine_chunks()
+        reps = t["cluster_rep"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(reps, sort=False)
+        sizes = np.bincount(codes).astype(np.int64)
+        return t.append_column("cluster_size", pa.array(sizes[codes]))
+
+    def fan(refs_2d: list, q: int) -> list:
+        return [refs_2d[p][q] for p in range(len(refs_2d))]
+
+    split = split_edges.options(num_returns=P) if P > 1 else split_edges
+    shard_refs: list[list] = [[] for _ in range(P)]
+    for r in edge_refs:
+        outs = split.remote(r)
+        if P == 1:
+            outs = [outs]
+        for q, o in enumerate(outs):
+            shard_refs[q].append(o)
+    states = [init_shard.remote(*shard_refs[q]) for q in range(P)]
+
+    gen_t = gen.options(num_returns=P) if P > 1 else gen
+    for _ in range(max_rounds):
+        msgs = []
+        for p in range(P):
+            outs = gen_t.remote(states[p])
+            msgs.append([outs] if P == 1 else list(outs))
+        counts = []
+        nxt = []
+        for q in range(P):
+            s, c = apply.remote(states[q], *fan(msgs, q))
+            nxt.append(s)
+            counts.append(c)
+        states = nxt
+        if sum(ray.get(counts)) == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_rounds} rounds"
+        )
+
+    sized = []
+    size_t = size_split.options(num_returns=P) if P > 1 else size_split
+    for p in range(P):
+        outs = size_t.remote(states[p])
+        sized.append([outs] if P == 1 else list(outs))
+    out_refs = [size_reduce.remote(*fan(sized, q)) for q in range(P)]
+    return ray.data.from_arrow_refs(out_refs)
 
 
 # ---------------------------------------------------------------------------

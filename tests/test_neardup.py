@@ -203,3 +203,71 @@ def test_ngram_jaccard_identical_docs_and_bad_params():
         ngram_jaccard_pairs(ray.data.from_pandas(df), threshold=0.0)
     with pytest.raises(ValueError, match="n must"):
         NgramShingles(n=0)
+
+
+def _clusters_df(ds) -> pd.DataFrame:
+    return (
+        ds.to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "cluster_rep", "cluster_size"]]
+    )
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # adversarially dense: clique of 1k ids -> 499,500 pairs, one
+        # component (the graph shape that breaks a driver union-find at
+        # corpus scale); converges in ~2 rounds
+        "clique",
+        # worst diameter per round-count: a 400-node chain
+        "chain",
+        # random sparse graph, many components
+        "random",
+    ],
+)
+def test_distributed_clustering_matches_union_find(edges):
+    from contest_parsing_ray.stages.neardup import cluster_pairs
+
+    if edges == "clique":
+        n = 1000
+        ids = np.array([f"d{i:05d}" for i in range(n)])
+        ia, ib = np.triu_indices(n, k=1)
+        a, b = ids[ia], ids[ib]
+    elif edges == "chain":
+        n = 400
+        ids = np.array([f"c{i:05d}" for i in range(n)])
+        a, b = ids[:-1], ids[1:]
+    else:
+        rng = np.random.default_rng(7)
+        n = 5000
+        ids = np.array([f"r{i:05d}" for i in range(n)])
+        ia = rng.integers(0, n, 20000)
+        ib = rng.integers(0, n, 20000)
+        keep = ia != ib
+        a, b = ids[ia[keep]], ids[ib[keep]]
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    ).repartition(8)
+
+    want = _clusters_df(cluster_pairs(pairs, mode="driver"))
+    got = _clusters_df(
+        cluster_pairs(pairs, mode="distributed", num_partitions=8)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    if edges == "clique":
+        assert (got["cluster_rep"] == "d00000").all()
+        assert (got["cluster_size"] == 1000).all()
+
+
+def test_cluster_pairs_auto_threshold_routes_distributed():
+    from contest_parsing_ray.stages.neardup import cluster_pairs
+
+    ids = np.array([f"x{i}" for i in range(50)])
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array(ids[:-1]), "id_b": pa.array(ids[1:])})
+    )
+    # force the auto path over the distributed engine with a tiny cap
+    got = _clusters_df(cluster_pairs(pairs, mode="auto", driver_max_pairs=10))
+    want = _clusters_df(cluster_pairs(pairs, mode="driver"))
+    pd.testing.assert_frame_equal(got, want)
