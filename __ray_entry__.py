@@ -504,6 +504,26 @@ def _q_sample_topk(sf_dir: str):
     return hash_sample_topk(docs, key_col="source", id_col="doc_id", k=SAMPLE_K)
 
 
+SHUFFLE_SEED = 42
+SHUFFLE_SHARDS = 8
+
+
+def _q_shuffled_export(sf_dir: str):
+    """Seeded whole-corpus shuffle for training-batch mixing: every doc
+    gets a (shard, pos) from the deterministic permutation key
+    md5(f"{seed}:{doc_id}") — shard = key % S, pos = rank within shard by
+    (key, id). Pure function of (seed, id): the SQL oracle recomputes the
+    identical assignment with md5 + ROW_NUMBER, so the driver hash-checks
+    BOTH row-set equality and the shard/pos assignment. One hash exchange
+    keyed by shard, in-partition lexsort — no global sort."""
+    from contest_parsing_ray.stages.sampling import shuffled_rows
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"])
+    return shuffled_rows(
+        docs, id_col="doc_id", seed=SHUFFLE_SEED, num_shards=SHUFFLE_SHARDS
+    )
+
+
 def _q_vocab_hist(sf_dir: str):
     """Vocabulary histogram over the ACTUAL token arrays: per-batch
     bincount partials (<= vocab rows leave each batch), one tiny
@@ -2153,6 +2173,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_30m": _q_sessionize,
         # training-data text op: PII-pattern redaction
         "redact_docs": _q_redact,
+        # ---- block C: round-4 additions (rotate into the window next
+        # round) -------------------------------------------------------
+        # seeded global shuffle for training-batch mixing
+        "shuffled_export_docs": _q_shuffled_export,
     }
 
 
@@ -2465,6 +2489,23 @@ SELECT doc_id, source FROM (
          ) AS rn
   FROM documents
 ) WHERE rn <= {SAMPLE_K}
+""",
+        # seeded global shuffle: identical md5 permutation key on both
+        # sides, so shard AND in-shard rank must match value-exactly
+        "shuffled_export_docs": rf"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         CAST(concat('0x', substr(md5(concat('{SHUFFLE_SEED}:', doc_id)),
+                                  1, 16)) AS UBIGINT) AS prio
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CAST(prio % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+              PARTITION BY prio % {SHUFFLE_SHARDS}
+              ORDER BY prio, doc_id
+            ) - 1 AS BIGINT) AS pos
+FROM d
 """,
         # PSI drift between time halves: add-half smoothing over bins
         # occupied in >=1 period (finite on disjoint supports), identical

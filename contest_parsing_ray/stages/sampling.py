@@ -206,3 +206,139 @@ def hash_split(
         return batch.append_column(out_col, lab)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def seeded_md5_priority(ids, seed: int) -> np.ndarray:
+    """uint64 shuffle key per id: int(md5(f"{seed}:{id}")[:16], 16).
+
+    Same portable-hash contract as :func:`md5_priority` (DuckDB:
+    ``md5(concat('<seed>:', id))``), with the seed prefixed so every seed
+    is an independent permutation of the corpus."""
+    pre = f"{int(seed)}:".encode()
+    out = np.empty(len(ids), dtype=np.uint64)
+    for i, x in enumerate(ids):
+        if x is None:
+            out[i] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        else:
+            out[i] = np.uint64(
+                int.from_bytes(
+                    hashlib.md5(pre + str(x).encode()).digest()[:8], "big"
+                )
+            )
+    return out
+
+
+def _with_shuffle_cols(
+    ds: ray.data.Dataset, id_col: str, seed: int, num_shards: int
+) -> ray.data.Dataset:
+    def add(batch: pa.Table) -> pa.Table:
+        pri = seeded_md5_priority(batch[id_col].to_pylist(), seed)
+        shard = (pri % np.uint64(num_shards)).astype(np.int64)
+        return batch.append_column(
+            "__prio", pa.array(pri)
+        ).append_column("shard", pa.array(shard))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def shuffled_rows(
+    ds: ray.data.Dataset,
+    id_col: str,
+    seed: int,
+    num_shards: int = 64,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Seeded whole-corpus shuffle: assigns every row a ``shard`` (int64,
+    ``key % num_shards``) and a ``pos`` (int64, rank within the shard by
+    ``(key, id)``) where key = :func:`seeded_md5_priority` — a
+    deterministic global permutation that is a pure function of
+    ``(seed, id)``: identical on any cluster shape, across restarts, and
+    across engines (the SQL oracle recomputes it with ``md5`` +
+    ``ROW_NUMBER``). The standard last step of a training-data pipeline:
+    mixing without an RNG-state shuffle whose output changes per run.
+
+    Scale shape: ONE hash exchange keyed by ``shard`` co-locates each
+    output shard, then an in-partition lexsort ranks it — no global sort.
+    Size ``num_shards`` >= cluster cores so the exchange fans out (a shard
+    must fit one task's memory, the same contract as every keyed stage).
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+
+    def rank(t: pa.Table) -> pa.Table:
+        pri = t["__prio"].to_numpy(zero_copy_only=False)
+        shard = t["shard"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, pri, shard))
+        t = t.take(pa.array(order)).drop_columns(["__prio"])
+        ss = shard[order]
+        first = np.ones(len(ss), dtype=bool)
+        first[1:] = ss[1:] != ss[:-1]
+        run0 = np.flatnonzero(first)
+        pos = np.arange(len(ss), dtype=np.int64) - np.repeat(
+            run0, np.diff(np.append(run0, len(ss)))
+        )
+        return t.append_column("pos", pa.array(pos))
+
+    return hash_partitioned_map(
+        _with_shuffle_cols(ds, id_col, seed, num_shards), ["shard"], rank,
+        num_partitions=num_partitions, batch_format="pyarrow",
+    )
+
+
+def shuffled_export(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    id_col: str,
+    seed: int,
+    num_shards: int = 64,
+    num_partitions: int | None = None,
+    compression: str = "zstd",
+) -> ray.data.Dataset:
+    """Write the seeded global shuffle as training-ready parquet shards:
+    ``{out_dir}/shard-{i:05d}.parquet`` each internally ordered by the
+    shuffle key, plus a returned manifest Dataset ``(shard, n_rows,
+    path)``. Deterministic: a re-run rewrites byte-stable shard contents,
+    so restarts are idempotent and a partial run can be resumed by
+    re-running (finished shards are simply rewritten identically; at real
+    scale gate on the manifest to skip them).
+    """
+    from ..fsutil import join_path, resolve_fs
+
+    fs, root = resolve_fs(out_dir)
+    fs.create_dir(root, recursive=True)
+
+    def write_shards(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        pri = t["__prio"].to_numpy(zero_copy_only=False)
+        shard = t["shard"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, pri, shard))
+        t = t.take(pa.array(order)).drop_columns(["__prio"])
+        ss = shard[order]
+        bounds = np.flatnonzero(
+            np.concatenate([[True], ss[1:] != ss[:-1], [True]])
+        )
+        out_shard, out_rows, out_path = [], [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            s = int(ss[lo])
+            sub = t.slice(lo, hi - lo).drop_columns(["shard"])
+            path = join_path(root, f"shard-{s:05d}.parquet")
+            with fs.open_output_stream(path) as f:
+                pq.write_table(sub, f, compression=compression)
+            out_shard.append(s)
+            out_rows.append(int(hi - lo))
+            out_path.append(path)
+        return pa.table(
+            {
+                "shard": pa.array(out_shard, pa.int64()),
+                "n_rows": pa.array(out_rows, pa.int64()),
+                "path": pa.array(out_path, pa.string()),
+            }
+        )
+
+    return hash_partitioned_map(
+        _with_shuffle_cols(ds, id_col, seed, num_shards), ["shard"],
+        write_shards, num_partitions=num_partitions, batch_format="pyarrow",
+    )

@@ -167,3 +167,83 @@ FROM docs""").df().set_index("doc_id")["split"]
 
     with _p.raises(ValueError):
         hash_split(ray.data.from_arrow(t), "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_shuffled_rows_is_seeded_permutation():
+    from contest_parsing_ray.stages.sampling import (
+        seeded_md5_priority,
+        shuffled_rows,
+    )
+
+    ids = [f"doc{i:04d}" for i in range(500)]
+    df = pd.DataFrame({"doc_id": ids, "n": np.arange(500)})
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = shuffled_rows(ds, id_col="doc_id", seed=7, num_shards=8).to_pandas()
+
+    # exact row-set equality: a permutation, nothing added or dropped
+    assert sorted(out["doc_id"]) == ids
+    assert out.set_index("doc_id")["n"].sort_index().tolist() == list(range(500))
+
+    # shard/pos match the pure-function definition
+    pri = seeded_md5_priority(ids, 7)
+    want = pd.DataFrame({"doc_id": ids, "prio": pri})
+    want["shard"] = (want["prio"] % np.uint64(8)).astype(np.int64)
+    want = want.sort_values(["shard", "prio", "doc_id"])
+    want["pos"] = want.groupby("shard").cumcount()
+    got = out.set_index("doc_id")[["shard", "pos"]].sort_index()
+    exp = want.set_index("doc_id")[["shard", "pos"]].sort_index()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # pos is dense 0..k-1 per shard and every shard is populated
+    for s, g in out.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    assert out["shard"].nunique() == 8
+
+    # restart/reshard-stable: different partitioning, same assignment
+    out2 = shuffled_rows(
+        ray.data.from_pandas(df).repartition(3), id_col="doc_id",
+        seed=7, num_shards=8,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+    # a different seed is a different permutation
+    out3 = shuffled_rows(ds, id_col="doc_id", seed=8, num_shards=8).to_pandas()
+    merged = out.merge(out3, on="doc_id", suffixes=("_a", "_b"))
+    assert (
+        (merged["shard_a"] != merged["shard_b"])
+        | (merged["pos_a"] != merged["pos_b"])
+    ).any()
+
+
+def test_shuffled_export_writes_ordered_shards(tmp_path):
+    import pyarrow.parquet as pq
+
+    from contest_parsing_ray.stages.sampling import (
+        shuffled_export,
+        shuffled_rows,
+    )
+
+    ids = [f"d{i:03d}" for i in range(200)]
+    df = pd.DataFrame({"doc_id": ids, "v": np.arange(200.0)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out_dir = str(tmp_path / "shards")
+    man = shuffled_export(
+        ds, out_dir, id_col="doc_id", seed=3, num_shards=4
+    ).to_pandas().sort_values("shard").reset_index(drop=True)
+
+    assert man["shard"].tolist() == [0, 1, 2, 3]
+    assert man["n_rows"].sum() == 200
+
+    ref = shuffled_rows(ds, id_col="doc_id", seed=3, num_shards=4).to_pandas()
+    for _, row in man.iterrows():
+        t = pq.read_table(row["path"]).to_pandas()
+        assert len(t) == row["n_rows"]
+        # file order == in-shard shuffle order
+        want = (
+            ref[ref["shard"] == row["shard"]]
+            .sort_values("pos")["doc_id"].tolist()
+        )
+        assert t["doc_id"].tolist() == want
