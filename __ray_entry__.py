@@ -1927,24 +1927,51 @@ def _q_events_in_sessions(sf_dir: str):
         interval_cols=["session_id"],
     )
 
-    def fix(df: pd.DataFrame) -> pd.DataFrame:
-        # the union's typed-null padding promotes ints to float64 on the
-        # event side; both columns are null-free in the joined output
-        df["event_id"] = df["event_id"].astype(np.int64)
-        df["session_id"] = df["session_id"].astype(np.int64)
-        return df[["event_id", "user_id", "session_id"]]
-
-    return out.map_batches(fix, batch_format="pandas")
+    # interval_join emits exact declared arrow types per partition, so a
+    # plain column projection keeps the schema stable (a pandas hop here
+    # would re-coerce int64 user_id to float64 in null-holding partitions)
+    return out.select_columns(["event_id", "user_id", "session_id"])
 
 
 def _q_approx_distinct(sf_dir: str):
     """HLL approximate distinct users per event_type — the sketch-based
     scale path for cumulative_distinct (O(keys) exchange, independent of
-    cardinality). Deterministic (hash-driven) → golden-pinned oracle."""
+    cardinality). Self-checking: emits the approx AND the exact
+    COUNT(DISTINCT) per key and RAISES if any key's relative error
+    exceeds 5% (~3x the p=12 standard error of 1.6%), so the driver gate
+    enforces the accuracy bound, not just determinism. Deterministic
+    (hash-driven) → golden-pinned oracle."""
+    from contest_parsing_ray.stages._shuffle import hash_partitioned_map
     from contest_parsing_ray.stages.cumulative import approx_distinct
 
     ev = _events(sf_dir, columns=["ts", "event_type", "user_id"])
-    return approx_distinct(ev, key_col="event_type", value_col="user_id")
+    approx = approx_distinct(
+        ev, key_col="event_type", value_col="user_id"
+    ).to_pandas()
+
+    def nuniq(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", dropna=False)["user_id"].nunique()
+        return g.rename("exact_distinct").reset_index()
+
+    exact = hash_partitioned_map(
+        _events(sf_dir, columns=["ts", "event_type", "user_id"]).select_columns(
+            ["event_type", "user_id"]
+        ),
+        ["event_type"], nuniq, batch_format="pandas",
+    ).to_pandas()
+    out = approx.merge(exact, on="event_type")
+    assert len(out) == len(approx) == len(exact)
+    rel = (
+        (out["approx_distinct"] - out["exact_distinct"]).abs()
+        / out["exact_distinct"]
+    )
+    bad = out[rel > 0.05]
+    if len(bad):
+        raise AssertionError(
+            f"HLL estimate off by >5% for keys: {bad.to_dict('records')}"
+        )
+    out["rel_err_pct"] = (rel * 100).round(6)
+    return out
 
 
 def _q_counter_rate(sf_dir: str):
@@ -2185,6 +2212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 
 def _rollup_sql(width: int, mode: str = "nearest") -> str:
+    # null-sample contract (matches PartialRollup): a null value or null ts
+    # is not a sample — cnt counts real samples and all-null buckets don't
+    # exist, hence the WHERE instead of COUNT(*)
     if mode == "nearest":
         bucket = f"(((epoch_us(ts) + {width // 2}) // {width}) * {width})"
     else:
@@ -2197,7 +2227,8 @@ SELECT event_type,
        CAST(MIN(value) AS DOUBLE) AS min_v,
        CAST(MAX(value) AS DOUBLE) AS max_v,
        ROUND(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS p95_v
-FROM events GROUP BY 1, 2
+FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+GROUP BY 1, 2
 """
 
 
@@ -2287,8 +2318,10 @@ FROM b
 """,
         "cumulative_distinct_users_1m": f"""
 WITH fs AS (
+  -- COUNT(DISTINCT) semantics: null users are not a distinct value
+  -- (matches the engine's first-seen partial, which drops null values)
   SELECT event_type, user_id, MIN({_BUCKET_1M}) AS bucket_us
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
 ), c AS (
   SELECT event_type, bucket_us, CAST(COUNT(*) AS BIGINT) AS new_distinct
   FROM fs GROUP BY 1, 2
@@ -2316,7 +2349,7 @@ QUALIFY COUNT(*) OVER (PARTITION BY dkey) = 1
 WITH agg AS (
   SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
          CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(value) AS DOUBLE) AS sum_v
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ), bounds AS (
   SELECT event_type, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM agg GROUP BY 1
 ), grid AS (
@@ -2338,7 +2371,7 @@ FROM j
 WITH agg AS (
   SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
          CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(value) AS DOUBLE) AS sum_v
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ), bounds AS (
   SELECT event_type, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM agg GROUP BY 1
 ), grid AS (
@@ -2378,7 +2411,7 @@ FROM w
 WITH agg AS (
   SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
          CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(value) AS DOUBLE) AS sum_v
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT bucket_us,
        {widen_cols}
@@ -2387,7 +2420,7 @@ FROM agg GROUP BY bucket_us
         "topk_buckets": f"""
 SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
        CAST(COUNT(*) AS BIGINT) AS cnt
-FROM events GROUP BY 1, 2
+FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ORDER BY cnt DESC, bucket_us ASC, event_type ASC LIMIT 10
 """,
         "tree_chain_depths": """
@@ -2664,7 +2697,7 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
 WITH r AS (
   SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
          CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT e.event_id, e.event_type,
        CAST(r.bucket_us AS DOUBLE) AS asof_bucket_us,
@@ -2676,7 +2709,7 @@ FROM events e ASOF LEFT JOIN r
 WITH r AS (
   SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
          CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT e.event_id, e.event_type,
        CAST(r.bucket_us AS DOUBLE) AS asof_bucket_us,
@@ -2688,7 +2721,7 @@ FROM events e ASOF LEFT JOIN r
 WITH r AS (
   SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
          CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, bucket_us, cnt,
        ROUND(CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket_us
@@ -2700,7 +2733,7 @@ FROM r
 SELECT event_type,
        {_BUCKET_1H_NEAREST} AS bucket_us,
        ROUND(CAST(SUM(value) AS DOUBLE), 6) AS value
-FROM events GROUP BY 1, 2
+FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 """,
         # window = middle half of the bucket span, bounds integer-aligned to
         # the 1h grid exactly as the Ray side derives them from chunk stats
@@ -2709,7 +2742,7 @@ WITH r AS (
   SELECT event_type,
          {_BUCKET_1H_NEAREST} AS bucket_us,
          ROUND(CAST(SUM(value) AS DOUBLE), 6) AS value
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ), b AS (
   SELECT MIN(bucket_us) AS mn, MAX(bucket_us) AS mx FROM r
 )
@@ -2846,7 +2879,7 @@ WITH r AS (
          CAST(SUM(value) AS DOUBLE) AS sum_v,
          CAST(MIN(value) AS DOUBLE) AS min_v,
          CAST(MAX(value) AS DOUBLE) AS max_v
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, bucket_us, variable, ROUND(value, 6) AS value FROM (
   SELECT event_type, bucket_us, 'cnt' AS variable, cnt AS value FROM r
@@ -2908,7 +2941,7 @@ WITH RECURSIVE r AS (
   FROM (
     SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
            CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM events GROUP BY 1, 2
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
   )
 ), e AS (
   SELECT event_type, bucket_us, cnt, rn, CAST(cnt AS DOUBLE) AS ew
@@ -2924,7 +2957,7 @@ SELECT event_type, bucket_us, cnt, ROUND(ew, 6) AS cnt_ewma FROM e
 WITH r AS (
   SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
          CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ), w AS (
   SELECT event_type, bucket_us, cnt,
          AVG(CAST(cnt AS DOUBLE)) OVER win AS mu,
@@ -3012,7 +3045,7 @@ FROM i GROUP BY 1, 2
 WITH r AS (
   SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
          CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, bucket_us, cnt,
        CAST(quantile_disc(cnt, 0.5) OVER (
@@ -3024,7 +3057,7 @@ FROM r
 WITH r AS (
   SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
          CAST(COUNT(*) AS DOUBLE) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT a.event_type AS k1, b.event_type AS k2,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -3041,7 +3074,7 @@ WITH RECURSIVE r AS (
   FROM (
     SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
            CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM events GROUP BY 1, 2
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
   )
 ), st AS (
   SELECT event_type, AVG(CAST(cnt AS DOUBLE)) AS mu,
@@ -3084,7 +3117,7 @@ WHERE NOT EXISTS (
 WITH r AS (
   SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
          CAST(COUNT(*) AS DOUBLE) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ), x AS (
   SELECT event_type, cnt,
          (bucket_us - MIN(bucket_us) OVER (PARTITION BY event_type))
@@ -3100,7 +3133,7 @@ FROM x GROUP BY event_type
 WITH r AS (
   SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
          CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ), w AS (
   SELECT event_type, bucket_us, cnt,
          CASE WHEN COUNT(*) OVER win = 24
@@ -3140,7 +3173,7 @@ FROM events
 WITH r AS (
   SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
          CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, bucket_us, cnt,
        CAST(MAX(cnt) OVER w AS DOUBLE) AS prev_max,
@@ -3158,7 +3191,7 @@ WITH RECURSIVE r AS (
   FROM (
     SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
            CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM events GROUP BY 1, 2
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
   )
 ), e AS (
   SELECT event_type, bucket_us, cnt, rn,
@@ -3310,7 +3343,7 @@ FROM g
 WITH r AS (
   SELECT event_type, {_BUCKET_1H_NEAREST} AS bucket_us,
          CAST(COUNT(*) AS DOUBLE) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ), l AS (
   SELECT event_type, cnt,
          LAG(cnt, 1) OVER (PARTITION BY event_type ORDER BY bucket_us)

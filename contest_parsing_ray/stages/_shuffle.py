@@ -168,14 +168,29 @@ def hash64_strings(
 
 def hash64_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Hash any scalar column to uint64 (strings via buffer hash, numerics
-    via splitmix64 of their int64 view)."""
+    via splitmix64 of their int64 view).
+
+    Null handling must keep VALUE→hash stable per column type across
+    batches: an int64 column with nulls would round-trip through numpy as
+    float64 (hashing value 103 by its float bits) while a null-free batch
+    hashes it by its int bits — the same key would land in two partitions
+    depending on its batch's null layout, silently splitting per-key
+    groups (caught by the null-variant gate on sessionize). Nulls
+    fill to 0 for routing: a hash COLLISION between null and 0 only
+    co-locates the two groups, never merges them."""
     t = col.type
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
         return hash64_strings(col)
     if pa.types.is_timestamp(t):
         col = col.cast(pa.int64())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count and not pa.types.is_floating(col.type):
+        col = col.fill_null(0)
     arr = col.to_numpy(zero_copy_only=False)
     if arr.dtype.kind == "f":
+        # NaN (incl. null→NaN for float columns) has one canonical bit
+        # pattern out of to_numpy, so float nulls already route stably
         arr = arr.astype(np.float64).view(np.uint64)
     return _splitmix64(np.asarray(arr, dtype=np.uint64))
 

@@ -98,6 +98,15 @@ def cumulative_distinct(
 
     class _PartialFirstSeen:
         def __call__(self, batch: pa.Table) -> pa.Table:
+            # COUNT(DISTINCT) semantics: null values are not distinct
+            # values — filtered at the ARROW level so an int64 value
+            # column never float-coerces in null-holding batches (float
+            # bits hash differently from int bits, which would split one
+            # (key, value) pair across partitions and double-count it)
+            vcol = batch[value_col]
+            if vcol.null_count:
+                batch = batch.filter(vcol.is_valid())
+            vtype = batch.schema.field(value_col).type
             ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
             df = pd.DataFrame(
                 {
@@ -110,7 +119,8 @@ def cumulative_distinct(
             return pa.table(
                 {
                     key_col: pa.array(agg["key"].astype(str)),
-                    value_col: pa.array(agg["val"]),
+                    value_col: pa.array(agg["val"], type=vtype,
+                                        from_pandas=True),
                     "first_bucket": pa.array(agg["bucket_us"].to_numpy(), type=pa.int64()),
                 }
             )

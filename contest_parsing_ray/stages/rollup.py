@@ -123,6 +123,20 @@ class PartialRollup:
         self.checksum_col = checksum_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # null-sample contract: a row with a null value or null timestamp
+        # is not a sample — dropped before grouping, so cnt = SQL
+        # COUNT(value), sum/min/max/p95 aggregate only real samples, and a
+        # bucket with zero real samples does not exist (oracle: WHERE
+        # value IS NOT NULL). Without this, NaNs would poison the quantile
+        # blobs and cnt would read COUNT(*).
+        vcol = batch[self.value_col]
+        tcol = batch[self.ts_col]
+        if vcol.null_count or tcol.null_count:
+            import pyarrow.compute as pc
+
+            batch = batch.filter(
+                pc.and_(vcol.is_valid(), tcol.is_valid())
+            )
         ts = batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         df = pd.DataFrame(
             {

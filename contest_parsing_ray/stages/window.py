@@ -112,17 +112,28 @@ def sessionize(
     fit one task — enforced by the hash co-location on ``user_col``.
     """
 
-    def sess(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
+    def sess(t: pa.Table) -> pa.Table:
+        # arrow in/out so the user column keeps its EXACT input type: a
+        # pandas partition holding null int64 users would coerce to
+        # float64 while null-free partitions stay int64, and the merged
+        # Dataset schema would conflict (caught by the null-variant gate)
+        utype = t.schema.field(user_col).type
+
+        def out(users, session_id, start, end, n) -> pa.Table:
+            return pa.table(
                 {
-                    user_col: pd.Series([], dtype=df[user_col].dtype),
-                    "session_id": pd.Series([], dtype=np.int64),
-                    "session_start_us": pd.Series([], dtype=np.int64),
-                    "session_end_us": pd.Series([], dtype=np.int64),
-                    "n_events": pd.Series([], dtype=np.int64),
+                    user_col: pa.array(users, type=utype, from_pandas=True),
+                    "session_id": pa.array(session_id, pa.int64()),
+                    "session_start_us": pa.array(start, pa.int64()),
+                    "session_end_us": pa.array(end, pa.int64()),
+                    "n_events": pa.array(n, pa.int64()),
                 }
             )
+
+        if len(t) == 0:
+            z = np.array([], dtype=np.int64)
+            return out(z, z, z, z, z)
+        df = t.to_pandas()
         u_raw = df[user_col]
         # use_na_sentinel=False: null users form their own group instead of
         # the -1 sentinel wrapping onto the last real user's label
@@ -145,20 +156,18 @@ def sessionize(
         session_id = np.arange(len(su), dtype=np.int64) - np.repeat(
             user_first, reps
         ) + 1
-        return pd.DataFrame(
-            {
-                user_col: uniques[su],
-                "session_id": session_id,
-                "session_start_us": tss[starts],
-                "session_end_us": tss[ends],
-                "n_events": (ends - starts + 1).astype(np.int64),
-            }
+        return out(
+            np.asarray(uniques)[su],
+            session_id,
+            tss[starts],
+            tss[ends],
+            (ends - starts + 1).astype(np.int64),
         )
 
     cols = [user_col, ts_col, order_col]
     return hash_partitioned_map(
         events.select_columns(cols), [user_col], sess,
-        num_partitions=num_partitions, batch_format="pandas",
+        num_partitions=num_partitions, batch_format="pyarrow",
     )
 
 
@@ -195,9 +204,20 @@ def interval_join(
             "interval side (e.g. select with a suffix) before joining"
         )
     rcols = [key_col, lo_col, hi_col, *interval_cols]
-    types = {n: t for n, t in zip(e_schema.names, e_schema.types)}
+
+    def _pa_type(t) -> pa.DataType:
+        # Dataset.schema() may be a PandasBlockSchema whose .types are
+        # numpy dtypes / classes, not Arrow DataTypes
+        if isinstance(t, pa.DataType):
+            return t
+        dt = np.dtype(t)
+        if dt == np.dtype(object):  # pandas object column == strings here
+            return pa.string()
+        return pa.from_numpy_dtype(dt)
+
+    types = {n: _pa_type(t) for n, t in zip(e_schema.names, e_schema.types)}
     r_schema = intervals.schema()
-    types.update({n: t for n, t in zip(r_schema.names, r_schema.types)})
+    types.update({n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)})
     all_cols = ecols + [c for c in rcols if c not in ecols]
 
     def tag(side: int, cols: list[str]):
@@ -219,12 +239,25 @@ def interval_join(
 
     out_cols = ecols + [c for c in interval_cols if c not in ecols]
 
-    def match(df: pd.DataFrame) -> pd.DataFrame:
-        ev = df[df["__side"] == 0].dropna(subset=[ts_col])
-        iv = df[df["__side"] == 1].dropna(subset=[lo_col, hi_col])
+    def typed(out: pd.DataFrame | None) -> pa.Table:
+        # explicit arrow types per column: pandas partitions that held
+        # nulls float-coerce int64 columns, and per-partition dtype drift
+        # would break the output schema merge (null-gate trap)
+        if out is None:
+            return pa.table({c: pa.array([], type=types[c]) for c in out_cols})
+        return pa.table(
+            {c: pa.array(out[c], type=types[c], from_pandas=True)
+             for c in out_cols}
+        )
+
+    def match(df: pd.DataFrame) -> pa.Table:
+        # SQL join semantics: a NULL key equals nothing, so null-key rows
+        # on either side match nothing (they still hash-route together,
+        # but are dropped here)
+        ev = df[df["__side"] == 0].dropna(subset=[ts_col, key_col])
+        iv = df[df["__side"] == 1].dropna(subset=[lo_col, hi_col, key_col])
         if len(ev) == 0 or len(iv) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=df[c].dtype)
-                                 for c in out_cols})
+            return typed(None)
         # shared key codes across both sides
         codes, _ = pd.factorize(
             pd.concat([ev[key_col], iv[key_col]], ignore_index=True),
@@ -254,8 +287,7 @@ def interval_join(
         cnt = np.maximum(end - start, 0)
         total = int(cnt.sum())
         if total == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=df[c].dtype)
-                                 for c in out_cols})
+            return typed(None)
         iv_rep = np.repeat(np.arange(len(iv)), cnt)
         # concatenated ranges [start_i, end_i) per interval
         offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
@@ -265,7 +297,7 @@ def interval_join(
         for c in interval_cols:
             if c not in out.columns:
                 out[c] = ivr[c].to_numpy()
-        return out[out_cols]
+        return typed(out[out_cols])
 
     return hash_partitioned_map(
         both, [key_col], match,
@@ -548,17 +580,27 @@ def merge_intervals(
     to arbitrary interval sets (session coverage, downtime windows).
     """
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
+    def merge(t: pa.Table) -> pa.Table:
+        # arrow in/out keeps the key column's EXACT input type across
+        # partitions (pandas would float-coerce int64 keys in partitions
+        # holding nulls — the schema-merge trap the null gate catches)
+        ktype = t.schema.field(key_col).type
+
+        def out(keys, island_id, start, end, n) -> pa.Table:
+            return pa.table(
                 {
-                    key_col: pd.Series([], dtype=df[key_col].dtype),
-                    "island_id": pd.Series([], dtype=np.int64),
-                    "start_us": pd.Series([], dtype=np.int64),
-                    "end_us": pd.Series([], dtype=np.int64),
-                    "n_merged": pd.Series([], dtype=np.int64),
+                    key_col: pa.array(keys, type=ktype, from_pandas=True),
+                    "island_id": pa.array(island_id, pa.int64()),
+                    "start_us": pa.array(start, pa.int64()),
+                    "end_us": pa.array(end, pa.int64()),
+                    "n_merged": pa.array(n, pa.int64()),
                 }
             )
+
+        if len(t) == 0:
+            z = np.array([], dtype=np.int64)
+            return out(z, z, z, z, z)
+        df = t.to_pandas()
         codes, uniques = pd.factorize(
             df[key_col], sort=False, use_na_sentinel=False
         )
@@ -581,22 +623,18 @@ def merge_intervals(
         island_id = np.arange(len(su), dtype=np.int64) - np.repeat(
             key_first, reps
         ) + 1
-        return pd.DataFrame(
-            {
-                key_col: uniques[su],
-                "island_id": island_id,
-                "start_us": ss[starts_idx],
-                "end_us": cummax[end_idx].astype(np.int64),
-                "n_merged": np.diff(
-                    np.append(starts_idx, len(cs))
-                ).astype(np.int64),
-            }
+        return out(
+            np.asarray(uniques)[su],
+            island_id,
+            ss[starts_idx],
+            cummax[end_idx].astype(np.int64),
+            np.diff(np.append(starts_idx, len(cs))).astype(np.int64),
         )
 
     cols = [key_col, start_col, end_col]
     return hash_partitioned_map(
         intervals.select_columns(cols), [key_col], merge,
-        num_partitions=num_partitions, batch_format="pandas",
+        num_partitions=num_partitions, batch_format="pyarrow",
     )
 
 

@@ -51,10 +51,127 @@ def normalize(t: pa.Table) -> pa.Table:
     return t.combine_chunks()
 
 
+# Queries whose oracles must hold on data that actually contains nulls
+# (null values AND null user keys). value_drift_psi et al. are excluded by
+# design: they REFUSE null keys loudly (their contract).
+NULL_GATE_QUERIES = [
+    "counter_increase_1h",
+    "ohlc_rate_1h",
+    "value_percent_rank",
+    "winsorize_values_p05_p95",
+    "minmax_normalize_values",
+    "robust_zscore_values",
+    "exact_quantiles_value",
+    "quantiles_by_type",
+    "rollup_1h",
+    "rollup_1m",
+    "record_high_1h",
+    "melt_rollup_1h",
+    "value_histogram_20",
+    # every oracle that re-derives the 1h rollup carries the same
+    # null-sample WHERE as the engine's PartialRollup null drop
+    "ewma_1h",
+    "zscore_anomaly_1h",
+    "rolling_median_24h",
+    "series_corr_pairs",
+    "cusum_changepoints_1h",
+    "trend_slope_1h",
+    "seasonal_decompose_1h",
+    "holt_smooth_1h",
+    "autocorr_lag1_1h",
+    "gapfill_locf_1h",
+    "gapfill_linear_1h",
+    "widen_1h",
+    "topk_buckets",
+    "compress_roundtrip_1h",
+    "range_read_1h",
+    "asof_join_rollup",
+    "asof_join_forward",
+    "sliding_window_3h",
+    "m4_downsample_1h",
+    "time_weighted_avg_1h",
+    "sessionize_30m",
+    "sliding_distinct_users_24h",
+    "user_type_entropy",
+    "activity_gini_1d",
+    "heavy_hitter_users",
+    # user-keyed exchanges: nulls in the int64 key column must not split
+    # a user across partitions (the hash64_column float-coercion trap)
+    "latest_event_per_user_asof",
+    "growth_accounting_1d",
+    "funnel_signup_click_purchase",
+    "interarrival_stats_by_type",
+    "merged_intervals_5m",
+    "conversion_lag_stats",
+    "type_transition_matrix",
+    "top3_events_per_type",
+    "cumulative_distinct_users_1m",
+    "hot_user_events",
+    "events_in_sessions",
+]
+
+
+def make_null_variant(sf_dir: str) -> str:
+    """Copy the sf tables into /tmp with deterministic nulls injected into
+    events: ~3% of `value` and ~2% of `user_id` (by splitmix64 of event_id)
+    set to NULL. Other tables are copied untouched."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/mirror_nulls_{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = os.path.join(out, ".done")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for tbl in TABLES:
+        src = os.path.join(sf_dir, f"{tbl}.parquet")
+        if not os.path.exists(src):
+            continue
+        t = pq.read_table(src)
+        if tbl == "events":
+            eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                z = eid + np.uint64(0x9E3779B97F4A7C15)
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                z ^= z >> np.uint64(31)
+            null_v = (z % np.uint64(100)) < 3
+            null_u = (z % np.uint64(97)) < 2
+            cols = {}
+            for name in t.column_names:
+                c = t[name]
+                if name == "value":
+                    c = pa.array(
+                        np.where(null_v, np.nan,
+                                 c.to_numpy(zero_copy_only=False)),
+                        from_pandas=True,
+                    )
+                elif name == "user_id":
+                    arr = c.to_numpy(zero_copy_only=False).astype(object)
+                    arr[null_u] = None
+                    c = pa.array(arr, type=t.schema.field(name).type,
+                                 from_pandas=True)
+                cols[name] = c
+            t = pa.table(cols)
+        pq.write_table(t, os.path.join(out, f"{tbl}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args[1:]) if args and os.path.isdir(args[0]) else set(args)
+    if "--nulls" in sys.argv:
+        # null-bearing variant corpus: the null-semantics contracts
+        # (counter_rate skip-null samples, OHLC null groups, percent_rank /
+        # winsorize null passthrough, GROUP BY keeps all-null groups) are
+        # only honest if the gate data actually CONTAINS nulls — the stock
+        # sf events table has none.
+        sf_dir = make_null_variant(sf_dir)
+        if not only:
+            only = set(NULL_GATE_QUERIES)
 
     import ray
 
