@@ -816,6 +816,41 @@ def _q_multimodal_png(sf_dir: str):
 
 
 
+def _q_multimodal_jpeg(sf_dir: str):
+    """REAL baseline-JPEG decode: deterministic per-doc JPEG payloads
+    (smooth gradients; gray/RGB x 4:4:4/4:2:0 x four quality levels, all a
+    pure function of doc_id) decoded by the pure-numpy T.81 decoder
+    (Huffman LUT entropy decode + einsum IDCT + YCbCr->RGB); features come
+    from the actual decoded pixels. Deterministic -> golden-pinned
+    oracle."""
+    import pyarrow as pa
+
+    from contest_parsing_ray.stages.multimodal import (
+        decode_jpeg_features,
+        synth_jpeg_payloads,
+    )
+
+    docs = _docs(sf_dir)
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.string())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(synth_jpeg_payloads(ids), type=pa.binary()),
+                "media_type": pa.array(["image/jpeg"] * len(t)),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    out = decode_jpeg_features(media, concurrency=2, batch_size=128)
+    out = _round_cols(out, ["mean_px", "std_px"])
+    return out.select_columns(
+        ["doc_id", "width", "height", "n_channels", "subsampled", "mean_px",
+         "std_px", "min_px", "max_px"]
+    )
+
+
 def _q_compress_roundtrip(sf_dir: str):
     """Gorilla/delta-of-delta encode the 1h rollup series then decode —
     the decoded points must equal the rollup (SQL-checkable)."""
@@ -2204,6 +2239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round) -------------------------------------------------------
         # seeded global shuffle for training-batch mixing
         "shuffled_export_docs": _q_shuffled_export,
+        # REAL baseline JPEG codec (pure numpy T.81) — golden oracle
+        "multimodal_decode_jpeg": _q_multimodal_jpeg,
     }
 
 
@@ -3448,6 +3485,7 @@ GOLDEN_ORACLE_KEYS = (
     "multimodal_decode_stub",
     "multimodal_decode_wav",
     "multimodal_decode_png",
+    "multimodal_decode_jpeg",
     "telemetry_join_fixture",
     "corpus_end_to_end",
     "ivf_topk_cosine",

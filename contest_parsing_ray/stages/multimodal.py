@@ -1,9 +1,9 @@
-"""Multimodal (image/audio/video) column plumbing + REAL WAV and PNG codecs.
+"""Multimodal (image/audio/video) column plumbing + REAL WAV/PNG/JPEG codecs.
 
 Build-brief operator: binary payload columns with typed metadata, decoded /
 feature-extracted by actor-pool ``map_batches`` stages.
 
-Three decode kernels:
+Four decode kernels:
 
 - ``WavDecode`` — a REAL RIFF/PCM WAV parser (stdlib ``struct`` + numpy,
   no external codec): parses fmt/data chunks, decodes PCM8/PCM16/PCM32/
@@ -12,11 +12,15 @@ Three decode kernels:
 - ``PngDecode`` — a REAL PNG decoder (stdlib ``zlib`` + numpy
   unfiltering, all five scanline filters): emits image features
   (dimensions, channels, pixel mean/std/min/max) from the decoded pixels.
-- ``DecodeStub`` — JPEG/video codecs (PIL/ffmpeg) are NOT in this
-  container, so their kernel stays STUBBED: raises ``NotImplementedError``
-  unless ``fake=True`` (deterministic fake features from payload bytes).
-  The plumbing — schema, batch sizing for large binary rows, actor
-  signature, output layout — is real and tested.
+- ``JpegDecode`` — a REAL baseline JPEG decoder (pure numpy: Huffman
+  entropy decode via a 16-bit-peek LUT, dequantize, einsum IDCT, chroma
+  upsample, JFIF YCbCr→RGB): emits the same image features from the
+  decoded pixels. Format per the public ITU-T T.81 spec.
+- ``DecodeStub`` — VIDEO codecs (ffmpeg) are NOT in this container, so
+  video stays STUBBED: raises ``NotImplementedError`` unless ``fake=True``
+  (deterministic fake features from payload bytes). The plumbing —
+  schema, batch sizing for large binary rows, actor signature, output
+  layout — is real and tested.
 
 Schema convention:
 
@@ -566,4 +570,654 @@ def synth_wav_payloads(doc_ids: pa.Array | pa.ChunkedArray) -> list[bytes]:
                 np.clip(x * 32767.0, -32768, 32767).astype(np.int16), sr
             )
         )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# JPEG: the third real codec — pure numpy baseline sequential DCT. Format
+# reference: the public ITU-T T.81 spec (SOI/DQT/DHT/SOF0/SOS markers,
+# Annex K.1 quantization + K.3 Huffman tables, Annex F decode procedures)
+# and the JFIF YCbCr convention. Supported: baseline (SOF0), 8-bit, gray or
+# YCbCr 4:4:4 / 4:2:0, single interleaved scan, optional restart intervals.
+# Progressive (SOF2), arithmetic coding, 12-bit and hierarchical raise —
+# they are transcode-time normalizations in a training pipeline anyway.
+# Only video decode remains stubbed (no container parser without ffmpeg).
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# T.81 Annex K.3 Huffman table specs: (bits[1..16], huffval)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# orthonormal 8-point DCT-II basis with the JPEG 1/4*C(u)C(v) scaling
+# folded in: F = _DCT_T @ f @ _DCT_T.T, f = _DCT_T.T @ F @ _DCT_T
+_DCT_X = np.arange(8, dtype=np.float64)
+_DCT_T = 0.5 * np.cos((2 * _DCT_X[None, :] + 1) * _DCT_X[:, None] * np.pi / 16.0)
+_DCT_T[0] *= 1.0 / np.sqrt(2.0)
+
+_POW2_16 = (1 << np.arange(15, -1, -1)).astype(np.uint32)
+
+
+def _jpeg_quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of a base quantization table (public libjpeg
+    convention: scale = 5000/q below 50 else 200-2q, percent of base)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 Annex C canonical assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _huff_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit-peek decode LUT (lut_sym, lut_len): a code of length L owns
+    2^(16-L) consecutive entries; uncovered entries keep length 0 =
+    invalid code. One array index replaces the per-bit Annex F walk."""
+    lut_sym = np.zeros(1 << 16, dtype=np.int16)
+    lut_len = np.zeros(1 << 16, dtype=np.int8)
+    code = k = 0
+    for length in range(1, 17):
+        span = 1 << (16 - length)
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            lut_sym[start : start + span] = vals[k]
+            lut_len[start : start + span] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return lut_sym, lut_len
+
+
+def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) level-shifted pixels -> DCT coefficients, one einsum."""
+    return np.einsum("ux,nxy,vy->nuv", _DCT_T, blocks, _DCT_T)
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    return np.einsum("xu,nuv,yv->nxy", _DCT_T.T, coefs, _DCT_T.T)
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _encode_block(
+    w: _BitWriter, zz: np.ndarray, pred: int, dc_codes: dict, ac_codes: dict
+) -> int:
+    """Huffman-encode one zigzagged quantized block; returns the new DC
+    predictor. Negative values use the T.81 diminished-radix low bits."""
+    dc = int(zz[0])
+    diff = dc - pred
+    s = int(abs(diff)).bit_length()
+    code, length = dc_codes[s]
+    w.write(code, length)
+    if s:
+        w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s = int(abs(v)).bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        w.write(code, length)
+        w.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        w.write(*ac_codes[0x00])  # EOB
+    return dc
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Minimal baseline JFIF writer (test + synthetic-corpus helper).
+
+    ``arr``: uint8 (h, w) gray or (h, w, 3) RGB. ``subsample=True`` writes
+    4:2:0 chroma (2x2 luma sampling, box-averaged chroma), else 4:4:4.
+    Standard Annex K quantization (IJG quality-scaled) + Huffman tables."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if nc not in (1, 3):
+        raise ValueError("gray or RGB input only")
+    gray = nc == 1
+    if gray:
+        subsample = False
+
+    qt_l = _jpeg_quality_scale(_QT_LUMA, quality)
+    qt_c = _jpeg_quality_scale(_QT_CHROMA, quality)
+
+    f = a.astype(np.float64)
+    if gray:
+        comps = [f[:, :, 0]]
+    else:  # JFIF YCbCr
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+
+    hs = 2 if subsample else 1  # luma sampling factor
+    mcu = 8 * hs
+    mw, mh = -(-w // mcu), -(-h // mcu)
+
+    def pad_to(img: np.ndarray, H: int, W: int) -> np.ndarray:
+        return np.pad(img, ((0, H - img.shape[0]), (0, W - img.shape[1])),
+                      mode="edge")
+
+    planes: list[np.ndarray] = []
+    for ci, img in enumerate(comps):
+        p = pad_to(img, mh * mcu, mw * mcu)
+        if ci > 0 and subsample:  # 2x2 box-average chroma
+            ph, pw = p.shape
+            p = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes.append(p)
+
+    qzz: list[np.ndarray] = []  # per comp: (block_y, block_x, 64)
+    for ci, p in enumerate(planes):
+        H, W = p.shape
+        bl = (p - 128.0).reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+        co = _fdct_blocks(bl.reshape(-1, 8, 8))
+        qt = qt_l if ci == 0 else qt_c
+        q = np.round(co / qt[None]).astype(np.int64)
+        qzz.append(q.reshape(-1, 64)[:, _ZIGZAG].reshape(H // 8, W // 8, 64))
+
+    dc_l = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    for my in range(mh):
+        for mx in range(mw):
+            if gray:
+                preds[0] = _encode_block(bw, qzz[0][my, mx], preds[0], dc_l, ac_l)
+                continue
+            if subsample:
+                for dy in range(2):
+                    for dx in range(2):
+                        preds[0] = _encode_block(
+                            bw, qzz[0][my * 2 + dy, mx * 2 + dx], preds[0],
+                            dc_l, ac_l,
+                        )
+            else:
+                preds[0] = _encode_block(bw, qzz[0][my, mx], preds[0], dc_l, ac_l)
+            preds[1] = _encode_block(bw, qzz[1][my, mx], preds[1], dc_c, ac_c)
+            preds[2] = _encode_block(bw, qzz[2][my, mx], preds[2], dc_c, ac_c)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(qt_l.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, bytes([1]) + bytes(qt_c.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + bytes([1, (hs << 4) | hs, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xFFC0, sof)
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    sos = bytes([ncomp, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    out += seg(0xFFDA, sos + bytes([0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Baseline JFIF -> (meta, uint8 pixels (h, w, channels)).
+
+    Marker walk, then Annex-F entropy decode with a 16-bit-peek Huffman
+    LUT over a vectorized sliding-window bit view (the per-symbol work is
+    two array lookups, not a per-bit loop), then einsum IDCT per block,
+    chroma upsample by replication, JFIF YCbCr -> RGB. Supports SOF0
+    baseline, 8-bit, gray or 4:4:4 / 4:2:0 color, optional restart
+    intervals; everything else raises ValueError."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos, n = 2, len(payload)
+    qts: dict[int, np.ndarray] = {}
+    luts: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    sof = None
+    dri = 0
+    scan_info = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + size]
+        if len(body) != size - 2:
+            raise ValueError("truncated marker segment")
+        pos += 2 + size
+        if marker == 0xDB:  # DQT (may hold several tables)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization not supported")
+                qt = np.zeros(64, dtype=np.int64)
+                qt[_ZIGZAG] = np.frombuffer(body[bp + 1 : bp + 65], dtype=np.uint8)
+                qts[tq] = qt.reshape(8, 8)
+                bp += 65
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                cnt = sum(bits)
+                luts[(tc, th)] = _huff_lut(bits, list(body[bp + 17 : bp + 17 + cnt]))
+                bp += 17 + cnt
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline SOF marker 0xFF{marker:02X} not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan_info = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            break
+        # APPn / COM: skipped
+    if sof is None or scan_info is None:
+        raise ValueError("missing SOF0 or SOS")
+    h, w, comps = sof
+    ncomp = len(comps)
+    if ncomp not in (1, 3):
+        raise ValueError(f"unsupported component count {ncomp}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    samp = [(c[1], c[2]) for c in comps]
+    if ncomp == 1:
+        if samp != [(1, 1)]:
+            raise ValueError("gray sampling must be 1x1")
+    elif samp not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
+        raise ValueError(f"unsupported sampling {samp}")
+
+    mw = -(-w // (8 * hmax))
+    mh = -(-h // (8 * vmax))
+    n_mcu = mw * mh
+
+    raw = payload[pos:]
+    end = raw.find(b"\xff\xd9")
+    raw = raw[: end if end >= 0 else len(raw)]
+    if dri:
+        # split at RSTn markers (predictors reset per segment)
+        segments = []
+        cur = bytearray()
+        i = 0
+        while i < len(raw):
+            if raw[i] == 0xFF and i + 1 < len(raw):
+                nxt = raw[i + 1]
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                    continue
+            cur.append(raw[i])
+            i += 1
+        segments.append(bytes(cur))
+    else:
+        segments = [raw.replace(b"\xff\x00", b"\xff")]
+
+    grids = [
+        np.zeros((mh * cv * mw * ch, 64), dtype=np.int64)
+        for _, ch, cv, _ in comps
+    ]
+    tsel = {cs: (td, ta) for cs, td, ta in scan_info}
+
+    mcu_idx = 0
+    for seg_bytes in segments:
+        bits = np.concatenate([
+            np.unpackbits(np.frombuffer(seg_bytes, dtype=np.uint8)),
+            np.zeros(32, dtype=np.uint8),
+        ])
+        peek = (
+            np.lib.stride_tricks.sliding_window_view(bits, 16).astype(np.uint32)
+            @ _POW2_16
+        ).astype(np.int64)
+        bpos = 0
+        nbits = len(seg_bytes) * 8
+        preds = [0] * ncomp
+        seg_mcus = min(dri, n_mcu - mcu_idx) if dri else n_mcu
+        for _ in range(seg_mcus):
+            my, mx = divmod(mcu_idx, mw)
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                td, ta = tsel[cid]
+                if (0, td) not in luts or (1, ta) not in luts:
+                    raise ValueError("missing Huffman table")
+                dc_sym, dc_len = luts[(0, td)]
+                ac_sym, ac_len = luts[(1, ta)]
+                for by in range(cv):
+                    for bx in range(ch):
+                        if bpos >= len(peek):
+                            raise ValueError("truncated entropy stream")
+                        p16 = peek[bpos]
+                        L = int(dc_len[p16])
+                        if L == 0:
+                            raise ValueError("invalid Huffman code (DC)")
+                        s = int(dc_sym[p16])
+                        bpos += L
+                        if s:
+                            v = int(peek[min(bpos, len(peek) - 1)]) >> (16 - s)
+                            bpos += s
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            preds[ci] += v
+                        zz = grids[ci][(my * cv + by) * (mw * ch) + mx * ch + bx]
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            if bpos >= len(peek):
+                                raise ValueError("truncated entropy stream")
+                            p16 = peek[bpos]
+                            L = int(ac_len[p16])
+                            if L == 0:
+                                raise ValueError("invalid Huffman code (AC)")
+                            sym = int(ac_sym[p16])
+                            bpos += L
+                            if sym == 0x00:  # EOB
+                                break
+                            run, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            v = int(peek[min(bpos, len(peek) - 1)]) >> (16 - s)
+                            bpos += s
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            zz[k] = v
+                            k += 1
+                        if bpos > nbits + 7:
+                            raise ValueError("truncated entropy stream")
+            mcu_idx += 1
+        if mcu_idx >= n_mcu:
+            break
+    if mcu_idx < n_mcu:
+        raise ValueError("truncated scan: not all MCUs decoded")
+
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        if tq not in qts:
+            raise ValueError(f"missing quantization table {tq}")
+        co = np.zeros_like(grids[ci], dtype=np.float64)
+        co[:, _ZIGZAG] = grids[ci] * qts[tq].reshape(-1)[_ZIGZAG]
+        px = _idct_blocks(co.reshape(-1, 8, 8)) + 128.0
+        bh_, bw_ = mh * cv, mw * ch
+        plane = (
+            px.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+        )
+        if (ch, cv) != (hmax, vmax):  # chroma upsample by replication
+            plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        planes.append(plane[:h, :w])
+
+    if ncomp == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+        return {"width": w, "height": h, "n_channels": 1,
+                "subsampled": False}, out
+    y, cb, cr = planes
+    rgb = np.stack([
+        y + 1.402 * (cr - 128.0),
+        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+        y + 1.772 * (cb - 128.0),
+    ], axis=2)
+    return (
+        {"width": w, "height": h, "n_channels": 3, "subsampled": hmax == 2},
+        np.clip(np.round(rgb), 0, 255).astype(np.uint8),
+    )
+
+
+class JpegDecode:
+    """Actor-pool JPEG decode + feature stage (mirrors :class:`PngDecode`).
+
+    Output columns: width, height, n_channels, subsampled, mean_px,
+    std_px, min_px, max_px — computed from the actual decoded pixels."""
+
+    def __init__(self, payload_col: str = "payload", strict: bool = True):
+        self.payload_col = payload_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.payload_col].combine_chunks()
+        n = len(col)
+        wd = np.zeros(n, dtype=np.int32)
+        ht = np.zeros(n, dtype=np.int32)
+        ch = np.zeros(n, dtype=np.int32)
+        sub = np.zeros(n, dtype=bool)
+        feats = np.full((n, 4), np.nan)  # mean, std, min, max
+        ok = np.ones(n, dtype=bool)
+        for i in range(n):
+            try:
+                meta, px = decode_jpeg(col[i].as_py())
+            except (ValueError, struct.error):
+                if self.strict:
+                    raise
+                ok[i] = False
+                continue
+            wd[i], ht[i], ch[i] = meta["width"], meta["height"], meta["n_channels"]
+            sub[i] = meta["subsampled"]
+            pf = px.astype(np.float64)
+            feats[i] = (pf.mean(), pf.std(), pf.min(), pf.max())
+        batch = batch.drop_columns([self.payload_col])
+        cols = {
+            "width": pa.array(wd, mask=~ok),
+            "height": pa.array(ht, mask=~ok),
+            "n_channels": pa.array(ch, mask=~ok),
+            "subsampled": pa.array(sub, mask=~ok),
+            "mean_px": pa.array(feats[:, 0], mask=~ok),
+            "std_px": pa.array(feats[:, 1], mask=~ok),
+            "min_px": pa.array(feats[:, 2], mask=~ok),
+            "max_px": pa.array(feats[:, 3], mask=~ok),
+        }
+        for name, arr in cols.items():
+            batch = batch.append_column(name, arr)
+        return batch
+
+
+def decode_jpeg_features(
+    media: ray.data.Dataset,
+    payload_col: str = "payload",
+    strict: bool = True,
+    concurrency: int = 4,
+    batch_size: int = 32,
+) -> ray.data.Dataset:
+    """media(payload=JPEG bytes, ...) → per-row image features decoded
+    from the REAL pixels (see :class:`JpegDecode`)."""
+    return media.map_batches(
+        JpegDecode,
+        fn_constructor_kwargs={"payload_col": payload_col, "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+
+def synth_jpeg_payloads(doc_ids: pa.Array | pa.ChunkedArray) -> list[bytes]:
+    """Deterministic per-doc JPEG payloads — smooth clipped gradients
+    (JPEG-friendly content), parameters a pure function of the doc_id
+    hash; cycles gray/RGB, 4:4:4/4:2:0 and four quality levels so the
+    corpus exercises every decode path."""
+    from ._shuffle import hash64_strings
+
+    h64 = hash64_strings(doc_ids)
+    out: list[bytes] = []
+    for hv in h64:
+        hv = int(hv)
+        w = 16 + (hv >> 4) % 25
+        h = 16 + (hv >> 12) % 25
+        rgb = (hv >> 20) % 2 == 1
+        sub = rgb and ((hv >> 21) % 2 == 1)
+        quality = (50, 75, 85, 95)[(hv >> 22) % 4]
+        yy, xx = np.mgrid[0:h, 0:w]
+        if rgb:
+            px = np.stack([
+                ((hv >> 24) % 120) + xx * ((hv >> 28) % 4 + 1) + yy,
+                ((hv >> 32) % 120) + xx + yy * ((hv >> 36) % 4 + 1),
+                ((hv >> 40) % 120) + xx * 2 + yy * 2,
+            ], axis=2)
+        else:
+            px = ((hv >> 24) % 120) + xx * ((hv >> 28) % 4 + 1) + yy[
+                :, :
+            ] * ((hv >> 32) % 3 + 1)
+        px = np.clip(px, 0, 255).astype(np.uint8)
+        out.append(encode_jpeg_baseline(px, quality=quality, subsample=sub))
     return out

@@ -223,3 +223,152 @@ def test_png_decode_stage_and_batching_invariance():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert np.isnan(lax.loc[0, "mean_px"]) and not np.isnan(lax.loc[1, "mean_px"])
+
+
+def test_jpeg_dct_matches_definition():
+    """The einsum FDCT equals the per-definition T.81 cosine sum and the
+    IDCT is its exact inverse — an independent check so the encoder and
+    decoder can't share a transform bug that roundtrip would cancel."""
+    from contest_parsing_ray.stages.multimodal import _fdct_blocks, _idct_blocks
+
+    rng = np.random.default_rng(7)
+    f = rng.uniform(-128, 127, size=(3, 8, 8))
+    F = _fdct_blocks(f)
+    ref = np.zeros_like(F)
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = np.zeros(3)
+            for x in range(8):
+                for y in range(8):
+                    s += f[:, x, y] * np.cos((2 * x + 1) * u * np.pi / 16) * np.cos(
+                        (2 * y + 1) * v * np.pi / 16
+                    )
+            ref[:, u, v] = 0.25 * cu * cv * s
+    np.testing.assert_allclose(F, ref, atol=1e-9)
+    np.testing.assert_allclose(_idct_blocks(F), f, atol=1e-9)
+
+
+def test_jpeg_huffman_tables_canonical():
+    """Annex K.3 table transcription sanity: counts sum to the value list
+    length, the canonical code assignment is prefix-free, and the decode
+    LUT inverts the encode mapping for every symbol."""
+    from contest_parsing_ray.stages.multimodal import (
+        _AC_CHROMA_BITS, _AC_CHROMA_VALS, _AC_LUMA_BITS, _AC_LUMA_VALS,
+        _DC_LUMA_BITS, _DC_LUMA_VALS, _huff_codes, _huff_lut,
+    )
+
+    for bits, vals, nval in (
+        (_DC_LUMA_BITS, _DC_LUMA_VALS, 12),
+        (_AC_LUMA_BITS, _AC_LUMA_VALS, 162),
+        (_AC_CHROMA_BITS, _AC_CHROMA_VALS, 162),
+    ):
+        assert sum(bits) == len(vals) == nval
+        codes = _huff_codes(bits, vals)
+        lut_sym, lut_len = _huff_lut(bits, vals)
+        seen = set()
+        for sym, (code, length) in codes.items():
+            assert length <= 16
+            bitstr = format(code, f"0{length}b")
+            for prev in seen:
+                assert not prev.startswith(bitstr) and not bitstr.startswith(prev)
+            seen.add(bitstr)
+            peek = code << (16 - length)  # code followed by zero bits
+            assert int(lut_sym[peek]) == sym and int(lut_len[peek]) == length
+
+
+def test_jpeg_roundtrip_gray_near_exact():
+    from contest_parsing_ray.stages.multimodal import (
+        decode_jpeg, encode_jpeg_baseline,
+    )
+
+    yy, xx = np.mgrid[0:33, 0:29]
+    img = np.clip(20 + xx * 3 + yy * 2, 0, 255).astype(np.uint8)
+    enc = encode_jpeg_baseline(img, quality=95)
+    meta, dec = decode_jpeg(enc)
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (29, 33, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_roundtrip_rgb_444_and_420():
+    from contest_parsing_ray.stages.multimodal import (
+        decode_jpeg, encode_jpeg_baseline,
+    )
+
+    yy, xx = np.mgrid[0:33, 0:29]
+    rgb = np.clip(
+        np.stack(
+            [30 + xx * 4 + yy, 50 + xx + yy * 3, 60 + xx * 2 + yy * 2], axis=2
+        ),
+        0, 255,
+    ).astype(np.uint8)
+    enc = encode_jpeg_baseline(rgb, quality=90)
+    meta, dec = decode_jpeg(enc)
+    assert meta["n_channels"] == 3 and meta["subsampled"] is False
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 4
+    enc = encode_jpeg_baseline(rgb, quality=85, subsample=True)
+    meta, dec = decode_jpeg(enc)
+    assert meta["subsampled"] is True
+    d = np.abs(dec.astype(int) - rgb.astype(int))
+    assert d.max() <= 16 and d.mean() <= 3.0  # chroma is box-avg + replicate
+
+
+def test_jpeg_rejects_garbage_and_progressive():
+    from contest_parsing_ray.stages.multimodal import (
+        decode_jpeg, encode_jpeg_baseline,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+    enc = encode_jpeg_baseline(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[: len(enc) - 30])  # truncated entropy stream
+    bad = bytearray(enc)
+    i = bad.find(b"\xff\xc0")
+    bad[i + 1] = 0xC2  # patch SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(bad))
+
+
+def test_jpeg_decode_stage_and_batching_invariance():
+    from contest_parsing_ray.stages.multimodal import (
+        decode_jpeg,
+        decode_jpeg_features,
+        synth_jpeg_payloads,
+    )
+
+    ids = pa.array([f"doc-{i}" for i in range(40)])
+    payloads = synth_jpeg_payloads(ids)
+    metas = [decode_jpeg(p)[0] for p in payloads]
+    # the synthetic corpus must exercise gray + RGB and both samplings
+    assert {m["n_channels"] for m in metas} == {1, 3}
+    assert {m["subsampled"] for m in metas} == {False, True}
+    media = pd.DataFrame(
+        {"doc_id": ids.to_pylist(), "payload": payloads,
+         "media_type": "image/jpeg"}
+    )
+    got = {}
+    for bs in (7, 40):
+        out = (
+            decode_jpeg_features(
+                ray.data.from_pandas(media), concurrency=2, batch_size=bs
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        got[bs] = out
+    pd.testing.assert_frame_equal(got[7], got[40])
+    out = got[40]
+    m0, px0 = decode_jpeg(payloads[0])
+    row0 = out[out["doc_id"] == "doc-0"].iloc[0]
+    assert row0["width"] == m0["width"] and row0["height"] == m0["height"]
+    np.testing.assert_allclose(row0["mean_px"], px0.astype(np.float64).mean())
+    media.loc[0, "payload"] = b"not a jpeg"
+    lax = (
+        decode_jpeg_features(
+            ray.data.from_pandas(media), strict=False, concurrency=1,
+            batch_size=40,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert np.isnan(lax.loc[0, "mean_px"]) and not np.isnan(lax.loc[1, "mean_px"])
