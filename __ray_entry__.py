@@ -851,6 +851,41 @@ def _q_multimodal_jpeg(sf_dir: str):
     )
 
 
+def _q_multimodal_video(sf_dir: str):
+    """REAL video decode: deterministic per-doc AVI/MJPEG payloads (2-6
+    translating-gradient frames, gray/RGB, parameters a pure function of
+    doc_id) demuxed by the pure-struct RIFF walker and frame-decoded by the
+    numpy T.81 JPEG decoder at frame_stride=2; features (incl. the motion
+    signal) come from the actual sampled pixels. Deterministic ->
+    golden-pinned oracle."""
+    import pyarrow as pa
+
+    from contest_parsing_ray.stages.video import (
+        decode_video_features,
+        synth_avi_payloads,
+    )
+
+    docs = _docs(sf_dir)
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.string())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(synth_avi_payloads(ids), type=pa.binary()),
+                "media_type": pa.array(["video/x-msvideo"] * len(t)),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    out = decode_video_features(media, frame_stride=2, concurrency=2, batch_size=64)
+    out = _round_cols(out, ["mean_px", "std_px", "motion"])
+    return out.select_columns(
+        ["doc_id", "width", "height", "n_frames", "n_sampled", "fps_x1000",
+         "mean_px", "std_px", "min_px", "max_px", "motion"]
+    )
+
+
 def _q_compress_roundtrip(sf_dir: str):
     """Gorilla/delta-of-delta encode the 1h rollup series then decode —
     the decoded points must equal the rollup (SQL-checkable)."""
@@ -2241,6 +2276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_export_docs": _q_shuffled_export,
         # REAL baseline JPEG codec (pure numpy T.81) — golden oracle
         "multimodal_decode_jpeg": _q_multimodal_jpeg,
+        # REAL AVI/MJPEG video demux + sampled-frame decode — golden oracle
+        "multimodal_decode_video": _q_multimodal_video,
     }
 
 
@@ -3486,6 +3523,7 @@ GOLDEN_ORACLE_KEYS = (
     "multimodal_decode_wav",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
+    "multimodal_decode_video",
     "telemetry_join_fixture",
     "corpus_end_to_end",
     "ivf_topk_cosine",

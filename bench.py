@@ -108,6 +108,46 @@ BENCH_QUERIES = [
     "source_vocab_containment",
     "source_token_richness",
     "activity_gini_1d",
+    # round-4: full coverage — every queries() entry is benched so a perf
+    # regression in ANY operator shows up round-over-round (VERDICT r3 #5).
+    "doc_repetition",
+    "word_topk_docs",
+    "ewma_1h",
+    "curate_docs",
+    "top3_events_per_type",
+    "counter_increase_1h",
+    "melt_rollup_1h",
+    "approx_distinct_users",
+    "events_in_sessions",
+    "zscore_anomaly_1h",
+    "token_bigram_top100",
+    "time_weighted_avg_1h",
+    "rollup_floor_1h",
+    "dedup_keep_none_events",
+    "gapfill_linear_1h",
+    "lang_id_docs",
+    "doc_fingerprints",
+    "minhash_lsh_pairs",
+    "minhash_clusters",
+    "sample_docs_per_source_10",
+    "simhash_docs",
+    "simhash_neardup_pairs",
+    "lsh_neardup_pairs",
+    "ivf_topk_cosine",
+    "multimodal_decode_stub",
+    "multimodal_decode_wav",
+    "multimodal_decode_png",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_video",
+    "compress_roundtrip_1h",
+    "range_read_1h",
+    "telemetry_join_fixture",
+    "corpus_end_to_end",
+    "asof_join_rollup",
+    "sliding_window_3h",
+    "trace_one_row",
+    "redact_docs",
+    "shuffled_export_docs",
 ]
 
 

@@ -16,11 +16,12 @@ Four decode kernels:
   entropy decode via a 16-bit-peek LUT, dequantize, einsum IDCT, chroma
   upsample, JFIF YCbCr→RGB): emits the same image features from the
   decoded pixels. Format per the public ITU-T T.81 spec.
-- ``DecodeStub`` — VIDEO codecs (ffmpeg) are NOT in this container, so
-  video stays STUBBED: raises ``NotImplementedError`` unless ``fake=True``
-  (deterministic fake features from payload bytes). The plumbing —
-  schema, batch sizing for large binary rows, actor signature, output
-  layout — is real and tested.
+- ``DecodeStub`` — the generic opaque-payload stage: raises
+  ``NotImplementedError`` unless ``fake=True`` (deterministic fake
+  features from payload bytes). Kept as the extension point for codecs
+  genuinely absent from the container; VIDEO is no longer one of them —
+  ``stages/video.py`` decodes RIFF/AVI + MJPEG for real on top of
+  ``decode_jpeg`` (pure-struct demux, numpy frame decode).
 
 Schema convention:
 
@@ -581,7 +582,8 @@ def synth_wav_payloads(doc_ids: pa.Array | pa.ChunkedArray) -> list[bytes]:
 # YCbCr 4:4:4 / 4:2:0, single interleaved scan, optional restart intervals.
 # Progressive (SOF2), arithmetic coding, 12-bit and hierarchical raise —
 # they are transcode-time normalizations in a training pipeline anyway.
-# Only video decode remains stubbed (no container parser without ffmpeg).
+# Video is real too: stages/video.py demuxes RIFF/AVI and MJPEG-decodes
+# sampled frames through decode_jpeg below — no stubs left in multimodal.
 # ---------------------------------------------------------------------------
 
 _ZIGZAG = np.array([

@@ -43,6 +43,7 @@ GOLDEN_QUERIES = [
     "multimodal_decode_wav",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
+    "multimodal_decode_video",
     "telemetry_join_fixture",
     "corpus_end_to_end",
     "ivf_topk_cosine",
