@@ -1574,7 +1574,10 @@ def _q_token_richness(sf_dir: str):
     counting exchange), type-token ratio."""
     from contest_parsing_ray.stages.tokens import source_token_richness
 
-    out = source_token_richness(_seqs(sf_dir))
+    ds = _seqs(sf_dir)
+    # per-file combiner path: _seqs is an untransformed parquet read, so
+    # its input_files ARE the corpus (exchange = n_files x keys x vocab)
+    out = source_token_richness(ds, input_files=ds.input_files())
     return _round_cols(out, ["type_token_ratio"])
 
 

@@ -378,6 +378,8 @@ def source_token_richness(
     key_col: str = "source",
     tokens_col: str = "tokens",
     num_partitions: int | None = None,
+    partial_batch_size: int | None = None,
+    input_files: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Vocabulary-richness diagnostics per key over the raw token ids:
     ``(key, n_tokens, vocab_size, n_hapax, type_token_ratio)`` — hapax =
@@ -388,9 +390,54 @@ def source_token_richness(
     Per-batch (key, token, cnt) bincount partials (<= keys x vocab rows
     per batch, never occurrences), ONE hash exchange on the token id
     domain, per-partition merge + per-key scalar reduction.
+
+    ``partial_batch_size`` is SCALE-CRITICAL: once a batch's token count
+    passes the vocab size, the partial is saturated at ~keys x vocab rows
+    no matter how many input rows it covers — so total exchange volume is
+    ~(n_rows / batch_size) x keys x vocab, i.e. linear in batch COUNT.
+    The 30M-row headroom run with the old fixed 4096 emitted ~1B exchange
+    rows and died OutOfDiskError once spill crossed Ray's 95% disk cap;
+    the same run at 65536 ships ~16x less.  Default: derived from the
+    input row count (metadata-only for parquet reads) — n_rows/512
+    clamped to [4096, 65536] keeps small-SF task parallelism (4096 at
+    <=2M rows) while capping exchange volume at corpus scale.
+
+    ``input_files`` (the corpus-scale path): parquet shard paths for the
+    SAME data as ``seqs`` (e.g. ``seqs.input_files()`` on an untransformed
+    read — caller's responsibility, transforms on ``seqs`` are NOT
+    replayed). The partial stage then maps over FILE PATHS — each task
+    streams its shard's row groups through a fixed keys x vocab bincount
+    accumulator (~3 MB) and emits ONE partial per file, so (a) exchange
+    volume is n_files x keys x vocab, independent of row count, and (b)
+    there are no intermediate full-payload blocks at all: the 100M-row
+    headroom run showed the decompressed token stream (75 GB) racing
+    ~40 GB ahead of the compute-bound partials into spill and tripping
+    Ray's 95%-disk floor even with an executor object-store budget —
+    fusing read and combine into one task removes the race structurally,
+    the same way a real 100-TB run would read-and-combine per shard.
     """
 
-    def partial(b: pa.Table) -> pa.Table:
+    # Global key index: one column-pruned distinct pass over the key
+    # column (tiny next to the token payload). Exchange rows then carry
+    # ONE fixed-width int64 — kt = key_idx * 2^31 + token_id (ids are
+    # int32 >= 0) — instead of a repeated key string: 16 B/row, a single
+    # int64 hash column, and a pure-numpy reduceat reduce. At 100M rows
+    # the string-keyed exchange spilled ~30 GB and tripped Ray's 95%-disk
+    # monitor; this layout ships ~4x less for the same information.
+    # select_columns FIRST so the distinct pass's parquet read is pruned
+    # to the key column — unique() is a global aggregate whose input is
+    # materialized at the all-to-all boundary; feeding it the full table
+    # would stage the whole token payload (75 GB at 100M rows) to disk.
+    keys_sorted = sorted(
+        k for k in seqs.select_columns([key_col]).unique(key_col)
+        if k is not None
+    )
+    if len(keys_sorted) >= (1 << 31):
+        raise ValueError("key cardinality exceeds composite int64 range")
+    key_arr = pa.array(keys_sorted, pa.string())
+
+    def _batch_counts(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """One batch → composite ``(kt, cnt)`` arrays (may be empty)."""
         col, flat, offs = _flat_with_offsets(b[tokens_col])
         lengths = np.diff(offs)
         kcol = b[key_col].combine_chunks()
@@ -398,76 +445,170 @@ def source_token_richness(
         kidx = enc.indices.fill_null(-1).to_numpy(
             zero_copy_only=False).astype(np.int64)
         per_tok = np.repeat(kidx, lengths)
-        keep = per_tok >= 0
+        keep = per_tok >= 0  # null keys dropped
         flat, per_tok = flat[keep], per_tok[keep]
+        if len(flat) and flat.min() < 0:
+            raise ValueError("negative token id — not a token-id column")
         if not len(flat):
-            return pa.table({"k": pa.array([], pa.string()),
-                             "token_id": pa.array([], pa.int64()),
-                             "cnt": pa.array([], pa.int64())})
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        # bincount over the LOCAL dictionary (dense), then translate the
+        # local key index to the global one at emit — allocating over the
+        # global key universe would blow up on high-cardinality keys.
         vmax = int(flat.max()) + 1
         comp = per_tok * vmax + flat
         cnt = np.bincount(comp)
         nz = np.flatnonzero(cnt)
-        # vectorized dictionary take — nz can be keys x vocab rows, a
-        # Python .as_py() loop here dominated the whole stage at sf0.1
-        keys = pc.take(
-            enc.dictionary.cast(pa.string()),
-            pa.array((nz // vmax).astype(np.int64)),
+        local_to_global = pc.index_in(
+            enc.dictionary.cast(pa.string()), value_set=key_arr
+        ).fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (local_to_global < 0).any():
+            # deterministic-rescan contract: the key-universe pass and the
+            # partial pass must see the same input (cf. exact_quantiles)
+            raise ValueError("key absent from the distinct-key pass")
+        kt = (local_to_global[nz // vmax] << np.int64(31)) | (nz % vmax)
+        return kt, cnt[nz].astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        kt, cnt = _batch_counts(b)
+        return pa.table({"kt": pa.array(kt), "cnt": pa.array(cnt)})
+
+    def file_partial(b: pa.Table) -> pa.Table:
+        """ONE partial per parquet shard: stream row groups through a
+        per-key bincount accumulator; never hold more than one row-group
+        chunk of payload. The read+combine fusion the generic map_batches
+        path cannot get from the planner (read and map stay separate
+        operators, letting the faster read spill-race the compute)."""
+        import pyarrow.parquet as pq
+
+        from ..fsutil import resolve_fs
+
+        acc: dict[int, np.ndarray] = {}
+        for path in b["item"].to_pylist():
+            fsys, p = resolve_fs(path)
+            with fsys.open_input_file(p) as f:
+                pf = pq.ParquetFile(f)
+                for rb in pf.iter_batches(
+                    batch_size=65536, columns=[key_col, tokens_col]
+                ):
+                    kt, cnt = _batch_counts(pa.Table.from_batches([rb]))
+                    if not len(kt):
+                        continue
+                    g = kt >> np.int64(31)
+                    tok = kt & np.int64((1 << 31) - 1)
+                    for gk in np.unique(g):
+                        m = g == gk
+                        t_, c_ = tok[m], cnt[m]
+                        need = int(t_.max()) + 1
+                        prev = acc.get(int(gk))
+                        if prev is None or len(prev) < need:
+                            grown = np.zeros(need, dtype=np.int64)
+                            if prev is not None:
+                                grown[: len(prev)] = prev
+                            acc[int(gk)] = prev = grown
+                        np.add.at(prev, t_, c_)
+        kts, cnts = [], []
+        for gk in sorted(acc):
+            nz = np.flatnonzero(acc[gk])
+            kts.append((np.int64(gk) << np.int64(31)) | nz.astype(np.int64))
+            cnts.append(acc[gk][nz])
+        if kts:
+            kt_all, cnt_all = np.concatenate(kts), np.concatenate(cnts)
+        else:
+            kt_all = cnt_all = np.zeros(0, dtype=np.int64)
+        return pa.table({"kt": pa.array(kt_all), "cnt": pa.array(cnt_all)})
+
+    if input_files is not None:
+        parts = ray.data.from_items(
+            list(input_files), override_num_blocks=len(input_files)
+        ).map_batches(file_partial, batch_format="pyarrow")
+    else:
+        # Scale-aware partial size (see docstring): floor 4096 keeps
+        # sf0.1's measured task-parallelism optimum; cap 65536 bounds the
+        # per-task flat-token working set (~190 MB at mean n_tok 180)
+        # while cutting exchange volume 16x at 30M+ rows.
+        if partial_batch_size is None:
+            try:
+                n_rows = seqs.count()  # metadata-only on a plain read
+            except Exception:
+                n_rows = 0
+            partial_batch_size = int(
+                min(65536, max(4096, (n_rows or 0) // 512))
+            )
+        parts = seqs.select_columns([key_col, tokens_col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=partial_batch_size
         )
-        return pa.table({
-            "k": keys,
-            "token_id": pa.array((nz % vmax).astype(np.int64)),
-            "cnt": pa.array(cnt[nz].astype(np.int64)),
+
+    def reduce(t: pa.Table) -> pa.Table:
+        kt = t["kt"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "k_idx": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "vocab_size": pa.array([], pa.int64()),
+            "n_hapax": pa.array([], pa.int64()),
         })
-
-    import pandas as pd
-
-    # 4096-row partials: 4x fewer (k, token_id, cnt) exchange rows than the
-    # 1024 default for the same bincount cost, while keeping enough tasks
-    # in flight to fill the pool (whole-block partials measured slower —
-    # too few tasks).
-    parts = seqs.select_columns([key_col, tokens_col]).map_batches(
-        partial, batch_format="pyarrow", batch_size=4096
-    )
-
-    def reduce(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({
-                "k": pd.Series([], dtype=object),
-                "n_tokens": pd.Series([], dtype=np.int64),
-                "vocab_size": pd.Series([], dtype=np.int64),
-                "n_hapax": pd.Series([], dtype=np.int64),
-            })
-        g = (df.groupby(["k", "token_id"], sort=False)["cnt"].sum()
-             .reset_index())
-        g["_hapax"] = (g["cnt"] == 1).astype(np.int64)
-        agg = g.groupby("k", sort=False).agg(
-            n_tokens=("cnt", "sum"), vocab_size=("cnt", "size"),
-            n_hapax=("_hapax", "sum"),
-        ).reset_index()
-        for c in ("n_tokens", "vocab_size", "n_hapax"):
-            agg[c] = agg[c].astype(np.int64)
-        return agg
+        if not len(kt):
+            return empty
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(kt, kind="stable")
+        kt_s, cnt_s = kt[order], cnt[order]
+        new = np.ones(len(kt_s), dtype=bool)
+        new[1:] = kt_s[1:] != kt_s[:-1]
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(cnt_s, starts)  # global count per (k, token)
+        kidx = kt_s[starts] >> np.int64(31)   # sorted because kt is sorted
+        newk = np.ones(len(kidx), dtype=bool)
+        newk[1:] = kidx[1:] != kidx[:-1]
+        kstarts = np.flatnonzero(newk)
+        return pa.table({
+            "k_idx": pa.array(kidx[kstarts]),
+            "n_tokens": pa.array(np.add.reduceat(tot, kstarts)),
+            "vocab_size": pa.array(
+                np.diff(np.append(kstarts, len(kidx))).astype(np.int64)),
+            "n_hapax": pa.array(
+                np.add.reduceat((tot == 1).astype(np.int64), kstarts)),
+        })
 
     from ._shuffle import hash_partitioned_map
 
-    # exchange keyed on (k, token_id): each (key, token) pair's partials
-    # meet in exactly one partition, so cnt==1 is a global statement
+    # exchange keyed on kt: each (key, token) pair's partials meet in
+    # exactly one partition, so cnt==1 is a global statement
     red = hash_partitioned_map(
-        parts, ["k", "token_id"], reduce,
-        num_partitions=num_partitions, batch_format="pandas",
+        parts, ["kt"], reduce,
+        num_partitions=num_partitions, batch_format="pyarrow",
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            df["type_token_ratio"] = pd.Series([], dtype=np.float64)
-            return df
-        out = df.groupby("k", sort=False).sum().reset_index()
-        out["type_token_ratio"] = out["vocab_size"] / out["n_tokens"]
-        return out
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "k": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "vocab_size": pa.array([], pa.int64()),
+                "n_hapax": pa.array([], pa.int64()),
+                "type_token_ratio": pa.array([], pa.float64()),
+            })
+        kidx = t["k_idx"].to_numpy(zero_copy_only=False)
+        order = np.argsort(kidx, kind="stable")
+        kidx_s = kidx[order]
+        new = np.ones(len(kidx_s), dtype=bool)
+        new[1:] = kidx_s[1:] != kidx_s[:-1]
+        starts = np.flatnonzero(new)
+        sums = {
+            c: np.add.reduceat(
+                t[c].to_numpy(zero_copy_only=False)[order], starts)
+            for c in ("n_tokens", "vocab_size", "n_hapax")
+        }
+        return pa.table({
+            "k": pc.take(key_arr, pa.array(kidx_s[starts])),
+            "n_tokens": pa.array(sums["n_tokens"]),
+            "vocab_size": pa.array(sums["vocab_size"]),
+            "n_hapax": pa.array(sums["n_hapax"]),
+            "type_token_ratio": pa.array(
+                sums["vocab_size"] / sums["n_tokens"], pa.float64()),
+        })
 
     # second tiny fold: partitions each hold partial per-key sums
     return hash_partitioned_map(
-        red, ["k"], finish, num_partitions=num_partitions,
-        batch_format="pandas",
+        red, ["k_idx"], finish, num_partitions=num_partitions,
+        batch_format="pyarrow",
     )

@@ -416,3 +416,36 @@ def test_token_ops_reject_null_token_rows():
     ):
         with pytest.raises(Exception, match="null entries in the tokens"):
             op()
+
+
+def test_source_token_richness_per_file_combiner_matches_generic(tmp_path):
+    """The input_files fast path (one streamed partial per parquet shard —
+    the corpus-scale recipe that removes the read/compute spill race seen
+    at 100M rows) must agree exactly with the generic map_batches path."""
+    import pyarrow.parquet as pq
+
+    from contest_parsing_ray.stages.tokens import source_token_richness
+
+    rng = np.random.default_rng(99)
+    paths = []
+    for i in range(4):
+        srcs, toks = [], []
+        for _ in range(200):
+            s = ["a", "b", "c"][int(rng.integers(0, 3))]
+            L = int(rng.integers(0, 40))
+            srcs.append(s)
+            toks.append(rng.integers(0, 300, L).astype(np.int32).tolist())
+        t = pa.table({
+            "source": pa.array(srcs),
+            "tokens": pa.array(toks, pa.large_list(pa.int32())),
+        })
+        p = str(tmp_path / f"shard-{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    ds = ray.data.read_parquet(paths)
+    a = (source_token_richness(ds).to_pandas()
+         .sort_values("k").reset_index(drop=True))
+    b = (source_token_richness(ds, input_files=paths).to_pandas()
+         .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["k"]) == {"a", "b", "c"}
