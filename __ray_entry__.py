@@ -531,7 +531,9 @@ def _q_vocab_hist(sf_dir: str):
     corpus, not the sf tables)."""
     from contest_parsing_ray.stages.tokens import vocab_histogram
 
-    return vocab_histogram(_seqs(sf_dir))
+    ds = _seqs(sf_dir)
+    # per-file combiner: _seqs is an untransformed parquet read
+    return vocab_histogram(ds, input_files=ds.input_files())
 
 
 def _q_bigram_topk(sf_dir: str):

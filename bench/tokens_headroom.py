@@ -80,7 +80,8 @@ def main() -> None:
     for q in args.queries.split(","):
         t0 = time.time()
         if q == "vocab_hist":
-            out = vocab_histogram(_seqs())
+            ds = _seqs()
+            out = vocab_histogram(ds, input_files=ds.input_files())
             n_out = out.count()
         elif q == "dup_ngram_frac":
             out = dup_ngram_stats(_seqs(), n=8)

@@ -59,11 +59,20 @@ def vocab_histogram(
     seqs: ray.data.Dataset,
     tokens_col: str = "tokens",
     num_partitions: int | None = None,
+    input_files: list[str] | None = None,
 ) -> ray.data.Dataset:
     """→ ``(token_id, cnt)`` for every token id that occurs, ascending.
 
     Per-batch ``bincount`` partial (dense int domain beats value_counts),
-    nonzero rows only; one small hash exchange sums partials per id."""
+    nonzero rows only; one small hash exchange sums partials per id.
+
+    ``input_files``: parquet shard paths for the SAME data as ``seqs``
+    (``seqs.input_files()`` on an untransformed read; transforms are NOT
+    replayed) — each task then streams its shard's row groups through one
+    vocab-sized bincount and emits ONE partial per file: exchange volume
+    n_files x vocab independent of row count, and no intermediate
+    full-payload blocks (see source_token_richness for the 100M-row spill
+    race this removes)."""
 
     def partial(b: pa.Table) -> pa.Table:
         flat = _flat_tokens(b[tokens_col])
@@ -78,9 +87,50 @@ def vocab_histogram(
             }
         )
 
-    partials = seqs.select_columns([tokens_col]).map_batches(
-        partial, batch_format="pyarrow"
-    )
+    def file_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from ..fsutil import resolve_fs
+
+        acc = np.zeros(0, dtype=np.int64)
+        for path in b["item"].to_pylist():
+            fsys, p = resolve_fs(path)
+            with fsys.open_input_file(p) as f:
+                pf = pq.ParquetFile(f)
+                for rb in pf.iter_batches(
+                    batch_size=65536, columns=[tokens_col]
+                ):
+                    flat = _flat_tokens(
+                        pa.Table.from_batches([rb])[tokens_col]
+                    )
+                    if not len(flat):
+                        continue
+                    if flat.min() < 0:
+                        raise ValueError(
+                            "negative token id — not a token-id column"
+                        )
+                    cnt = np.bincount(flat)
+                    if len(cnt) > len(acc):
+                        grown = np.zeros(len(cnt), dtype=np.int64)
+                        grown[: len(acc)] = acc
+                        acc = grown
+                    acc[: len(cnt)] += cnt
+        nz = np.flatnonzero(acc)
+        return pa.table(
+            {
+                "token_id": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(acc[nz]),
+            }
+        )
+
+    if input_files is not None:
+        partials = ray.data.from_items(
+            list(input_files), override_num_blocks=len(input_files)
+        ).map_batches(file_partial, batch_format="pyarrow")
+    else:
+        partials = seqs.select_columns([tokens_col]).map_batches(
+            partial, batch_format="pyarrow"
+        )
 
     def merge(t: pa.Table) -> pa.Table:
         ids = t["token_id"].to_numpy(zero_copy_only=False)

@@ -449,3 +449,28 @@ def test_source_token_richness_per_file_combiner_matches_generic(tmp_path):
          .sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert set(a["k"]) == {"a", "b", "c"}
+
+
+def test_vocab_histogram_per_file_combiner_matches_generic(tmp_path):
+    """vocab_histogram's input_files path (one bincount per shard) must
+    agree exactly with the generic per-batch-partial path."""
+    import pyarrow.parquet as pq
+
+    from contest_parsing_ray.stages.tokens import vocab_histogram
+
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(3):
+        toks = [rng.integers(0, 500, int(rng.integers(0, 50)))
+                .astype(np.int32).tolist() for _ in range(300)]
+        t = pa.table({"tokens": pa.array(toks, pa.large_list(pa.int32()))})
+        p = str(tmp_path / f"shard-{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    ds = ray.data.read_parquet(paths)
+    a = (vocab_histogram(ds).to_pandas()
+         .sort_values("token_id").reset_index(drop=True))
+    b = (vocab_histogram(ds, input_files=paths).to_pandas()
+         .sort_values("token_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["cnt"].sum() > 0
