@@ -166,10 +166,14 @@ def token_ngram_topk(
     n-grams are hashed per batch with the same rolling-polynomial +
     boundary-mask kernel as the text shinglers, counted locally, and only
     ``(hash, first_seen_ngram, cnt)`` partials enter the exchange — at
-    most distinct-ngrams-per-batch rows. The final top-k is a driver-side
-    sort of the merged counts LIMITed to k; at web scale put a per-
-    partition ``head(k)`` before the limit (any global top-k member is a
-    per-partition top-k member of its hash partition)."""
+    most distinct-ngrams-per-batch rows. Each hash partition prunes to
+    its own top-k BEFORE the global sort (any global top-k member is a
+    per-partition top-k member of its partition), so the final sort sees
+    <= k x partitions rows, never the gram vocabulary. Remaining scale
+    contract: the exchange itself moves per-batch DISTINCT grams, which
+    for large n approaches the window count — for corpus-scale heavy
+    hitters over a huge gram domain prefer the Misra-Gries operator
+    (``stages/heavy.py``), which bounds state at O(k) per partition."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
 
