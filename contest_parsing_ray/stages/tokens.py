@@ -55,6 +55,23 @@ def _flat_with_offsets(
     return col, flat, offs
 
 
+def _iter_shard_batches(paths, columns, batch_size: int = 65536):
+    """Stream row-group-sized pyarrow Tables from parquet shard paths via
+    the resolved filesystem — the shared inner loop of the per-file
+    combiner fast paths (read+combine fused in one task, so no
+    intermediate full-payload blocks ever enter the object store)."""
+    import pyarrow.parquet as pq
+
+    from ..fsutil import resolve_fs
+
+    for path in paths:
+        fsys, p = resolve_fs(path)
+        with fsys.open_input_file(p) as f:
+            pf = pq.ParquetFile(f)
+            for rb in pf.iter_batches(batch_size=batch_size, columns=columns):
+                yield pa.Table.from_batches([rb])
+
+
 def vocab_histogram(
     seqs: ray.data.Dataset,
     tokens_col: str = "tokens",
@@ -88,33 +105,19 @@ def vocab_histogram(
         )
 
     def file_partial(b: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        from ..fsutil import resolve_fs
-
         acc = np.zeros(0, dtype=np.int64)
-        for path in b["item"].to_pylist():
-            fsys, p = resolve_fs(path)
-            with fsys.open_input_file(p) as f:
-                pf = pq.ParquetFile(f)
-                for rb in pf.iter_batches(
-                    batch_size=65536, columns=[tokens_col]
-                ):
-                    flat = _flat_tokens(
-                        pa.Table.from_batches([rb])[tokens_col]
-                    )
-                    if not len(flat):
-                        continue
-                    if flat.min() < 0:
-                        raise ValueError(
-                            "negative token id — not a token-id column"
-                        )
-                    cnt = np.bincount(flat)
-                    if len(cnt) > len(acc):
-                        grown = np.zeros(len(cnt), dtype=np.int64)
-                        grown[: len(acc)] = acc
-                        acc = grown
-                    acc[: len(cnt)] += cnt
+        for chunk in _iter_shard_batches(b["item"].to_pylist(), [tokens_col]):
+            flat = _flat_tokens(chunk[tokens_col])
+            if not len(flat):
+                continue
+            if flat.min() < 0:
+                raise ValueError("negative token id — not a token-id column")
+            cnt = np.bincount(flat)
+            if len(cnt) > len(acc):
+                grown = np.zeros(len(cnt), dtype=np.int64)
+                grown[: len(acc)] = acc
+                acc = grown
+            acc[: len(cnt)] += cnt
         nz = np.flatnonzero(acc)
         return pa.table(
             {
@@ -533,34 +536,26 @@ def source_token_richness(
         chunk of payload. The read+combine fusion the generic map_batches
         path cannot get from the planner (read and map stay separate
         operators, letting the faster read spill-race the compute)."""
-        import pyarrow.parquet as pq
-
-        from ..fsutil import resolve_fs
-
         acc: dict[int, np.ndarray] = {}
-        for path in b["item"].to_pylist():
-            fsys, p = resolve_fs(path)
-            with fsys.open_input_file(p) as f:
-                pf = pq.ParquetFile(f)
-                for rb in pf.iter_batches(
-                    batch_size=65536, columns=[key_col, tokens_col]
-                ):
-                    kt, cnt = _batch_counts(pa.Table.from_batches([rb]))
-                    if not len(kt):
-                        continue
-                    g = kt >> np.int64(31)
-                    tok = kt & np.int64((1 << 31) - 1)
-                    for gk in np.unique(g):
-                        m = g == gk
-                        t_, c_ = tok[m], cnt[m]
-                        need = int(t_.max()) + 1
-                        prev = acc.get(int(gk))
-                        if prev is None or len(prev) < need:
-                            grown = np.zeros(need, dtype=np.int64)
-                            if prev is not None:
-                                grown[: len(prev)] = prev
-                            acc[int(gk)] = prev = grown
-                        np.add.at(prev, t_, c_)
+        for chunk in _iter_shard_batches(
+            b["item"].to_pylist(), [key_col, tokens_col]
+        ):
+            kt, cnt = _batch_counts(chunk)
+            if not len(kt):
+                continue
+            g = kt >> np.int64(31)
+            tok = kt & np.int64((1 << 31) - 1)
+            for gk in np.unique(g):
+                m = g == gk
+                t_, c_ = tok[m], cnt[m]
+                need = int(t_.max()) + 1
+                prev = acc.get(int(gk))
+                if prev is None or len(prev) < need:
+                    grown = np.zeros(need, dtype=np.int64)
+                    if prev is not None:
+                        grown[: len(prev)] = prev
+                    acc[int(gk)] = prev = grown
+                np.add.at(prev, t_, c_)
         kts, cnts = [], []
         for gk in sorted(acc):
             nz = np.flatnonzero(acc[gk])
