@@ -1322,6 +1322,21 @@ def _q_dup_ngrams(sf_dir: str):
     return _round_cols(dup_ngram_stats(_seqs(sf_dir), n=8), ["dup_frac"])
 
 
+def _q_cross_doc_spans(sf_dir: str):
+    """Cross-document duplicated-span coverage per doc (boilerplate /
+    shared-template signal over the RAW token arrays — the span-level
+    granularity between dup_ngram_frac and the doc-level near-dup
+    family): fraction of each doc covered by 8-gram spans appearing in
+    >= 2 DISTINCT docs. One gram-hash exchange for exact distinct-doc
+    counts, hot set broadcast once, per-doc interval-union coverage."""
+    from contest_parsing_ray.stages.tokens import cross_doc_span_stats
+
+    return _round_cols(
+        cross_doc_span_stats(_seqs(sf_dir), n=8, min_docs=2),
+        ["dup_span_frac"],
+    )
+
+
 def _q_corr_pairs(sf_dir: str):
     """Which event types co-move: pairwise Pearson r between the per-type
     1h count series. One bucket-hash exchange co-locates cross-sections;
@@ -2283,6 +2298,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_jpeg": _q_multimodal_jpeg,
         # REAL AVI/MJPEG video demux + sampled-frame decode — golden oracle
         "multimodal_decode_video": _q_multimodal_video,
+        # tokens payload: cross-doc duplicated-span coverage (boilerplate;
+        # registered at the tail so it does not displace any of the 50
+        # previously-driver-unchecked queries from the CORRECTNESS window)
+        "cross_doc_dup_spans": _q_cross_doc_spans,
     }
 
 
@@ -3514,6 +3533,7 @@ FROM r GROUP BY bucket_us
 # rows-only and tests/test_golden_oracles.py checks them at sf0.01).
 GOLDEN_ORACLE_KEYS = (
     "dup_ngram_frac",
+    "cross_doc_dup_spans",
     "source_vocab_jaccard",
     "source_vocab_containment",
     "source_token_richness",

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "merged_intervals_5m",
     "rolling_median_24h",
     "dup_ngram_frac",
+    "cross_doc_dup_spans",
     "series_corr_pairs",
     "cusum_changepoints_1h",
     "customers_no_urgent_orders",

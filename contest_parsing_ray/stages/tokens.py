@@ -55,6 +55,40 @@ def _flat_with_offsets(
     return col, flat, offs
 
 
+_GRAM_PRIME = np.uint64(1099511628211)
+
+
+def _window_hashes(
+    flat: np.ndarray, offs: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Rolling-polynomial 64-bit hash of every IN-DOC n-token window.
+
+    Returns ``(hashes, n_win_per_doc, flat_start_idx, rel_start)`` — one
+    entry per window in doc order; ``rel_start`` is the window's start
+    position WITHIN its doc. Cross-boundary windows are excluded. Shared
+    by token_ngram_topk and cross_doc_span_stats."""
+    from ._shuffle import _splitmix64
+
+    fu = flat.astype(np.uint64)
+    lengths = np.diff(offs)
+    n_win = np.maximum(lengths - (n - 1), 0)
+    total = int(n_win.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint64), n_win, z, z
+    n_all = len(fu) - (n - 1)
+    with np.errstate(over="ignore"):
+        h = np.zeros(n_all, dtype=np.uint64)
+        for i in range(n):
+            h = h * _GRAM_PRIME + fu[i : n_all + i]
+        h = _splitmix64(h)
+    base = np.repeat(offs[:-1][n_win > 0], n_win[n_win > 0])
+    run0 = np.repeat(np.cumsum(n_win) - n_win, n_win)
+    rel = np.arange(total, dtype=np.int64) - run0
+    ok = base + rel
+    return h[ok], n_win, ok, rel
+
+
 def _iter_shard_batches(paths, columns, batch_size: int = 65536):
     """Stream row-group-sized pyarrow Tables from parquet shard paths via
     the resolved filesystem — the shared inner loop of the per-file
@@ -180,16 +214,8 @@ def token_ngram_topk(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
 
-    from ._shuffle import _splitmix64
-
-    PRIME = np.uint64(1099511628211)
-
     def partial(b: pa.Table) -> pa.Table:
         col, flat, offs = _flat_with_offsets(b[tokens_col])
-        flat = flat.astype(np.uint64)
-        lengths = np.diff(offs)
-        n_win = np.maximum(lengths - (n - 1), 0)
-        total = int(n_win.sum())
         empty = pa.table(
             {
                 "h": pa.array([], pa.int64()),
@@ -197,19 +223,9 @@ def token_ngram_topk(
                 "cnt": pa.array([], pa.int64()),
             }
         )
-        if total == 0:
+        hs, n_win, ok, _rel = _window_hashes(flat, offs, n)
+        if not len(hs):
             return empty
-        n_all = len(flat) - (n - 1)
-        with np.errstate(over="ignore"):
-            h = np.zeros(n_all, dtype=np.uint64)
-            for i in range(n):
-                h = h * PRIME + flat[i : n_all + i]
-            h = _splitmix64(h)
-        # in-sequence window indices (cross-boundary windows excluded)
-        base = np.repeat(offs[:-1][n_win > 0], n_win[n_win > 0])
-        run0 = np.repeat(np.cumsum(n_win) - n_win, n_win)
-        ok = base + (np.arange(total, dtype=np.int64) - run0)
-        hs = h[ok]
         order = np.argsort(hs, kind="stable")
         hs_s = hs[order]
         new = np.ones(len(hs_s), dtype=bool)
@@ -660,4 +676,161 @@ def source_token_richness(
     return hash_partitioned_map(
         red, ["k_idx"], finish, num_partitions=num_partitions,
         batch_format="pyarrow",
+    )
+
+
+def cross_doc_span_stats(
+    seqs: ray.data.Dataset,
+    n: int = 8,
+    min_docs: int = 2,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Cross-document duplicated-SPAN statistics per row — the span-level
+    granularity between ``dup_ngram_stats`` (within-doc repetition) and
+    the doc-level near-dup family: how much of each document is covered
+    by n-gram spans that also appear in at least ``min_docs`` DISTINCT
+    documents (boilerplate / shared-template signal, the per-span variant
+    of Lee et al. 2021's cross-doc substring dedup).
+
+    → ``(doc_id, n_tok, n_windows, n_hot_windows, n_covered,
+    dup_span_frac)`` per input ROW; ``n_covered`` is the exact union
+    length of all hot ``[i, i+n)`` windows, ``dup_span_frac`` =
+    n_covered / n_tok, NULL for docs shorter than ``n`` tokens.
+
+    Two passes over the payload. Pass 1: per-batch DISTINCT (window-hash,
+    doc_id) pairs → ONE hash exchange on the 64-bit gram hash → exact
+    per-hash distinct-doc count (duplicate doc_ids collapse, matching
+    COUNT(DISTINCT doc_id)) → the ``>= min_docs`` survivors collect to
+    the driver as the hot set (small when min_docs is meaningful;
+    hot-gram count is the documented scale contract — the approximate
+    siblings at 100-TB scale are MinHash buckets / CMS heavy hitters).
+    Pass 2: hot hashes broadcast once via ``ray.put``; each batch marks
+    its windows by searchsorted membership and computes the per-doc
+    interval-union length vectorized (equal-length sorted intervals:
+    sum of min(n, gap to next start) + n). Exactness caveat: spans are
+    compared by 64-bit splitmix hash, so two DIFFERENT n-grams collide
+    with probability ~ (distinct grams)^2 / 2^64 — negligible and
+    deterministic, same contract as doc_fingerprints.
+
+    ``id_col`` must be non-null (raises) — null doc identity has no
+    COUNT(DISTINCT) meaning.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        col, flat, offs = _flat_with_offsets(b[tokens_col])
+        idc = b[id_col].combine_chunks()
+        if idc.null_count:
+            raise ValueError(f"null {id_col} — cross-doc counts undefined")
+        hs, n_win, _ok, _rel = _window_hashes(flat, offs, n)
+        if not len(hs):
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "doc": pa.array([], pa.string())})
+        # batch-level DISTINCT (hash, doc): dictionary-encode the doc ids,
+        # lexsort the (h, doc) pairs, keep firsts
+        enc = idc.dictionary_encode()
+        didx = np.repeat(
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            n_win,
+        )
+        order = np.lexsort((didx, hs))
+        hs_s, d_s = hs[order], didx[order]
+        keep = np.ones(len(hs_s), dtype=bool)
+        keep[1:] = (hs_s[1:] != hs_s[:-1]) | (d_s[1:] != d_s[:-1])
+        return pa.table({
+            "h": pa.array(hs_s[keep].view(np.int64)),
+            "doc": pc.take(enc.dictionary.cast(pa.string()),
+                           pa.array(d_s[keep])),
+        })
+
+    pairs = seqs.select_columns([id_col, tokens_col]).map_batches(
+        pair_partial, batch_format="pyarrow"
+    )
+
+    def hot_per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        # global distinct docs per hash: all partials of a hash meet here
+        enc = t["doc"].combine_chunks().dictionary_encode()
+        didx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((didx, hs))
+        hs_s, d_s = hs[order], didx[order]
+        first = np.ones(len(hs_s), dtype=bool)
+        first[1:] = (hs_s[1:] != hs_s[:-1]) | (d_s[1:] != d_s[:-1])
+        hs_d = hs_s[first]
+        newh = np.ones(len(hs_d), dtype=bool)
+        newh[1:] = hs_d[1:] != hs_d[:-1]
+        starts = np.flatnonzero(newh)
+        ndocs = np.diff(np.append(starts, len(hs_d)))
+        hot = hs_d[starts][ndocs >= min_docs]
+        return pa.table({"h": pa.array(hot)})
+
+    from ._shuffle import hash_partitioned_map
+
+    hot_ds = hash_partitioned_map(
+        pairs, ["h"], hot_per_partition,
+        num_partitions=num_partitions, batch_format="pyarrow",
+    )
+    hot = np.sort(
+        np.concatenate(
+            [t["h"].to_numpy(zero_copy_only=False)
+             for t in hot_ds.iter_batches(batch_format="pyarrow")]
+            or [np.zeros(0, dtype=np.int64)]
+        )
+    )
+    hot_ref = ray.put(hot)
+
+    def cover(b: pa.Table) -> pa.Table:
+        col, flat, offs = _flat_with_offsets(b[tokens_col])
+        idc = b[id_col].combine_chunks()
+        if idc.null_count:
+            raise ValueError(f"null {id_col} — cross-doc counts undefined")
+        hs, n_win, _ok, rel = _window_hashes(flat, offs, n)
+        hot_l = ray.get(hot_ref)
+        n_rows = len(col)
+        n_hot = np.zeros(n_rows, dtype=np.int64)
+        covered = np.zeros(n_rows, dtype=np.int64)
+        if len(hs) and len(hot_l):
+            pos = np.searchsorted(hot_l, hs.view(np.int64))
+            is_hot = (pos < len(hot_l)) & (
+                hot_l[np.minimum(pos, len(hot_l) - 1)] == hs.view(np.int64)
+            )
+            docs = np.repeat(np.arange(n_rows, dtype=np.int64), n_win)
+            hd, hr = docs[is_hot], rel[is_hot]
+            # hr ascending within each doc (window emission order); union
+            # of equal-length intervals = sum(min(n, next_start - start))
+            # with the doc's last interval contributing n
+            if len(hd):
+                gap = np.empty(len(hr), dtype=np.int64)
+                gap[:-1] = hr[1:] - hr[:-1]
+                gap[-1] = n
+                last_of_doc = np.empty(len(hd), dtype=bool)
+                last_of_doc[:-1] = hd[1:] != hd[:-1]
+                last_of_doc[-1] = True
+                gap[last_of_doc] = n
+                contrib = np.minimum(gap, n)
+                np.add.at(covered, hd, contrib)
+                np.add.at(n_hot, hd, 1)
+        n_tok = np.diff(offs)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = covered / n_tok
+        return pa.table({
+            id_col: b[id_col],
+            "n_tok": pa.array(n_tok.astype(np.int64)),
+            "n_windows": pa.array(n_win.astype(np.int64)),
+            "n_hot_windows": pa.array(n_hot),
+            "n_covered": pa.array(covered),
+            "dup_span_frac": pa.array(
+                np.where(n_win > 0, frac, np.nan), from_pandas=True
+            ),
+        })
+
+    return seqs.select_columns([id_col, tokens_col]).map_batches(
+        cover, batch_format="pyarrow"
     )

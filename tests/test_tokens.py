@@ -474,3 +474,105 @@ def test_vocab_histogram_per_file_combiner_matches_generic(tmp_path):
          .sort_values("token_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert a["cnt"].sum() > 0
+
+
+def _cross_doc_oracle_sql(n: int, min_docs: int) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, n_tok, i, tokens[i:i+{n - 1}] AS gram
+  FROM seqs, LATERAL (SELECT unnest(range(1, n_tok - {n - 2})) AS i) t
+),
+df AS (SELECT gram, COUNT(DISTINCT doc_id) AS c FROM g GROUP BY 1),
+hot AS (SELECT gram FROM df WHERE c >= {min_docs}),
+hotwin AS (SELECT g.doc_id, g.i FROM g JOIN hot USING (gram)),
+nh AS (SELECT doc_id, COUNT(*) AS n_hot FROM hotwin GROUP BY 1),
+pos AS (
+  SELECT DISTINCT w.doc_id, w.i + s.j AS p
+  FROM hotwin w, LATERAL (SELECT unnest(range(0, {n})) AS j) s
+),
+cov AS (SELECT doc_id, COUNT(*) AS n_covered FROM pos GROUP BY 1)
+SELECT s.doc_id, s.n_tok,
+       GREATEST(s.n_tok - {n - 1}, 0) AS n_windows,
+       COALESCE(nh.n_hot, 0) AS n_hot_windows,
+       COALESCE(c.n_covered, 0) AS n_covered
+FROM seqs s
+LEFT JOIN nh USING (doc_id) LEFT JOIN cov c USING (doc_id)
+ORDER BY s.doc_id"""
+
+
+def test_cross_doc_span_stats_matches_duckdb():
+    """Engine vs an independent DuckDB formulation (content-exact grams —
+    a hash collision in the engine would show up here) on a corpus with
+    planted cross-doc spans, unique filler, and a too-short doc."""
+    import duckdb
+
+    from contest_parsing_ray.stages.tokens import cross_doc_span_stats
+
+    rng = np.random.default_rng(31)
+    shared_a = rng.integers(0, 1000, 20).astype(np.int32).tolist()
+    shared_b = rng.integers(0, 1000, 12).astype(np.int32).tolist()
+    docs, toks = [], []
+    for i in range(40):
+        body = rng.integers(1000, 50_000, int(rng.integers(5, 60)))
+        body = body.astype(np.int32).tolist()  # filler: ids disjoint
+        if i % 4 == 0:
+            body = shared_a + body  # span in 10 docs
+        if i % 5 == 0:
+            body = body + shared_b  # span in 8 docs
+        docs.append(f"d{i:03d}")
+        toks.append(body)
+    docs.append("tiny")
+    toks.append([1, 2, 3])
+    t = pa.table({
+        "doc_id": pa.array(docs),
+        "tokens": pa.array(toks, pa.large_list(pa.int32())),
+        "n_tok": pa.array([len(x) for x in toks], pa.int32()),
+    })
+    n, min_docs = 8, 2
+    out = (cross_doc_span_stats(
+        ray.data.from_arrow(t).repartition(7), n=n, min_docs=min_docs)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("seqs", t)
+    want = con.execute(_cross_doc_oracle_sql(n, min_docs)).df()
+    for c in ("n_tok", "n_windows", "n_hot_windows", "n_covered"):
+        assert (out[c].to_numpy() == want[c].to_numpy()).all(), c
+    # frac: NULL exactly where the doc is shorter than n (no windows)
+    short = out["n_windows"] == 0
+    assert short.loc[out.doc_id == "tiny"].all()
+    assert np.isnan(out.loc[short, "dup_span_frac"]).all()
+    full = out[~short]
+    assert np.allclose(
+        full["dup_span_frac"],
+        full["n_covered"] / full["n_tok"],
+    )
+    # the planted spans must actually register
+    assert out["n_hot_windows"].sum() > 0
+
+
+def test_cross_doc_span_stats_duplicate_doc_ids_not_hot():
+    """Exact-duplicate rows share a doc_id; COUNT(DISTINCT doc_id)
+    semantics means a doc duplicated twice does NOT make its grams hot."""
+    from contest_parsing_ray.stages.tokens import cross_doc_span_stats
+
+    toks = [list(range(100, 120)), list(range(100, 120)),
+            list(range(500, 540))]
+    t = pa.table({
+        "doc_id": pa.array(["same", "same", "other"]),
+        "tokens": pa.array(toks, pa.large_list(pa.int32())),
+    })
+    out = (cross_doc_span_stats(ray.data.from_arrow(t), n=8, min_docs=2)
+           .to_pandas())
+    assert (out["n_hot_windows"] == 0).all()
+    assert (out["n_covered"] == 0).all()
+
+
+def test_cross_doc_span_stats_rejects_null_doc_id():
+    from contest_parsing_ray.stages.tokens import cross_doc_span_stats
+
+    t = pa.table({
+        "doc_id": pa.array(["a", None]),
+        "tokens": pa.array([[1] * 10, [2] * 10], pa.large_list(pa.int32())),
+    })
+    with pytest.raises(Exception, match="null doc_id"):
+        cross_doc_span_stats(ray.data.from_arrow(t), n=8).to_pandas()
