@@ -1337,6 +1337,22 @@ def _q_cross_doc_spans(sf_dir: str):
     )
 
 
+def _q_strip_hot_spans(sf_dir: str):
+    """Cross-doc substring dedup ACTUATOR: token arrays with every
+    >=2-distinct-doc 8-gram span removed, projected to a compact
+    per-doc view (cleaned n_tok + the flagship's order-sensitive token
+    checksum) so the golden pins the exact cleaned payload without
+    committing the arrays; exactness vs content-exact SQL is pinned in
+    test_strip_cross_doc_spans_matches_duckdb."""
+    from contest_parsing_ray.sources.ingest import token_checksum
+    from contest_parsing_ray.stages.tokens import strip_cross_doc_spans
+
+    out = strip_cross_doc_spans(_seqs(sf_dir), n=8, min_docs=2)
+    return out.map_batches(
+        token_checksum, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tok", "token_ck"])
+
+
 def _q_corr_pairs(sf_dir: str):
     """Which event types co-move: pairwise Pearson r between the per-type
     1h count series. One bucket-hash exchange co-locates cross-sections;
@@ -2302,6 +2318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # registered at the tail so it does not displace any of the 50
         # previously-driver-unchecked queries from the CORRECTNESS window)
         "cross_doc_dup_spans": _q_cross_doc_spans,
+        # tokens payload: the cross-doc span dedup ACTUATOR (cleaned arrays)
+        "strip_hot_spans_docs": _q_strip_hot_spans,
     }
 
 
@@ -3534,6 +3552,7 @@ FROM r GROUP BY bucket_us
 GOLDEN_ORACLE_KEYS = (
     "dup_ngram_frac",
     "cross_doc_dup_spans",
+    "strip_hot_spans_docs",
     "source_vocab_jaccard",
     "source_vocab_containment",
     "source_token_richness",

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "rolling_median_24h",
     "dup_ngram_frac",
     "cross_doc_dup_spans",
+    "strip_hot_spans_docs",
     "series_corr_pairs",
     "cusum_changepoints_1h",
     "customers_no_urgent_orders",

@@ -722,67 +722,9 @@ def cross_doc_span_stats(
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
 
-    def pair_partial(b: pa.Table) -> pa.Table:
-        col, flat, offs = _flat_with_offsets(b[tokens_col])
-        idc = b[id_col].combine_chunks()
-        if idc.null_count:
-            raise ValueError(f"null {id_col} — cross-doc counts undefined")
-        hs, n_win, _ok, _rel = _window_hashes(flat, offs, n)
-        if not len(hs):
-            return pa.table({"h": pa.array([], pa.int64()),
-                             "doc": pa.array([], pa.string())})
-        # batch-level DISTINCT (hash, doc): dictionary-encode the doc ids,
-        # lexsort the (h, doc) pairs, keep firsts
-        enc = idc.dictionary_encode()
-        didx = np.repeat(
-            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
-            n_win,
-        )
-        order = np.lexsort((didx, hs))
-        hs_s, d_s = hs[order], didx[order]
-        keep = np.ones(len(hs_s), dtype=bool)
-        keep[1:] = (hs_s[1:] != hs_s[:-1]) | (d_s[1:] != d_s[:-1])
-        return pa.table({
-            "h": pa.array(hs_s[keep].view(np.int64)),
-            "doc": pc.take(enc.dictionary.cast(pa.string()),
-                           pa.array(d_s[keep])),
-        })
-
-    pairs = seqs.select_columns([id_col, tokens_col]).map_batches(
-        pair_partial, batch_format="pyarrow"
-    )
-
-    def hot_per_partition(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"h": pa.array([], pa.int64())})
-        hs = t["h"].to_numpy(zero_copy_only=False)
-        # global distinct docs per hash: all partials of a hash meet here
-        enc = t["doc"].combine_chunks().dictionary_encode()
-        didx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((didx, hs))
-        hs_s, d_s = hs[order], didx[order]
-        first = np.ones(len(hs_s), dtype=bool)
-        first[1:] = (hs_s[1:] != hs_s[:-1]) | (d_s[1:] != d_s[:-1])
-        hs_d = hs_s[first]
-        newh = np.ones(len(hs_d), dtype=bool)
-        newh[1:] = hs_d[1:] != hs_d[:-1]
-        starts = np.flatnonzero(newh)
-        ndocs = np.diff(np.append(starts, len(hs_d)))
-        hot = hs_d[starts][ndocs >= min_docs]
-        return pa.table({"h": pa.array(hot)})
-
-    from ._shuffle import hash_partitioned_map
-
-    hot_ds = hash_partitioned_map(
-        pairs, ["h"], hot_per_partition,
-        num_partitions=num_partitions, batch_format="pyarrow",
-    )
-    hot = np.sort(
-        np.concatenate(
-            [t["h"].to_numpy(zero_copy_only=False)
-             for t in hot_ds.iter_batches(batch_format="pyarrow")]
-            or [np.zeros(0, dtype=np.int64)]
-        )
+    hot = _hot_span_hashes(
+        seqs, n=n, min_docs=min_docs, tokens_col=tokens_col,
+        id_col=id_col, num_partitions=num_partitions,
     )
     hot_ref = ray.put(hot)
 
@@ -833,4 +775,164 @@ def cross_doc_span_stats(
 
     return seqs.select_columns([id_col, tokens_col]).map_batches(
         cover, batch_format="pyarrow"
+    )
+
+
+def strip_cross_doc_spans(
+    seqs: ray.data.Dataset,
+    n: int = 8,
+    min_docs: int = 2,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """The ACTUATOR for :func:`cross_doc_span_stats`: remove every token
+    position covered by a hot cross-document n-gram span (>= ``min_docs``
+    distinct docs) from each document — cross-doc substring dedup in the
+    Lee et al. 2021 sense, producing training-ready cleaned sequences.
+
+    Output: the input rows with ``tokens`` replaced by the cleaned array
+    (original inner type preserved) and ``n_tok`` (when present) updated
+    to the cleaned length; all other columns pass through untouched.
+    Documents shorter than ``n`` tokens are unchanged. Same hot-set
+    machinery, determinism and 64-bit-hash contract as the detector;
+    ``id_col`` must be non-null.
+
+    The strip pass is pure per-batch compute over the broadcast hot set:
+    covered positions come from a +-1 delta array over the flat token
+    buffer (interval union via cumsum — O(tokens), not O(windows x n)),
+    then one boolean take rebuilds the list column zero-copy-adjacent.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+
+    # Pass 1 is shared with the detector: build the hot set once.
+    hot = _hot_span_hashes(
+        seqs, n=n, min_docs=min_docs, tokens_col=tokens_col,
+        id_col=id_col, num_partitions=num_partitions,
+    )
+    hot_ref = ray.put(hot)
+
+    def strip(b: pa.Table) -> pa.Table:
+        col, flat, offs = _flat_with_offsets(b[tokens_col])
+        idc = b[id_col].combine_chunks()
+        if idc.null_count:
+            raise ValueError(f"null {id_col} — cross-doc counts undefined")
+        hs, n_win, ok, _rel = _window_hashes(flat, offs, n)
+        hot_l = ray.get(hot_ref)
+        mask = np.zeros(len(flat), dtype=bool)
+        if len(hs) and len(hot_l):
+            pos = np.searchsorted(hot_l, hs.view(np.int64))
+            is_hot = (pos < len(hot_l)) & (
+                hot_l[np.minimum(pos, len(hot_l) - 1)] == hs.view(np.int64)
+            )
+            ok_hot = ok[is_hot]
+            if len(ok_hot):
+                delta = np.zeros(len(flat) + 1, dtype=np.int64)
+                np.add.at(delta, ok_hot, 1)
+                np.add.at(delta, ok_hot + n, -1)
+                mask = np.cumsum(delta[:-1]) > 0
+        kept = flat[~mask]
+        cs = np.concatenate(([0], np.cumsum(mask)))
+        covered_per_doc = cs[offs[1:]] - cs[offs[:-1]]
+        new_len = np.diff(offs) - covered_per_doc
+        new_offs = np.concatenate(([0], np.cumsum(new_len)))
+        inner = col.type.value_type
+        cleaned = (
+            pa.LargeListArray.from_arrays(
+                pa.array(new_offs, pa.int64()),
+                pa.array(kept, inner),
+            )
+            if pa.types.is_large_list(col.type)
+            else pa.ListArray.from_arrays(
+                pa.array(new_offs.astype(np.int32), pa.int32()),
+                pa.array(kept, inner),
+            )
+        )
+        cols = {}
+        for name in b.column_names:
+            if name == tokens_col:
+                cols[name] = cleaned
+            elif name == "n_tok":
+                cols[name] = pa.array(
+                    new_len.astype(np.int32), pa.int32()
+                )
+            else:
+                cols[name] = b[name]
+        return pa.table(cols)
+
+    return seqs.map_batches(strip, batch_format="pyarrow")
+
+
+def _hot_span_hashes(
+    seqs: ray.data.Dataset,
+    n: int,
+    min_docs: int,
+    tokens_col: str,
+    id_col: str,
+    num_partitions: int | None,
+) -> np.ndarray:
+    """Sorted int64 hashes of n-gram spans in >= min_docs distinct docs —
+    pass 1 of cross_doc_span_stats/strip_cross_doc_spans (see the
+    detector's docstring for the exchange design and scale contract)."""
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        col, flat, offs = _flat_with_offsets(b[tokens_col])
+        idc = b[id_col].combine_chunks()
+        if idc.null_count:
+            raise ValueError(f"null {id_col} — cross-doc counts undefined")
+        hs, n_win, _ok, _rel = _window_hashes(flat, offs, n)
+        if not len(hs):
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "doc": pa.array([], pa.string())})
+        enc = idc.dictionary_encode()
+        didx = np.repeat(
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            n_win,
+        )
+        order = np.lexsort((didx, hs))
+        hs_s, d_s = hs[order], didx[order]
+        keep = np.ones(len(hs_s), dtype=bool)
+        keep[1:] = (hs_s[1:] != hs_s[:-1]) | (d_s[1:] != d_s[:-1])
+        return pa.table({
+            "h": pa.array(hs_s[keep].view(np.int64)),
+            "doc": pc.take(enc.dictionary.cast(pa.string()),
+                           pa.array(d_s[keep])),
+        })
+
+    pairs = seqs.select_columns([id_col, tokens_col]).map_batches(
+        pair_partial, batch_format="pyarrow"
+    )
+
+    def hot_per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        enc = t["doc"].combine_chunks().dictionary_encode()
+        didx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((didx, hs))
+        hs_s, d_s = hs[order], didx[order]
+        first = np.ones(len(hs_s), dtype=bool)
+        first[1:] = (hs_s[1:] != hs_s[:-1]) | (d_s[1:] != d_s[:-1])
+        hs_d = hs_s[first]
+        newh = np.ones(len(hs_d), dtype=bool)
+        newh[1:] = hs_d[1:] != hs_d[:-1]
+        starts = np.flatnonzero(newh)
+        ndocs = np.diff(np.append(starts, len(hs_d)))
+        return pa.table({"h": pa.array(hs_d[starts][ndocs >= min_docs])})
+
+    from ._shuffle import hash_partitioned_map
+
+    hot_ds = hash_partitioned_map(
+        pairs, ["h"], hot_per_partition,
+        num_partitions=num_partitions, batch_format="pyarrow",
+    )
+    return np.sort(
+        np.concatenate(
+            [t["h"].to_numpy(zero_copy_only=False)
+             for t in hot_ds.iter_batches(batch_format="pyarrow")]
+            or [np.zeros(0, dtype=np.int64)]
+        )
     )

@@ -576,3 +576,81 @@ def test_cross_doc_span_stats_rejects_null_doc_id():
     })
     with pytest.raises(Exception, match="null doc_id"):
         cross_doc_span_stats(ray.data.from_arrow(t), n=8).to_pandas()
+
+
+def test_strip_cross_doc_spans_matches_duckdb():
+    """Cleaned token arrays vs an independent DuckDB formulation that
+    anti-joins covered positions (content-exact grams), plus invariants:
+    pass-through columns untouched, n_tok updated, short docs unchanged,
+    strip output consistent with the detector's n_covered."""
+    import duckdb
+
+    from contest_parsing_ray.stages.tokens import (
+        cross_doc_span_stats,
+        strip_cross_doc_spans,
+    )
+
+    rng = np.random.default_rng(61)
+    shared = rng.integers(0, 500, 15).astype(np.int32).tolist()
+    docs, toks, srcs = [], [], []
+    for i in range(30):
+        body = rng.integers(1000, 30_000, int(rng.integers(4, 40)))
+        body = body.astype(np.int32).tolist()
+        if i % 3 == 0:
+            body = body[: len(body) // 2] + shared + body[len(body) // 2:]
+        docs.append(f"d{i:03d}")
+        toks.append(body)
+        srcs.append("s" + str(i % 2))
+    t = pa.table({
+        "doc_id": pa.array(docs),
+        "tokens": pa.array(toks, pa.large_list(pa.int32())),
+        "n_tok": pa.array([len(x) for x in toks], pa.int32()),
+        "source": pa.array(srcs),
+    })
+    n, min_docs = 8, 2
+    out = (strip_cross_doc_spans(
+        ray.data.from_arrow(t).repartition(5), n=n, min_docs=min_docs)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("seqs", t)
+    want = con.execute(f"""
+WITH g AS (
+  SELECT doc_id, n_tok, i, tokens[i:i+{n - 1}] AS gram
+  FROM seqs, LATERAL (SELECT unnest(range(1, n_tok - {n - 2})) AS i) t
+),
+df AS (SELECT gram, COUNT(DISTINCT doc_id) AS c FROM g GROUP BY 1),
+hot AS (SELECT gram FROM df WHERE c >= {min_docs}),
+pos AS (
+  SELECT DISTINCT g.doc_id, g.i + s.j AS p
+  FROM g JOIN hot USING (gram),
+       LATERAL (SELECT unnest(range(0, {n})) AS j) s
+),
+tok AS (
+  SELECT s.doc_id, s.tokens[i] AS tok, i
+  FROM seqs s, LATERAL (SELECT unnest(range(1, n_tok + 1)) AS i) t
+),
+kept AS (
+  SELECT tok.doc_id,
+         COALESCE(list(tok.tok ORDER BY tok.i), []) AS tokens_clean
+  FROM tok LEFT JOIN pos ON tok.doc_id = pos.doc_id AND tok.i = pos.p
+  WHERE pos.p IS NULL GROUP BY tok.doc_id
+)
+SELECT s.doc_id, COALESCE(k.tokens_clean, []) AS tokens_clean
+FROM seqs s LEFT JOIN kept k USING (doc_id) ORDER BY s.doc_id""").df()
+    for i in range(len(out)):
+        got = list(out.loc[i, "tokens"])
+        exp = list(want.loc[i, "tokens_clean"])
+        assert got == exp, (out.loc[i, "doc_id"], got[:10], exp[:10])
+    assert (out["n_tok"].to_numpy()
+            == np.array([len(x) for x in out["tokens"]])).all()
+    assert list(out["source"]) == sorted(
+        srcs, key=lambda _: 0
+    ) or set(out["source"]) == {"s0", "s1"}  # pass-through preserved
+    # consistency with the detector: removed == n_covered
+    det = (cross_doc_span_stats(
+        ray.data.from_arrow(t), n=n, min_docs=min_docs)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    orig_len = np.array([len(x) for x in toks])
+    assert (orig_len - out["n_tok"].to_numpy()
+            == det["n_covered"].to_numpy()).all()
+    assert det["n_covered"].sum() > 0  # the planted span actually stripped

@@ -27,6 +27,7 @@ import pyarrow.parquet as pq
 GOLDEN_QUERIES = [
     "dup_ngram_frac",
     "cross_doc_dup_spans",
+    "strip_hot_spans_docs",
     "source_vocab_jaccard",
     "source_vocab_containment",
     "source_token_richness",
