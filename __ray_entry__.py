@@ -1353,6 +1353,26 @@ def _q_strip_hot_spans(sf_dir: str):
     ).select_columns(["doc_id", "n_tok", "token_ck"])
 
 
+def _q_contamination(sf_dir: str):
+    """Benchmark decontamination: contamination coverage of every corpus
+    doc vs a deterministic pseudo-benchmark reference (the ~0.5%
+    md5-band Bernoulli sample of the same corpus — exact duplicates and
+    hash-coincident spans of reference docs flag as contaminated).
+    Reference window hashes broadcast once; corpus side one streamed
+    pass, no exchange."""
+    from contest_parsing_ray.stages.sampling import hash_sample_rate
+    from contest_parsing_ray.stages.tokens import (
+        reference_contamination_stats,
+    )
+
+    ds = _seqs(sf_dir)
+    ref = hash_sample_rate(ds, "doc_id", rate=0.005)
+    return _round_cols(
+        reference_contamination_stats(ds, ref, n=8),
+        ["contamination_frac"],
+    )
+
+
 def _q_corr_pairs(sf_dir: str):
     """Which event types co-move: pairwise Pearson r between the per-type
     1h count series. One bucket-hash exchange co-locates cross-sections;
@@ -2320,6 +2340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_doc_dup_spans": _q_cross_doc_spans,
         # tokens payload: the cross-doc span dedup ACTUATOR (cleaned arrays)
         "strip_hot_spans_docs": _q_strip_hot_spans,
+        # tokens payload: eval-benchmark decontamination coverage
+        "benchmark_contamination": _q_contamination,
     }
 
 
@@ -3553,6 +3575,7 @@ GOLDEN_ORACLE_KEYS = (
     "dup_ngram_frac",
     "cross_doc_dup_spans",
     "strip_hot_spans_docs",
+    "benchmark_contamination",
     "source_vocab_jaccard",
     "source_vocab_containment",
     "source_token_richness",

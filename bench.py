@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "dup_ngram_frac",
     "cross_doc_dup_spans",
     "strip_hot_spans_docs",
+    "benchmark_contamination",
     "series_corr_pairs",
     "cusum_changepoints_1h",
     "customers_no_urgent_orders",

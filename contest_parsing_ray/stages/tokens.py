@@ -729,49 +729,123 @@ def cross_doc_span_stats(
     hot_ref = ray.put(hot)
 
     def cover(b: pa.Table) -> pa.Table:
-        col, flat, offs = _flat_with_offsets(b[tokens_col])
         idc = b[id_col].combine_chunks()
         if idc.null_count:
             raise ValueError(f"null {id_col} — cross-doc counts undefined")
-        hs, n_win, _ok, rel = _window_hashes(flat, offs, n)
-        hot_l = ray.get(hot_ref)
-        n_rows = len(col)
-        n_hot = np.zeros(n_rows, dtype=np.int64)
-        covered = np.zeros(n_rows, dtype=np.int64)
-        if len(hs) and len(hot_l):
-            pos = np.searchsorted(hot_l, hs.view(np.int64))
-            is_hot = (pos < len(hot_l)) & (
-                hot_l[np.minimum(pos, len(hot_l) - 1)] == hs.view(np.int64)
+        return _span_coverage_table(
+            b, tokens_col, id_col, n, ray.get(hot_ref), "dup_span_frac"
+        )
+
+    return seqs.select_columns([id_col, tokens_col]).map_batches(
+        cover, batch_format="pyarrow"
+    )
+
+
+def _span_coverage_table(
+    b: pa.Table,
+    tokens_col: str,
+    id_col: str,
+    n: int,
+    hot_l: np.ndarray,
+    frac_name: str,
+) -> pa.Table:
+    """Per-row coverage of a batch's docs by windows whose hash is in the
+    sorted int64 set ``hot_l`` — shared by cross_doc_span_stats (hot set
+    from the corpus itself) and reference_contamination_stats (hot set
+    from an external reference)."""
+    col, flat, offs = _flat_with_offsets(b[tokens_col])
+    hs, n_win, _ok, rel = _window_hashes(flat, offs, n)
+    n_rows = len(col)
+    n_hot = np.zeros(n_rows, dtype=np.int64)
+    covered = np.zeros(n_rows, dtype=np.int64)
+    if len(hs) and len(hot_l):
+        pos = np.searchsorted(hot_l, hs.view(np.int64))
+        is_hot = (pos < len(hot_l)) & (
+            hot_l[np.minimum(pos, len(hot_l) - 1)] == hs.view(np.int64)
+        )
+        docs = np.repeat(np.arange(n_rows, dtype=np.int64), n_win)
+        hd, hr = docs[is_hot], rel[is_hot]
+        # hr ascending within each doc (window emission order); union
+        # of equal-length intervals = sum(min(n, next_start - start))
+        # with the doc's last interval contributing n
+        if len(hd):
+            gap = np.empty(len(hr), dtype=np.int64)
+            gap[:-1] = hr[1:] - hr[:-1]
+            gap[-1] = n
+            last_of_doc = np.empty(len(hd), dtype=bool)
+            last_of_doc[:-1] = hd[1:] != hd[:-1]
+            last_of_doc[-1] = True
+            gap[last_of_doc] = n
+            contrib = np.minimum(gap, n)
+            np.add.at(covered, hd, contrib)
+            np.add.at(n_hot, hd, 1)
+    n_tok = np.diff(offs)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        frac = covered / n_tok
+    return pa.table({
+        id_col: b[id_col],
+        "n_tok": pa.array(n_tok.astype(np.int64)),
+        "n_windows": pa.array(n_win.astype(np.int64)),
+        "n_hot_windows": pa.array(n_hot),
+        "n_covered": pa.array(covered),
+        frac_name: pa.array(
+            np.where(n_win > 0, frac, np.nan), from_pandas=True
+        ),
+    })
+
+
+def reference_contamination_stats(
+    seqs: ray.data.Dataset,
+    reference: "ray.data.Dataset | pa.Table",
+    n: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Benchmark DECONTAMINATION signal: per corpus row, how much of the
+    document is covered by n-gram spans that appear ANYWHERE in the
+    ``reference`` set (eval benchmarks, held-out test sets) — the
+    standard pre-training hygiene check before an eval suite is trusted.
+
+    → ``(doc_id, n_tok, n_windows, n_hot_windows, n_covered,
+    contamination_frac)``; NULL frac for docs shorter than ``n``.
+    Asymmetric by design (reference grams flag corpus docs, never the
+    reverse) and exact up to the 64-bit span-hash contract shared with
+    cross_doc_span_stats.
+
+    The reference's distinct window hashes are built DRIVER-SIDE and
+    broadcast once via ``ray.put`` — the documented contract is a
+    reference that is small relative to the corpus (an eval suite is
+    MBs against a 100-TB corpus); the corpus side is one streamed
+    batch pass, no exchange at all. A corpus-scale reference would use
+    cross_doc_span_stats' pair-exchange path instead."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    if isinstance(reference, pa.Table):
+        ref_tables = [reference]
+    else:
+        ref_tables = list(
+            reference.select_columns([tokens_col]).iter_batches(
+                batch_format="pyarrow"
             )
-            docs = np.repeat(np.arange(n_rows, dtype=np.int64), n_win)
-            hd, hr = docs[is_hot], rel[is_hot]
-            # hr ascending within each doc (window emission order); union
-            # of equal-length intervals = sum(min(n, next_start - start))
-            # with the doc's last interval contributing n
-            if len(hd):
-                gap = np.empty(len(hr), dtype=np.int64)
-                gap[:-1] = hr[1:] - hr[:-1]
-                gap[-1] = n
-                last_of_doc = np.empty(len(hd), dtype=bool)
-                last_of_doc[:-1] = hd[1:] != hd[:-1]
-                last_of_doc[-1] = True
-                gap[last_of_doc] = n
-                contrib = np.minimum(gap, n)
-                np.add.at(covered, hd, contrib)
-                np.add.at(n_hot, hd, 1)
-        n_tok = np.diff(offs)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            frac = covered / n_tok
-        return pa.table({
-            id_col: b[id_col],
-            "n_tok": pa.array(n_tok.astype(np.int64)),
-            "n_windows": pa.array(n_win.astype(np.int64)),
-            "n_hot_windows": pa.array(n_hot),
-            "n_covered": pa.array(covered),
-            "dup_span_frac": pa.array(
-                np.where(n_win > 0, frac, np.nan), from_pandas=True
-            ),
-        })
+        )
+    hashes = []
+    for t in ref_tables:
+        _col, flat, offs = _flat_with_offsets(t[tokens_col])
+        hs, _nw, _ok, _rel = _window_hashes(flat, offs, n)
+        if len(hs):
+            hashes.append(hs.view(np.int64))
+    hot = (
+        np.unique(np.concatenate(hashes))
+        if hashes
+        else np.zeros(0, dtype=np.int64)
+    )
+    hot_ref = ray.put(hot)
+
+    def cover(b: pa.Table) -> pa.Table:
+        return _span_coverage_table(
+            b, tokens_col, id_col, n, ray.get(hot_ref), "contamination_frac"
+        )
 
     return seqs.select_columns([id_col, tokens_col]).map_batches(
         cover, batch_format="pyarrow"

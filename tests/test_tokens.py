@@ -654,3 +654,75 @@ FROM seqs s LEFT JOIN kept k USING (doc_id) ORDER BY s.doc_id""").df()
     assert (orig_len - out["n_tok"].to_numpy()
             == det["n_covered"].to_numpy()).all()
     assert det["n_covered"].sum() > 0  # the planted span actually stripped
+
+
+def test_reference_contamination_matches_duckdb():
+    """Contamination coverage vs a content-exact DuckDB formulation:
+    corpus docs embedding reference spans are flagged with the exact
+    covered-token counts; clean docs report zero; asymmetry holds (the
+    reference side is never scored)."""
+    import duckdb
+
+    from contest_parsing_ray.stages.tokens import (
+        reference_contamination_stats,
+    )
+
+    rng = np.random.default_rng(83)
+    bench = [rng.integers(0, 800, 30).astype(np.int32).tolist()
+             for _ in range(5)]
+    ref = pa.table({
+        "doc_id": pa.array([f"ref{i}" for i in range(5)]),
+        "tokens": pa.array(bench, pa.large_list(pa.int32())),
+    })
+    docs, toks = [], []
+    for i in range(25):
+        body = rng.integers(1000, 20_000, int(rng.integers(4, 50)))
+        body = body.astype(np.int32).tolist()
+        if i % 5 == 0:  # plant a reference excerpt mid-doc
+            ex = bench[i % 5][3:15]
+            body = body[:2] + ex + body[2:]
+        docs.append(f"d{i:03d}")
+        toks.append(body)
+    corpus = pa.table({
+        "doc_id": pa.array(docs),
+        "tokens": pa.array(toks, pa.large_list(pa.int32())),
+        "n_tok": pa.array([len(x) for x in toks], pa.int32()),
+    })
+    n = 8
+    out = (reference_contamination_stats(
+        ray.data.from_arrow(corpus).repartition(4), ref, n=n)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("corpus", corpus)
+    con.register("ref", ref)
+    want = con.execute(f"""
+WITH rg AS (
+  SELECT DISTINCT tokens[i:i+{n - 1}] AS gram
+  FROM ref, LATERAL (SELECT unnest(range(1, len(tokens) - {n - 2})) AS i) t
+),
+cg AS (
+  SELECT doc_id, i, tokens[i:i+{n - 1}] AS gram
+  FROM corpus, LATERAL (SELECT unnest(range(1, n_tok - {n - 2})) AS i) t
+),
+hotwin AS (SELECT cg.doc_id, cg.i FROM cg JOIN rg USING (gram)),
+nh AS (SELECT doc_id, COUNT(*) AS n_hot FROM hotwin GROUP BY 1),
+pos AS (
+  SELECT DISTINCT w.doc_id, w.i + s.j AS p
+  FROM hotwin w, LATERAL (SELECT unnest(range(0, {n})) AS j) s
+),
+cov AS (SELECT doc_id, COUNT(*) AS n_covered FROM pos GROUP BY 1)
+SELECT c.doc_id, COALESCE(nh.n_hot, 0) AS n_hot,
+       COALESCE(cov.n_covered, 0) AS n_covered
+FROM corpus c LEFT JOIN nh USING (doc_id) LEFT JOIN cov USING (doc_id)
+ORDER BY c.doc_id""").df()
+    assert (out["n_hot_windows"].to_numpy() == want["n_hot"].to_numpy()).all()
+    assert (out["n_covered"].to_numpy() == want["n_covered"].to_numpy()).all()
+    planted = out[out.doc_id.isin([f"d{i:03d}" for i in range(0, 25, 5)])]
+    assert (planted["n_covered"] >= 12).all()  # the 12-token excerpt
+    clean = out[~out.doc_id.isin(planted.doc_id)]
+    assert (clean["n_covered"] == 0).all()
+    # accepts a Dataset reference too, same result
+    out2 = (reference_contamination_stats(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(ref), n=n)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (out2["n_covered"].to_numpy() == out["n_covered"].to_numpy()).all()

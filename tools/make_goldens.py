@@ -28,6 +28,7 @@ GOLDEN_QUERIES = [
     "dup_ngram_frac",
     "cross_doc_dup_spans",
     "strip_hot_spans_docs",
+    "benchmark_contamination",
     "source_vocab_jaccard",
     "source_vocab_containment",
     "source_token_richness",
