@@ -1373,6 +1373,37 @@ def _q_contamination(sf_dir: str):
     )
 
 
+def _q_span_corrupt(sf_dir: str):
+    """Deterministic T5-style span corruption (grid-based, pure function
+    of (seed, doc_id, position) — restart/reshard-stable) projected to a
+    compact per-doc view: mask stats + order-sensitive checksums of the
+    corrupted input and the target, so the golden pins both payloads
+    without committing token arrays. Losslessness (input+target →
+    original) is pinned in test_span_corrupt_roundtrip_and_stats."""
+    from contest_parsing_ray.sources.ingest import token_checksum
+    from contest_parsing_ray.stages.tokens import span_corrupt
+
+    out = span_corrupt(_seqs(sf_dir), mask_rate=0.15, mean_span=3, seed=7)
+
+    def cks(t: pa.Table) -> pa.Table:
+        a = token_checksum(
+            t.select(["input_tokens"]).rename_columns(["tokens"])
+        )["token_ck"]
+        b = token_checksum(
+            t.select(["target_tokens"]).rename_columns(["tokens"])
+        )["token_ck"]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tok": t["n_tok"],
+            "n_masked": t["n_masked"],
+            "n_spans": t["n_spans"],
+            "input_ck": a,
+            "target_ck": b,
+        })
+
+    return out.map_batches(cks, batch_format="pyarrow")
+
+
 def _q_corr_pairs(sf_dir: str):
     """Which event types co-move: pairwise Pearson r between the per-type
     1h count series. One bucket-hash exchange co-locates cross-sections;
@@ -2342,6 +2373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_hot_spans_docs": _q_strip_hot_spans,
         # tokens payload: eval-benchmark decontamination coverage
         "benchmark_contamination": _q_contamination,
+        # tokens payload: deterministic T5 span corruption (mask stats + cks)
+        "span_corrupt_docs": _q_span_corrupt,
     }
 
 
@@ -3576,6 +3609,7 @@ GOLDEN_ORACLE_KEYS = (
     "cross_doc_dup_spans",
     "strip_hot_spans_docs",
     "benchmark_contamination",
+    "span_corrupt_docs",
     "source_vocab_jaccard",
     "source_vocab_containment",
     "source_token_richness",

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "cross_doc_dup_spans",
     "strip_hot_spans_docs",
     "benchmark_contamination",
+    "span_corrupt_docs",
     "series_corr_pairs",
     "cusum_changepoints_1h",
     "customers_no_urgent_orders",

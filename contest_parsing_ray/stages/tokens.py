@@ -1010,3 +1010,156 @@ def _hot_span_hashes(
             or [np.zeros(0, dtype=np.int64)]
         )
     )
+
+
+def span_corrupt(
+    seqs: ray.data.Dataset,
+    mask_rate: float = 0.15,
+    mean_span: int = 3,
+    seed: int = 0,
+    sentinel_base: int = 50_257,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic T5-style span corruption over the token payload —
+    the masked-denoising prep stage of an encoder-decoder training
+    pipeline: spans covering ~``mask_rate`` of each doc are replaced in
+    the INPUT by one sentinel each, and the TARGET is the concatenation
+    of (sentinel_i, span_i tokens) in order.
+
+    Grid-based sampling (exactly T5's expected statistics, but with NO
+    sequential dependence so it vectorizes and is a pure function of
+    ``(seed, doc_id-row-hash, position)`` — restart/reshard-stable like
+    hash_split/shuffled_rows): positions are tiled into blocks of
+    ``L = round(mean_span / mask_rate)``; within each FULL block one
+    span starts at ``h1 % (L - span_len + 1)`` with
+    ``span_len = 1 + h2 % (2*mean_span - 1)`` (mean = ``mean_span``),
+    where h1/h2 are splitmix64 of (seed, row-id-hash, block). Spans
+    never cross blocks, so they never overlap or touch doc boundaries;
+    docs shorter than one block are left unmasked (input = tokens,
+    empty target).
+
+    → ``(doc_id, input_tokens: large_list<int64>, target_tokens:
+    large_list<int64>, n_tok, n_masked, n_spans)``. Sentinel for span
+    ``s`` (0-based, per doc) is ``sentinel_base + s``. Pure map — no
+    exchange, no state.
+    """
+    from ._shuffle import _splitmix64
+
+    if not 0 < mask_rate < 1:
+        raise ValueError(f"mask_rate must be in (0,1), got {mask_rate}")
+    if mean_span < 1:
+        raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    L = max(int(round(mean_span / mask_rate)), 2 * mean_span)
+    max_len = 2 * mean_span - 1
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        col, flat, offs = _flat_with_offsets(b[tokens_col])
+        idc = b[id_col].combine_chunks()
+        if idc.null_count:
+            raise ValueError(f"null {id_col} — corruption keys undefined")
+        from ._shuffle import hash64_column
+
+        rid = _splitmix64(
+            hash64_column(idc) ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+        )
+        n_rows = len(col)
+        lengths = np.diff(offs)
+        n_blocks = lengths // L  # FULL blocks only
+        total_blocks = int(n_blocks.sum())
+        # per-block span decisions (vectorized over all blocks in batch)
+        in_mask = np.zeros(len(flat), dtype=bool)
+        span_start = np.zeros(len(flat), dtype=bool)
+        if total_blocks:
+            blk_doc = np.repeat(np.arange(n_rows, dtype=np.int64), n_blocks)
+            blk_idx = (
+                np.arange(total_blocks, dtype=np.int64)
+                - np.repeat(np.cumsum(n_blocks) - n_blocks, n_blocks)
+            )
+            key = rid[blk_doc] ^ (blk_idx.astype(np.uint64)
+                                  * np.uint64(0x9E3779B97F4A7C15))
+            h1 = _splitmix64(key)
+            h2 = _splitmix64(h1)
+            span_len = 1 + (h2 % np.uint64(max_len)).astype(np.int64)
+            start_off = (h1 % (np.uint64(L) - span_len.astype(np.uint64)
+                               + np.uint64(1))).astype(np.int64)
+            blk_base = offs[:-1][blk_doc] + blk_idx * L
+            s0 = blk_base + start_off
+            delta = np.zeros(len(flat) + 1, dtype=np.int64)
+            np.add.at(delta, s0, 1)
+            np.add.at(delta, s0 + span_len, -1)
+            in_mask = np.cumsum(delta[:-1]) > 0
+            span_start[s0] = True
+        # ---- input: kept tokens + one sentinel per span start
+        span_rank = np.cumsum(span_start) - 1  # global span counter
+        doc_first_span = np.zeros(n_rows, dtype=np.int64)
+        spans_per_doc = np.zeros(n_rows, dtype=np.int64)
+        if total_blocks:
+            cs = np.concatenate(([0], np.cumsum(span_start)))
+            doc_first_span = cs[offs[:-1]]
+            spans_per_doc = cs[offs[1:]] - cs[offs[:-1]]
+        sent_of_span_global = np.zeros(max(int(span_start.sum()), 1),
+                                       dtype=np.int64)
+        if span_start.any():
+            g = span_rank[span_start]
+            d = np.repeat(np.arange(n_rows), np.diff(offs))[span_start]
+            sent_of_span_global[g] = (
+                sentinel_base + (g - doc_first_span[d])
+            )
+        emit = ~in_mask | span_start
+        vals = np.where(
+            span_start, sent_of_span_global[span_rank], flat.astype(np.int64)
+        )[emit]
+        cs_e = np.concatenate(([0], np.cumsum(emit)))
+        in_offs = (cs_e[offs] - cs_e[offs[0]]).astype(np.int64)
+        input_arr = pa.LargeListArray.from_arrays(
+            pa.array(in_offs), pa.array(vals, pa.int64())
+        )
+        # ---- target: per doc, concat of (sentinel_s, span_s tokens)
+        masked = in_mask
+        n_masked_doc = np.zeros(n_rows, dtype=np.int64)
+        if masked.any():
+            cm = np.concatenate(([0], np.cumsum(masked)))
+            n_masked_doc = (cm[offs[1:]] - cm[offs[:-1]]).astype(np.int64)
+        tgt_len = n_masked_doc + spans_per_doc
+        tgt_offs = np.concatenate(([0], np.cumsum(tgt_len))).astype(np.int64)
+        tgt_vals = np.zeros(int(tgt_len.sum()), dtype=np.int64)
+        if masked.any():
+            pos_doc = np.repeat(np.arange(n_rows), np.diff(offs))
+            # rank of each masked token among its doc's masked tokens
+            # (padded cumsum: safe for trailing empty docs whose offset
+            # equals len(flat))
+            cm = np.concatenate(([0], np.cumsum(masked)))
+            rank_in_doc = (
+                cm[1:][masked] - cm[offs[:-1]][pos_doc[masked]] - 1
+            )
+            # span id (within doc) of each masked token: cumsum of starts
+            sid_global = span_rank  # start-counter at each position
+            sid_in_doc = (sid_global - doc_first_span[pos_doc])[masked]
+            md = pos_doc[masked]
+            base_t = tgt_offs[md]
+            tok_idx = base_t + rank_in_doc + sid_in_doc + 1
+            tgt_vals[tok_idx] = flat.astype(np.int64)[masked]
+            # sentinel slots: first masked token of each span
+            first_of_span = np.ones(int(masked.sum()), dtype=bool)
+            first_of_span[1:] = (sid_in_doc[1:] != sid_in_doc[:-1]) | (
+                md[1:] != md[:-1]
+            )
+            tgt_vals[(base_t + rank_in_doc + sid_in_doc)[first_of_span]] = (
+                sentinel_base + sid_in_doc[first_of_span]
+            )
+        target_arr = pa.LargeListArray.from_arrays(
+            pa.array(tgt_offs), pa.array(tgt_vals, pa.int64())
+        )
+        return pa.table({
+            id_col: b[id_col],
+            "input_tokens": input_arr,
+            "target_tokens": target_arr,
+            "n_tok": pa.array(lengths.astype(np.int64)),
+            "n_masked": pa.array(n_masked_doc),
+            "n_spans": pa.array(spans_per_doc),
+        })
+
+    return seqs.select_columns([id_col, tokens_col]).map_batches(
+        corrupt, batch_format="pyarrow"
+    )

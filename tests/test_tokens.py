@@ -726,3 +726,83 @@ ORDER BY c.doc_id""").df()
         ray.data.from_arrow(corpus), ray.data.from_arrow(ref), n=n)
         .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert (out2["n_covered"].to_numpy() == out["n_covered"].to_numpy()).all()
+
+
+def test_span_corrupt_roundtrip_and_stats():
+    """T5-style span corruption: (input, target) must reconstruct the
+    original tokens exactly (lossless), spans obey the length bound and
+    expected rate, short docs pass through unmasked, and the mask is a
+    pure function of (seed, doc_id) — repartition-invariant, seed-
+    sensitive."""
+    from contest_parsing_ray.stages.tokens import span_corrupt
+
+    rng = np.random.default_rng(5)
+    docs, toks = [], []
+    for i in range(60):
+        L = int(rng.integers(0, 400))
+        docs.append(f"d{i:03d}")
+        toks.append(rng.integers(0, 50_000, L).astype(np.int32).tolist())
+    t = pa.table({
+        "doc_id": pa.array(docs),
+        "tokens": pa.array(toks, pa.large_list(pa.int32())),
+    })
+    SENT = 50_257
+    out = (span_corrupt(ray.data.from_arrow(t).repartition(6),
+                        mask_rate=0.15, mean_span=3, seed=7)
+           .to_pandas().set_index("doc_id").sort_index())
+    orig = {d: x for d, x in zip(docs, toks)}
+    n_masked_total = n_tok_long = 0
+    for d, row in out.iterrows():
+        inp = list(row["input_tokens"])
+        tgt = list(row["target_tokens"])
+        # parse target into {sentinel: span tokens}
+        spans, cur = {}, None
+        for v in tgt:
+            if v >= SENT:
+                cur = v
+                spans[cur] = []
+            else:
+                spans[cur].append(v)
+        # sentinels appear in increasing order from SENT
+        assert sorted(spans) == list(range(SENT, SENT + len(spans)))
+        assert row["n_spans"] == len(spans)
+        assert row["n_masked"] == sum(len(v) for v in spans.values())
+        # span length bound: 1..2*mean-1
+        assert all(1 <= len(v) <= 5 for v in spans.values())
+        # reconstruct
+        rec = []
+        for v in inp:
+            rec.extend(spans[v] if v >= SENT else [v])
+        assert rec == orig[d], d
+        L = len(orig[d])
+        if L < 20:  # shorter than one grid block: untouched
+            assert row["n_masked"] == 0 and inp == orig[d] and tgt == []
+        else:
+            n_masked_total += row["n_masked"]
+            n_tok_long += L
+    # expected rate on the long docs: mean_span per 20-token block
+    rate = n_masked_total / n_tok_long
+    assert 0.08 < rate < 0.22, rate
+    # determinism + repartition invariance
+    out2 = (span_corrupt(ray.data.from_arrow(t).repartition(2),
+                         mask_rate=0.15, mean_span=3, seed=7)
+            .to_pandas().set_index("doc_id").sort_index())
+    for d in out.index:
+        assert list(out.loc[d, "input_tokens"]) == list(out2.loc[d, "input_tokens"])
+        assert list(out.loc[d, "target_tokens"]) == list(out2.loc[d, "target_tokens"])
+    # seed sensitivity
+    out3 = (span_corrupt(ray.data.from_arrow(t), mask_rate=0.15,
+                         mean_span=3, seed=8)
+            .to_pandas().set_index("doc_id").sort_index())
+    diff = sum(
+        list(out.loc[d, "input_tokens"]) != list(out3.loc[d, "input_tokens"])
+        for d in out.index if len(orig[d]) >= 20
+    )
+    assert diff > 10
+    # null doc_id raises
+    bad = pa.table({
+        "doc_id": pa.array(["a", None]),
+        "tokens": pa.array([[1] * 40, [2] * 40], pa.large_list(pa.int32())),
+    })
+    with pytest.raises(Exception, match="null doc_id"):
+        span_corrupt(ray.data.from_arrow(bad)).to_pandas()

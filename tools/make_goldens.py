@@ -29,6 +29,7 @@ GOLDEN_QUERIES = [
     "cross_doc_dup_spans",
     "strip_hot_spans_docs",
     "benchmark_contamination",
+    "span_corrupt_docs",
     "source_vocab_jaccard",
     "source_vocab_containment",
     "source_token_richness",
