@@ -481,6 +481,7 @@ def _q_pack_offsets(sf_dir: str):
 
 
 SAMPLE_RATE = 0.25
+MIXTURE_FRACTIONS = {"en": 0.5, "de": 0.2, "zh": 0.2, "es": 0.1}
 SAMPLE_K = 10
 
 
@@ -1402,6 +1403,25 @@ def _q_span_corrupt(sf_dir: str):
         })
 
     return out.map_batches(cks, batch_format="pyarrow")
+
+
+def _q_mixture_sample(sf_dir: str):
+    """Deterministic data-mixing sample over documents: per-lang
+    Bernoulli rates derived so the EXPECTED kept n_chars per lang hits
+    en 50% / de 20% / zh 20% / es 10% of a budget = half the corpus's
+    total chars (fr excluded -> dropped). Pure md5-band function of
+    doc_id; the SQL oracle recomputes the same totals, rates, and
+    threshold (matched double-op order), so the exact same rows fall
+    out — a REAL SQL oracle, not a golden."""
+    from contest_parsing_ray.stages.sampling import mixture_sample
+
+    docs = _docs(sf_dir).select_columns(
+        ["doc_id", "lang", "source", "n_chars"]
+    )
+    return mixture_sample(
+        docs, id_col="doc_id", key_col="lang", weight_col="n_chars",
+        target_fractions=MIXTURE_FRACTIONS, budget_fraction=0.5,
+    )
 
 
 def _q_corr_pairs(sf_dir: str):
@@ -2375,6 +2395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": _q_contamination,
         # tokens payload: deterministic T5 span corruption (mask stats + cks)
         "span_corrupt_docs": _q_span_corrupt,
+        # data mixing: per-lang rates to hit target char fractions (REAL SQL)
+        "mixture_sample_docs": _q_mixture_sample,
     }
 
 
@@ -2682,6 +2704,29 @@ FROM o
 SELECT doc_id, lang, source FROM documents
 WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
            AS UBIGINT) < {int(SAMPLE_RATE * 2**64)}
+""",
+        # data mixing: totals/rates/threshold recomputed in SQL with the
+        # same double-op order (f * (0.5 * G) / T_k) and the same
+        # truncation/2^64-1 clamp as sampling.rate_threshold
+        "mixture_sample_docs": r"""
+WITH tot AS (SELECT lang, SUM(n_chars) AS t FROM documents GROUP BY lang),
+g AS (SELECT SUM(n_chars) AS gt FROM documents),
+r AS (
+  SELECT tot.lang,
+         LEAST(1.0,
+               (CASE tot.lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                     WHEN 'zh' THEN 0.2 WHEN 'es' THEN 0.1 END)
+               * (0.5 * g.gt) / tot.t) AS rate
+  FROM tot, g WHERE tot.lang IN ('en', 'de', 'zh', 'es')
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE CASE WHEN r.rate >= 1.0 THEN TRUE ELSE
+  CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
+            AS UBIGINT) AS HUGEINT)
+  < LEAST(CAST(trunc(r.rate * 18446744073709551616.0) AS HUGEINT),
+          CAST(18446744073709551615 AS HUGEINT))
+END
 """,
         "sample_docs_per_source_10": rf"""
 SELECT doc_id, source FROM (

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "strip_hot_spans_docs",
     "benchmark_contamination",
     "span_corrupt_docs",
+    "mixture_sample_docs",
     "series_corr_pairs",
     "cusum_changepoints_1h",
     "customers_no_urgent_orders",

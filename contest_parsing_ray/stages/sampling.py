@@ -342,3 +342,68 @@ def shuffled_export(
         _with_shuffle_cols(ds, id_col, seed, num_shards), ["shard"],
         write_shards, num_partitions=num_partitions, batch_format="pyarrow",
     )
+
+
+def mixture_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    key_col: str,
+    weight_col: str,
+    target_fractions: dict[str, float],
+    total_budget: float | None = None,
+    budget_fraction: float | None = None,
+) -> ray.data.Dataset:
+    """Deterministic data-MIXING sample: per-key Bernoulli rates derived
+    so the EXPECTED kept weight (tokens/chars) per key is
+    ``target_fractions[k] * budget`` — the "50% en / 20% de / ..."
+    composition step of a training-data pipeline, expressed as a pure
+    function of the row id (restart/reshard-stable, SQL-oracle-exact).
+
+    ``budget`` is ``total_budget`` (absolute weight units) or
+    ``budget_fraction`` of the grand total across ALL rows (scale-free).
+    Keys absent from ``target_fractions`` are dropped (rate 0). A key
+    with less weight than its target keeps everything (rate capped at 1)
+    — under-budget is visible to the caller by summing the output, never
+    silently rebalanced.
+
+    Two steps: one tiny per-key weight aggregate (per-batch partial
+    sums, driver fold — key cardinality is bounded by the mixture spec),
+    then the shuffle-free :func:`hash_sample_rate` band filter. Weight
+    totals are folded as EXACT ints and the rate arithmetic is ordered
+    ``f * (bf * G) / T_k`` to match the SQL oracle's double ops
+    bit-for-bit.
+    """
+    if (total_budget is None) == (budget_fraction is None):
+        raise ValueError("pass exactly one of total_budget / budget_fraction")
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, weight_col]).to_pandas()
+        g = df.groupby(key_col, sort=False, dropna=False)[weight_col].sum()
+        return pa.table({
+            "k": pa.array(g.index.astype(object), pa.string()),
+            "w": pa.array(g.to_numpy().astype(np.int64)),
+        })
+
+    totals: dict[str, int] = {}
+    grand = 0
+    for t in (
+        ds.select_columns([key_col, weight_col])
+        .map_batches(part, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for k, w in zip(t["k"].to_pylist(), t["w"].to_pylist()):
+            grand += int(w)
+            if k is not None:
+                totals[k] = totals.get(k, 0) + int(w)
+
+    budget = (
+        float(total_budget)
+        if total_budget is not None
+        else budget_fraction * grand
+    )
+    rates = {
+        k: min(1.0, f * budget / totals[k])
+        for k, f in target_fractions.items()
+        if totals.get(k)
+    }
+    return hash_sample_rate(ds, id_col, key_col=key_col, rate_by_key=rates)

@@ -6,6 +6,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data
 
@@ -247,3 +248,51 @@ def test_shuffled_export_writes_ordered_shards(tmp_path):
             .sort_values("pos")["doc_id"].tolist()
         )
         assert t["doc_id"].tolist() == want
+
+
+def test_mixture_sample_rates_and_determinism():
+    """Per-key rates hit the target expected weights, unlisted keys drop,
+    over-target keys cap at rate 1 (keep everything), and the sample is a
+    pure function of the id (repartition-invariant)."""
+    from contest_parsing_ray.stages.sampling import mixture_sample
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    langs = rng.choice(["en", "de", "zh", "rare"], size=n,
+                       p=[0.7, 0.15, 0.13, 0.02])
+    w = rng.integers(50, 150, size=n).astype(np.int64)
+    t = pa.table({
+        "doc_id": pa.array([f"x{i}" for i in range(n)]),
+        "lang": pa.array(langs.tolist()),
+        "w": pa.array(w),
+    })
+    fracs = {"en": 0.3, "de": 0.3, "rare": 0.4}
+    out = mixture_sample(
+        ray.data.from_arrow(t).repartition(6), id_col="doc_id",
+        key_col="lang", weight_col="w", target_fractions=fracs,
+        budget_fraction=0.5,
+    ).to_pandas()
+    # zh unlisted -> dropped entirely
+    assert (out["lang"] != "zh").all()
+    grand = int(w.sum())
+    budget = 0.5 * grand
+    tot = {k: int(w[langs == k].sum()) for k in ("en", "de", "zh", "rare")}
+    # "rare" target (0.4 * budget ~ 0.2*grand) exceeds its ~2% share:
+    # rate caps at 1 and every rare row survives
+    assert fracs["rare"] * budget / tot["rare"] > 1
+    assert (out["lang"] == "rare").sum() == (langs == "rare").sum()
+    # en/de: kept weight within 15% of target expectation
+    for k in ("en", "de"):
+        kept = int(out.loc[out["lang"] == k, "w"].sum())
+        target = fracs[k] * budget
+        assert abs(kept - target) / target < 0.15, (k, kept, target)
+    # pure function of id: same rows from a different partitioning
+    out2 = mixture_sample(
+        ray.data.from_arrow(t).repartition(2), id_col="doc_id",
+        key_col="lang", weight_col="w", target_fractions=fracs,
+        budget_fraction=0.5,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    with pytest.raises(ValueError, match="exactly one of"):
+        mixture_sample(ray.data.from_arrow(t), "doc_id", "lang", "w",
+                       fracs, total_budget=10.0, budget_fraction=0.5)
