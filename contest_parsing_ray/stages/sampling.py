@@ -377,11 +377,12 @@ def mixture_sample(
         raise ValueError("pass exactly one of total_budget / budget_fraction")
 
     def part(t: pa.Table) -> pa.Table:
-        df = t.select([key_col, weight_col]).to_pandas()
-        g = df.groupby(key_col, sort=False, dropna=False)[weight_col].sum()
+        g = t.select([key_col, weight_col]).group_by(key_col).aggregate(
+            [(weight_col, "sum")]
+        )
         return pa.table({
-            "k": pa.array(g.index.astype(object), pa.string()),
-            "w": pa.array(g.to_numpy().astype(np.int64)),
+            "k": g[key_col].cast(pa.string()),
+            "w": g[f"{weight_col}_sum"].fill_null(0).cast(pa.int64()),
         })
 
     totals: dict[str, int] = {}
@@ -401,9 +402,12 @@ def mixture_sample(
         if total_budget is not None
         else budget_fraction * grand
     )
+    # a PRESENT key with zero total weight keeps everything (rate 1),
+    # matching the SQL oracle where f*budget/0 = inf -> LEAST(1, inf);
+    # keys with no rows at all simply have no rate (no rows to keep)
     rates = {
-        k: min(1.0, f * budget / totals[k])
+        k: (1.0 if totals[k] == 0 else min(1.0, f * budget / totals[k]))
         for k, f in target_fractions.items()
-        if totals.get(k)
+        if k in totals
     }
     return hash_sample_rate(ds, id_col, key_col=key_col, rate_by_key=rates)

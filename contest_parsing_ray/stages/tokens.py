@@ -89,6 +89,30 @@ def _window_hashes(
     return h[ok], n_win, ok, rel
 
 
+def _hot_mask(hs: np.ndarray, hot_l: np.ndarray) -> np.ndarray:
+    """Membership of uint64 window hashes in a SORTED int64 hot set
+    (int64 bit-view compare on both sides) — shared by the span-coverage
+    and span-strip passes."""
+    if not len(hs) or not len(hot_l):
+        return np.zeros(len(hs), dtype=bool)
+    q = hs.view(np.int64)
+    pos = np.searchsorted(hot_l, q)
+    return (pos < len(hot_l)) & (hot_l[np.minimum(pos, len(hot_l) - 1)] == q)
+
+
+def _distinct_hash_doc(
+    hs: np.ndarray, didx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted distinct (hash, doc-index) pairs via lexsort + keep-first —
+    the dedup applied both per batch and per exchange partition so the
+    two levels are guaranteed to agree."""
+    order = np.lexsort((didx, hs))
+    hs_s, d_s = hs[order], didx[order]
+    keep = np.ones(len(hs_s), dtype=bool)
+    keep[1:] = (hs_s[1:] != hs_s[:-1]) | (d_s[1:] != d_s[:-1])
+    return hs_s[keep], d_s[keep]
+
+
 def _iter_shard_batches(paths, columns, batch_size: int = 65536):
     """Stream row-group-sized pyarrow Tables from parquet shard paths via
     the resolved filesystem — the shared inner loop of the per-file
@@ -759,10 +783,7 @@ def _span_coverage_table(
     n_hot = np.zeros(n_rows, dtype=np.int64)
     covered = np.zeros(n_rows, dtype=np.int64)
     if len(hs) and len(hot_l):
-        pos = np.searchsorted(hot_l, hs.view(np.int64))
-        is_hot = (pos < len(hot_l)) & (
-            hot_l[np.minimum(pos, len(hot_l) - 1)] == hs.view(np.int64)
-        )
+        is_hot = _hot_mask(hs, hot_l)
         docs = np.repeat(np.arange(n_rows, dtype=np.int64), n_win)
         hd, hr = docs[is_hot], rel[is_hot]
         # hr ascending within each doc (window emission order); union
@@ -898,11 +919,7 @@ def strip_cross_doc_spans(
         hot_l = ray.get(hot_ref)
         mask = np.zeros(len(flat), dtype=bool)
         if len(hs) and len(hot_l):
-            pos = np.searchsorted(hot_l, hs.view(np.int64))
-            is_hot = (pos < len(hot_l)) & (
-                hot_l[np.minimum(pos, len(hot_l) - 1)] == hs.view(np.int64)
-            )
-            ok_hot = ok[is_hot]
+            ok_hot = ok[_hot_mask(hs, hot_l)]
             if len(ok_hot):
                 delta = np.zeros(len(flat) + 1, dtype=np.int64)
                 np.add.at(delta, ok_hot, 1)
@@ -930,9 +947,8 @@ def strip_cross_doc_spans(
             if name == tokens_col:
                 cols[name] = cleaned
             elif name == "n_tok":
-                cols[name] = pa.array(
-                    new_len.astype(np.int32), pa.int32()
-                )
+                # preserve the input column's integer type
+                cols[name] = pa.array(new_len).cast(b.schema.field(name).type)
             else:
                 cols[name] = b[name]
         return pa.table(cols)
@@ -966,14 +982,11 @@ def _hot_span_hashes(
             enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
             n_win,
         )
-        order = np.lexsort((didx, hs))
-        hs_s, d_s = hs[order], didx[order]
-        keep = np.ones(len(hs_s), dtype=bool)
-        keep[1:] = (hs_s[1:] != hs_s[:-1]) | (d_s[1:] != d_s[:-1])
+        hs_d, d_d = _distinct_hash_doc(hs, didx)
         return pa.table({
-            "h": pa.array(hs_s[keep].view(np.int64)),
+            "h": pa.array(hs_d.view(np.int64)),
             "doc": pc.take(enc.dictionary.cast(pa.string()),
-                           pa.array(d_s[keep])),
+                           pa.array(d_d)),
         })
 
     pairs = seqs.select_columns([id_col, tokens_col]).map_batches(
@@ -986,11 +999,7 @@ def _hot_span_hashes(
         hs = t["h"].to_numpy(zero_copy_only=False)
         enc = t["doc"].combine_chunks().dictionary_encode()
         didx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((didx, hs))
-        hs_s, d_s = hs[order], didx[order]
-        first = np.ones(len(hs_s), dtype=bool)
-        first[1:] = (hs_s[1:] != hs_s[:-1]) | (d_s[1:] != d_s[:-1])
-        hs_d = hs_s[first]
+        hs_d, _d_d = _distinct_hash_doc(hs, didx)
         newh = np.ones(len(hs_d), dtype=bool)
         newh[1:] = hs_d[1:] != hs_d[:-1]
         starts = np.flatnonzero(newh)
@@ -1031,7 +1040,8 @@ def span_corrupt(
     sequential dependence so it vectorizes and is a pure function of
     ``(seed, doc_id-row-hash, position)`` — restart/reshard-stable like
     hash_split/shuffled_rows): positions are tiled into blocks of
-    ``L = round(mean_span / mask_rate)``; within each FULL block one
+    ``L = round(mean_span / mask_rate)`` (``mask_rate`` <= 0.5 — one
+    span per block cannot realize more); within each FULL block one
     span starts at ``h1 % (L - span_len + 1)`` with
     ``span_len = 1 + h2 % (2*mean_span - 1)`` (mean = ``mean_span``),
     where h1/h2 are splitmix64 of (seed, row-id-hash, block). Spans
@@ -1046,10 +1056,17 @@ def span_corrupt(
     """
     from ._shuffle import _splitmix64
 
-    if not 0 < mask_rate < 1:
-        raise ValueError(f"mask_rate must be in (0,1), got {mask_rate}")
     if mean_span < 1:
         raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    # one mean-length span per L-token block caps the achievable rate at
+    # mean_span / L, and L must fit the longest span (2*mean_span - 1):
+    # rates above 0.5 cannot be realized by this grid — refuse loudly
+    # instead of silently under-masking.
+    if not 0 < mask_rate <= 0.5:
+        raise ValueError(
+            f"mask_rate must be in (0, 0.5] for grid span corruption "
+            f"(one span per block), got {mask_rate}"
+        )
     L = max(int(round(mean_span / mask_rate)), 2 * mean_span)
     max_len = 2 * mean_span - 1
 

@@ -296,3 +296,21 @@ def test_mixture_sample_rates_and_determinism():
     with pytest.raises(ValueError, match="exactly one of"):
         mixture_sample(ray.data.from_arrow(t), "doc_id", "lang", "w",
                        fracs, total_budget=10.0, budget_fraction=0.5)
+
+
+def test_mixture_sample_zero_weight_key_keeps_all():
+    """A present key whose total weight is 0 keeps every row (rate 1),
+    matching the SQL oracle's f*budget/0 = inf -> LEAST(1, inf)."""
+    from contest_parsing_ray.stages.sampling import mixture_sample
+
+    t = pa.table({
+        "doc_id": pa.array([f"z{i}" for i in range(40)]),
+        "lang": pa.array(["zero"] * 10 + ["en"] * 30),
+        "w": pa.array([0] * 10 + [100] * 30, pa.int64()),
+    })
+    out = mixture_sample(
+        ray.data.from_arrow(t), id_col="doc_id", key_col="lang",
+        weight_col="w", target_fractions={"zero": 0.5, "en": 0.5},
+        budget_fraction=0.5,
+    ).to_pandas()
+    assert (out["lang"] == "zero").sum() == 10

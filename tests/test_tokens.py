@@ -806,3 +806,14 @@ def test_span_corrupt_roundtrip_and_stats():
     })
     with pytest.raises(Exception, match="null doc_id"):
         span_corrupt(ray.data.from_arrow(bad)).to_pandas()
+
+
+def test_span_corrupt_rejects_unrealizable_rate():
+    from contest_parsing_ray.stages.tokens import span_corrupt
+
+    t = pa.table({
+        "doc_id": pa.array(["a"]),
+        "tokens": pa.array([[1] * 100], pa.large_list(pa.int32())),
+    })
+    with pytest.raises(ValueError, match=r"\(0, 0.5\]"):
+        span_corrupt(ray.data.from_arrow(t), mask_rate=0.7)
