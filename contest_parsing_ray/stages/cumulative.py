@@ -669,14 +669,21 @@ def transition_matrix(
         events.select_columns(cols), [user_col], pairs,
         num_partitions=num_partitions, batch_format="pandas",
     )
+    def _norm(x):
+        # pandas emits NaN for a null state in an object column; a null
+        # type is its own state (docstring contract) — normalize to None
+        # so the fold keys stay hashable/equal and Arrow-convertible
+        return None if x is None or (isinstance(x, float) and x != x) else x
+
     acc: dict[tuple, int] = {}
     for rb in parts.iter_batches(batch_format="pandas"):
         for f, t_, c in zip(rb["from_type"], rb["to_type"], rb["cnt"]):
-            acc[(f, t_)] = acc.get((f, t_), 0) + int(c)
+            acc[(_norm(f), _norm(t_))] = acc.get((_norm(f), _norm(t_)), 0) + int(c)
     row_tot: dict[object, int] = {}
     for (f, _), c in acc.items():
         row_tot[f] = row_tot.get(f, 0) + c
-    ks = sorted(acc)
+    ks = sorted(acc, key=lambda k: ((k[0] is None, k[0] or ""),
+                                    (k[1] is None, k[1] or "")))
     return pa.table({
         "from_type": pa.array([k[0] for k in ks], pa.string()),
         "to_type": pa.array([k[1] for k in ks], pa.string()),
@@ -747,7 +754,9 @@ def conversion_lag_stats(
     for q in qs:
         name = f"q{int(round(q * 100))}_lag_us"
         if n:
-            j = max(0, int(-(-q * n // 1)) - 1)
+            # ceil(q*n)-1 with the 1e-9 float-product guard (see
+            # window.rolling_quantile)
+            j = max(0, int(np.ceil(q * n - 1e-9)) - 1)
             cols_out[name] = pa.array(
                 [float(np.partition(lag, j)[j])], pa.float64())
         else:

@@ -19,6 +19,18 @@ import ray.data
 from ._shuffle import hash_partitioned_map
 
 
+def _pa_type(t) -> pa.DataType:
+    """Dataset.schema() may be a PandasBlockSchema whose .types are numpy
+    dtypes / classes, not Arrow DataTypes — normalize (shared by the
+    schema-padding joins)."""
+    if isinstance(t, pa.DataType):
+        return t
+    dt = np.dtype(t)
+    if dt == np.dtype(object):  # pandas object column == strings here
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -43,10 +55,19 @@ def asof_join(
     l_schema = left.schema()
     r_schema = right.schema()
     lcols = l_schema.names
+    clash = sorted(set([right_ts_col, *right_value_cols]) & set(lcols))
+    if clash:
+        # merge_asof would silently suffix colliding names (_x/_y) and the
+        # typed output would miss them — loud error, like interval_join
+        raise ValueError(
+            f"right columns {clash} collide with left columns; rename the "
+            "right side before joining"
+        )
     rcols = [key_col, right_ts_col, *right_value_cols]
-    types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
-    types.update({n: t for n, t in zip(l_schema.names, l_schema.types)})
+    types = {n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
+    types.update({n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)})
     all_cols = lcols + [c for c in rcols if c not in lcols]
+    out_cols = lcols + [c for c in rcols if c not in lcols]
 
     def tag(side: int, cols: list[str]):
         def fn(b: pa.Table) -> pa.Table:
@@ -66,8 +87,28 @@ def asof_join(
         right.map_batches(tag(1, rcols), batch_format="pyarrow")
     )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side"] == 0][lcols].sort_values(left_ts_col, kind="stable")
+    def typed(out: pd.DataFrame | None) -> pa.Table:
+        # explicit arrow types per column (cf. interval_join): pandas
+        # partitions that held nulls float-coerce int64 columns, and
+        # per-partition dtype drift would break the output schema merge
+        if out is None:
+            return pa.table({c: pa.array([], type=types[c]) for c in out_cols})
+        return pa.table(
+            {c: pa.array(out[c], type=types[c], from_pandas=True)
+             for c in out_cols}
+        )
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        lraw = df[df["__side"] == 0][lcols]
+        # SQL LEFT semantics: a null left ts matches nothing but the row
+        # is KEPT (right columns null) — and it must not reach the int64
+        # cast below
+        null_l = lraw[lraw[left_ts_col].isna()]
+        l = lraw.dropna(subset=[left_ts_col]).sort_values(
+            left_ts_col, kind="stable"
+        )
+        if len(l) == 0 and len(null_l) == 0:
+            return typed(None)
         # the union pads each side with nulls -> pandas promotes int64
         # columns to float64; restore int dtypes on the null-free side
         l = l.copy()
@@ -86,7 +127,12 @@ def asof_join(
             by=key_col,
             direction=direction,
         )
-        return out
+        if len(null_l):
+            out = pd.concat(
+                [out, null_l.reindex(columns=out.columns)],
+                ignore_index=True,
+            )
+        return typed(out)
 
     return hash_partitioned_map(
         both, [key_col], merge, num_partitions=num_partitions, batch_format="pandas"
@@ -204,16 +250,6 @@ def interval_join(
             "interval side (e.g. select with a suffix) before joining"
         )
     rcols = [key_col, lo_col, hi_col, *interval_cols]
-
-    def _pa_type(t) -> pa.DataType:
-        # Dataset.schema() may be a PandasBlockSchema whose .types are
-        # numpy dtypes / classes, not Arrow DataTypes
-        if isinstance(t, pa.DataType):
-            return t
-        dt = np.dtype(t)
-        if dt == np.dtype(object):  # pandas object column == strings here
-            return pa.string()
-        return pa.from_numpy_dtype(dt)
 
     types = {n: _pa_type(t) for n, t in zip(e_schema.names, e_schema.types)}
     r_schema = intervals.schema()
@@ -404,12 +440,20 @@ def sliding_window(
 
     def roll(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for _, g in df.groupby(key_col, sort=False):
+        # dropna=False: a null key is a REAL group (module-wide policy —
+        # see ewma); default dropna silently lost those rows and made a
+        # null-key-only partition crash on pd.concat([])
+        for _, g in df.groupby(key_col, sort=False, dropna=False):
             g = g.sort_values(ts_col, kind="stable").copy()
             for c in value_cols:
                 r = g[c].rolling(window, min_periods=1)
                 g[f"{c}_w{window}_{agg}"] = getattr(r, agg)()
             outs.append(g)
+        if not outs:
+            out = df.copy()
+            for c in value_cols:
+                out[f"{c}_w{window}_{agg}"] = pd.Series([], dtype=np.float64)
+            return out
         return pd.concat(outs, ignore_index=True)
 
     return hash_partitioned_map(
@@ -687,7 +731,12 @@ def rolling_quantile(
             sw = sliding_window_view(arr, window)
             srt = np.sort(sw, axis=1)  # NaN sorts last
             w_eff = (~np.isnan(sw)).sum(axis=1)
-            idx = np.maximum(np.ceil(q * w_eff).astype(np.int64) - 1, 0)
+            # 1e-9 guard: the double product can land a hair ABOVE an
+            # exact integer (0.07*100 == 7.000000000000001), which would
+            # ceil to the next order statistic and break quantile_disc
+            idx = np.maximum(
+                np.ceil(q * w_eff - 1e-9).astype(np.int64) - 1, 0
+            )
             vals = srt[np.arange(len(xv)), np.minimum(idx, window - 1)]
             vals[w_eff == 0] = np.nan
             out[m] = vals
@@ -1024,7 +1073,8 @@ def interarrival_stats(
             row = [uniques[c], n, int(g.sum()) / n if n else None]
             for q in qs:
                 if n:
-                    j = max(0, int(-(-q * n // 1)) - 1)  # ceil(q*n)-1
+                    # ceil(q*n)-1 with the 1e-9 float-product guard
+                    j = max(0, int(np.ceil(q * n - 1e-9)) - 1)
                     row.append(float(np.partition(g, j)[j]))
                 else:
                     row.append(None)

@@ -620,3 +620,29 @@ FROM r GROUP BY b ORDER BY b""").df().set_index("b").sort_index()
     u = pd.DataFrame({"u": ["a", "b", "c"], "t": [0, 1, 2]})
     g0 = activity_gini(ray.data.from_pandas(u), "t", "u", 1000).to_pandas()
     assert g0["gini"].iloc[0] == 0.0
+
+
+def test_transition_matrix_null_type_is_a_state():
+    """A null event type is its own Markov state (docstring contract) —
+    previously crashed in the driver fold on str/None ordering."""
+    import pyarrow as pa2
+
+    from contest_parsing_ray.stages.cumulative import transition_matrix
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2],
+        "ts": [1, 2, 3, 1, 2],
+        "et": ["a", None, "b", "a", "b"],
+        "eid": [1, 2, 3, 4, 5],
+    })
+    out = transition_matrix(
+        ray.data.from_pandas(df), user_col="u", ts_col="ts",
+        type_col="et", order_col="eid",
+    ).to_pandas()
+    # u1: a->NULL, NULL->b; u2: a->b
+    trans = {(f if isinstance(f, str) else None,
+              t if isinstance(t, str) else None): c
+             for f, t, c in zip(out["from_type"], out["to_type"], out["cnt"])}
+    assert trans[("a", None)] == 1
+    assert trans[(None, "b")] == 1
+    assert trans[("a", "b")] == 1

@@ -661,3 +661,67 @@ def test_pairwise_corr_rejects_duplicate_buckets():
     )
     with pytest.raises(Exception, match="unique per \\(key, bucket\\)"):
         pairwise_corr(ray.data.from_pandas(df), "k", "t", "v")
+
+
+def test_sliding_window_null_key_is_real_group():
+    """Null keys form their own rolling group (module-wide policy, like
+    ewma) instead of being silently dropped."""
+    from contest_parsing_ray.stages.window import sliding_window
+
+    df = pd.DataFrame({
+        "k": ["a", "a", None, None, None],
+        "ts": [1, 2, 1, 2, 3],
+        "v": [1.0, 2.0, 10.0, 20.0, 30.0],
+    })
+    out = (sliding_window(ray.data.from_pandas(df), "k", "ts", ["v"],
+                          window=2, agg="sum")
+           .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    assert len(out) == 5  # null-key rows retained
+    nul = out[out["k"].isna()].sort_values("ts")
+    assert nul["v_w2_sum"].tolist() == [10.0, 30.0, 50.0]
+
+
+def test_asof_join_null_left_ts_kept_with_null_match():
+    """SQL LEFT semantics: a left row with null ts matches nothing but is
+    kept; output dtypes stay stable (int right values don't float-drift)."""
+    from contest_parsing_ray.stages.window import asof_join
+
+    left = pd.DataFrame({
+        "k": ["a", "a", "a"],
+        "lts": pd.array([10, None, 30], dtype="Int64"),
+    })
+    right = pd.DataFrame({
+        "k": ["a", "a"], "rts": [5, 25], "rv": [100, 200],
+    })
+    out = (asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     key_col="k", left_ts_col="lts", right_ts_col="rts",
+                     right_value_cols=["rv"])
+           .to_pandas())
+    assert len(out) == 3
+    nul = out[out["lts"].isna()]
+    assert len(nul) == 1 and nul["rv"].isna().all()
+    got = out.dropna(subset=["lts"]).sort_values("lts")
+    assert got["rv"].tolist() == [100, 200]
+    # arrow-typed output: rv stays integral (nullable), not float64
+    sch = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    key_col="k", left_ts_col="lts", right_ts_col="rts",
+                    right_value_cols=["rv"]).schema()
+    import pyarrow as pa2
+    assert dict(zip(sch.names, sch.types))["rv"] == pa2.int64()
+
+
+def test_rolling_quantile_float_product_guard():
+    """q*n landing a hair above an exact integer (0.07*100) must select
+    the 7th order statistic, not the 8th."""
+    from contest_parsing_ray.stages.window import rolling_quantile
+
+    df = pd.DataFrame({
+        "k": ["a"] * 100,
+        "ts": np.arange(100, dtype=np.int64),
+        "v": np.arange(100, dtype=np.float64),  # sorted: v == index
+    })
+    out = (rolling_quantile(ray.data.from_pandas(df), "k", "ts", "v",
+                            window=100, q=0.07)
+           .to_pandas().sort_values("ts"))
+    # at the last row the frame is the full 0..99: ceil(0.07*100)-1 = 6
+    assert out["v_q7"].iloc[-1] == 6.0
