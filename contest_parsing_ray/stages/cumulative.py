@@ -35,6 +35,7 @@ class _PartialBucketCount:
         self.ts_col = ts_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        key_type = batch.schema.field(self.key_col).type
         ts = batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         df = pd.DataFrame(
             {
@@ -42,10 +43,16 @@ class _PartialBucketCount:
                 "bucket_us": bucket_us(ts, self.width_us),
             }
         )
-        agg = df.groupby(["key", "bucket_us"], sort=False).size().reset_index(name="cnt")
+        # dropna=False: a null key is a real group (SQL GROUP BY keeps
+        # it); emit with the EXACT input key type — the old astype(str)
+        # silently stringified non-string keys
+        agg = (df.groupby(["key", "bucket_us"], sort=False, dropna=False)
+               .size().reset_index(name="cnt"))
         return pa.table(
             {
-                self.key_col: pa.array(agg["key"].astype(str)),
+                self.key_col: pa.array(
+                    agg["key"], type=key_type, from_pandas=True
+                ),
                 "bucket_us": pa.array(agg["bucket_us"].to_numpy(), type=pa.int64()),
                 "cnt": pa.array(agg["cnt"].to_numpy(), type=pa.int64()),
             }
@@ -66,7 +73,8 @@ def cumulative_counts(
     per_bucket = hash_partitioned_map(
         partials,
         [key_col, "bucket_us"],
-        lambda df: df.groupby([key_col, "bucket_us"], sort=False)["cnt"]
+        lambda df: df.groupby([key_col, "bucket_us"], sort=False,
+                              dropna=False)["cnt"]
         .sum()
         .reset_index(),
         batch_format="pandas",
@@ -115,10 +123,15 @@ def cumulative_distinct(
                     "bucket_us": bucket_us(ts, width_us),
                 }
             )
-            agg = df.groupby(["key", "val"], sort=False)["bucket_us"].min().reset_index()
+            ktype = batch.schema.field(key_col).type
+            # dropna=False + exact key type: null keys are a real group,
+            # non-string keys keep their type (cf. _PartialBucketCount)
+            agg = (df.groupby(["key", "val"], sort=False, dropna=False)
+                   ["bucket_us"].min().reset_index())
             return pa.table(
                 {
-                    key_col: pa.array(agg["key"].astype(str)),
+                    key_col: pa.array(agg["key"], type=ktype,
+                                      from_pandas=True),
                     value_col: pa.array(agg["val"], type=vtype,
                                         from_pandas=True),
                     "first_bucket": pa.array(agg["bucket_us"].to_numpy(), type=pa.int64()),
@@ -129,7 +142,8 @@ def cumulative_distinct(
     first_seen = hash_partitioned_map(
         partials,
         [key_col, value_col],
-        lambda df: df.groupby([key_col, value_col], sort=False)["first_bucket"]
+        lambda df: df.groupby([key_col, value_col], sort=False,
+                              dropna=False)["first_bucket"]
         .min()
         .reset_index(),
         batch_format="pandas",
@@ -222,6 +236,58 @@ def approx_distinct(
     return hash_partitioned_map(partials, [key_col], merge)
 
 
+def _distinct_user_buckets(
+    events: "ray.data.Dataset", user_col: str, ts_col: str, width_us: int
+) -> "ray.data.Dataset":
+    """Per-batch DISTINCT (user, floor-bucket) pairs, null users dropped
+    (COUNT DISTINCT semantics): dictionary-encode + composite
+    lexsort-unique — the shared front stage of cohort_retention,
+    sliding_distinct and growth_accounting."""
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        u = t[user_col].combine_chunks()
+        b = (t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+             // width_us) * width_us
+        enc = u.dictionary_encode()
+        uid = enc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = uid >= 0
+        uid, b = uid[keep], b[keep]
+        order = np.lexsort((b, uid))
+        us, bs = uid[order], b[order]
+        new = np.ones(len(us), dtype=bool)
+        new[1:] = (us[1:] != us[:-1]) | (bs[1:] != bs[:-1])
+        return pa.table({
+            user_col: enc.dictionary.take(pa.array(us[new], pa.int64())),
+            "bucket_us": pa.array(bs[new], pa.int64()),
+        })
+
+    return events.select_columns([user_col, ts_col]).map_batches(
+        distinct_pairs, batch_format="pyarrow"
+    )
+
+
+def _present_bucket_grid(
+    events: "ray.data.Dataset", ts_col: str, width_us: int
+) -> "set[int]":
+    """Distinct present floor-buckets of the event stream (tiny driver
+    set) — the output grid shared by sliding_distinct and
+    growth_accounting."""
+
+    def grid_partial(t: pa.Table) -> pa.Table:
+        b = (t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+             // width_us) * width_us
+        return pa.table({"bucket_us": pa.array(np.unique(b))})
+
+    grid: set[int] = set()
+    for rb in events.select_columns([ts_col]).map_batches(
+        grid_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
+        grid.update(t["bucket_us"].to_pylist())
+    return grid
+
+
 def cohort_retention(
     events: "ray.data.Dataset",
     user_col: str,
@@ -248,28 +314,7 @@ def cohort_retention(
 
     from ._shuffle import hash_partitioned_map
 
-    def distinct_pairs(t: pa.Table) -> pa.Table:
-        u = t[user_col].combine_chunks()
-        b = (t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
-             // width_us) * width_us
-        enc = u.dictionary_encode()
-        uid = enc.indices.fill_null(-1).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        keep = uid >= 0
-        uid, b = uid[keep], b[keep]
-        # composite (user, bucket) unique via lexsort
-        order = np.lexsort((b, uid))
-        us, bs = uid[order], b[order]
-        new = np.ones(len(us), dtype=bool)
-        new[1:] = (us[1:] != us[:-1]) | (bs[1:] != bs[:-1])
-        return pa.table({
-            user_col: enc.dictionary.take(pa.array(us[new], pa.int64())),
-            "bucket_us": pa.array(bs[new], pa.int64()),
-        })
-
-    pairs = events.select_columns([user_col, ts_col]).map_batches(
-        distinct_pairs, batch_format="pyarrow"
-    )
+    pairs = _distinct_user_buckets(events, user_col, ts_col, width_us)
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -338,27 +383,7 @@ def sliding_distinct(
 
     span = window_buckets * width_us
 
-    def distinct_pairs(t: pa.Table) -> pa.Table:
-        u = t[user_col].combine_chunks()
-        b = (t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
-             // width_us) * width_us
-        enc = u.dictionary_encode()
-        uid = enc.indices.fill_null(-1).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        keep = uid >= 0
-        uid, b = uid[keep], b[keep]
-        order = np.lexsort((b, uid))
-        us, bs = uid[order], b[order]
-        new = np.ones(len(us), dtype=bool)
-        new[1:] = (us[1:] != us[:-1]) | (bs[1:] != bs[:-1])
-        return pa.table({
-            user_col: enc.dictionary.take(pa.array(us[new], pa.int64())),
-            "bucket_us": pa.array(bs[new], pa.int64()),
-        })
-
-    pairs = events.select_columns([user_col, ts_col]).map_batches(
-        distinct_pairs, batch_format="pyarrow"
-    )
+    pairs = _distinct_user_buckets(events, user_col, ts_col, width_us)
 
     def deltas(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -393,17 +418,7 @@ def sliding_distinct(
     )
 
     # grid of present buckets: tiny per-batch unique partials
-    def grid_partial(t: pa.Table) -> pa.Table:
-        b = (t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
-             // width_us) * width_us
-        return pa.table({"bucket_us": pa.array(np.unique(b))})
-
-    grid: set[int] = set()
-    for rb in events.select_columns([ts_col]).map_batches(
-        grid_partial, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        t = pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
-        grid.update(t["bucket_us"].to_pylist())
+    grid = _present_bucket_grid(events, ts_col, width_us)
 
     acc: dict[int, int] = {}
     for rb in parts.iter_batches(batch_format="pandas"):
@@ -450,27 +465,7 @@ def growth_accounting(
 
     from ._shuffle import hash_partitioned_map
 
-    def distinct_pairs(t: pa.Table) -> pa.Table:
-        u = t[user_col].combine_chunks()
-        b = (t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
-             // width_us) * width_us
-        enc = u.dictionary_encode()
-        uid = enc.indices.fill_null(-1).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        keep = uid >= 0
-        uid, b = uid[keep], b[keep]
-        order = np.lexsort((b, uid))
-        us, bs = uid[order], b[order]
-        new = np.ones(len(us), dtype=bool)
-        new[1:] = (us[1:] != us[:-1]) | (bs[1:] != bs[:-1])
-        return pa.table({
-            user_col: enc.dictionary.take(pa.array(us[new], pa.int64())),
-            "bucket_us": pa.array(bs[new], pa.int64()),
-        })
-
-    pairs = events.select_columns([user_col, ts_col]).map_batches(
-        distinct_pairs, batch_format="pyarrow"
-    )
+    pairs = _distinct_user_buckets(events, user_col, ts_col, width_us)
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["bucket_us", "n_new", "n_retained", "n_resurrected",
@@ -525,17 +520,7 @@ def growth_accounting(
     )
 
     # present-bucket grid (same streaming partial as sliding_distinct)
-    def grid_partial(t: pa.Table) -> pa.Table:
-        b = (t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
-             // width_us) * width_us
-        return pa.table({"bucket_us": pa.array(np.unique(b))})
-
-    grid: set[int] = set()
-    for rb in events.select_columns([ts_col]).map_batches(
-        grid_partial, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        t = pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
-        grid.update(t["bucket_us"].to_pylist())
+    grid = _present_bucket_grid(events, ts_col, width_us)
 
     acc: dict[int, np.ndarray] = {}
     for rb in parts.iter_batches(batch_format="pandas"):

@@ -1049,39 +1049,55 @@ def interarrival_stats(
     (the distribution behind gapfill's gaps).
     """
 
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
+    k_schema = events.schema()
+    ktype = _pa_type(dict(zip(k_schema.names, k_schema.types))[key_col])
+
+    def stats(df: pd.DataFrame) -> pa.Table:
+        # arrow-typed output (cf. sessionize): a partition holding a null
+        # int64 key float-coerces in pandas; emitting with the declared
+        # key type keeps per-partition schemas identical
         qcols = [f"q{int(round(q * 100))}_gap_us" for q in qs]
+
+        def typed(keys, ngaps, means, qvals) -> pa.Table:
+            cols_t = {
+                key_col: pa.array(keys, type=ktype, from_pandas=True),
+                "n_gaps": pa.array(ngaps, pa.int64()),
+                "mean_gap_us": pa.array(means, pa.float64()),
+            }
+            for i, qc in enumerate(qcols):
+                cols_t[qc] = pa.array(
+                    [v[i] for v in qvals], pa.float64()
+                )
+            return pa.table(cols_t)
+
         if len(df) == 0:
-            base = {key_col: pd.Series([], dtype=df[key_col].dtype),
-                    "n_gaps": pd.Series([], dtype=np.int64),
-                    "mean_gap_us": pd.Series([], dtype=np.float64)}
-            base.update({c: pd.Series([], dtype=np.float64) for c in qcols})
-            return pd.DataFrame(base)
+            return typed([], [], [], [])
         codes, uniques = pd.factorize(df[key_col], sort=False,
                                       use_na_sentinel=False)
         ts = df[ts_col].to_numpy().astype(np.int64)
         ordv = df[order_col].to_numpy()
         order = np.lexsort((ordv, ts, codes))
         cs, tss = codes[order], ts[order]
-        rows = []
+        keys, ngaps, means, qvals = [], [], [], []
         for c in np.unique(codes):
             g = np.diff(tss[cs == c])  # int64: sum stays exact
             n = len(g)
+            keys.append(uniques[c])
+            ngaps.append(n)
             # mean as ONE double division of the exact integer sum — a
             # float-accumulated mean differs from SQL AVG in the last ulp,
             # which flips ROUND(x, 6) at 1e9-scale microsecond gaps
-            row = [uniques[c], n, int(g.sum()) / n if n else None]
+            means.append(int(g.sum()) / n if n else None)
+            qv = []
             for q in qs:
                 if n:
                     # ceil(q*n)-1 with the 1e-9 float-product guard
                     j = max(0, int(np.ceil(q * n - 1e-9)) - 1)
-                    row.append(float(np.partition(g, j)[j]))
+                    qv.append(float(np.partition(g, j)[j]))
                 else:
-                    row.append(None)
-            rows.append(row)
-        return pd.DataFrame(
-            rows, columns=[key_col, "n_gaps", "mean_gap_us", *qcols]
-        )
+                    qv.append(None)
+            qvals.append(qv)
+        return typed(keys, ngaps, means, qvals)
 
     cols = [key_col, ts_col, order_col]
     return hash_partitioned_map(
