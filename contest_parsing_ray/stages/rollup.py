@@ -46,6 +46,10 @@ from ._shuffle import hash_partitioned_map
 def _bucket(ts: np.ndarray, width: int, mode: str) -> np.ndarray:
     if mode == "nearest":
         return bucket_us(ts, width)
+    if mode != "floor":
+        # a typo ('Nearest', 'round') would silently shift every bucket by
+        # up to width/2 — validate like gapfill does
+        raise ValueError(f"bucket_mode must be 'nearest' or 'floor', got {mode!r}")
     w = np.int64(width)
     return np.asarray(ts, dtype=np.int64) // w * w
 
@@ -137,6 +141,16 @@ class PartialRollup:
             batch = batch.filter(
                 pc.and_(vcol.is_valid(), tcol.is_valid())
             )
+        # a float NaN passes is_valid() but would poison the quantile blob
+        # AND desync it from cnt (pandas count/sum skip NaN, bincount group
+        # sizes don't) — treat NaN as null: not a sample
+        vcol = batch[self.value_col]
+        if len(batch) and pa.types.is_floating(vcol.type):
+            import pyarrow.compute as pc
+
+            nan = pc.is_nan(vcol)
+            if pc.any(nan).as_py():
+                batch = batch.filter(pc.invert(nan))
         ts = batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         df = pd.DataFrame(
             {
@@ -190,7 +204,9 @@ class PartialRollup:
                     else np.empty(0, dtype=np.uint64)
                 )
         out = {
-            self.key_col: pa.array(agg["key"].astype(str)),
+            # explicit string type: an all-filtered batch would otherwise
+            # emit a null-typed key column and break block-schema unification
+            self.key_col: pa.array(agg["key"].astype(str), type=pa.string()),
             **{c: pa.array(agg[c].to_numpy(), type=pa.int64()) for c in bucket_cols},
             "cnt": pa.array(agg["count"].to_numpy(), type=pa.int64()),
             "sum_v": pa.array(agg["sum"].to_numpy(), type=pa.float64()),
@@ -419,14 +435,25 @@ def reaggregate(
     key_col: str = "source",
     quantile_cap: int = 4096,
     p: float = 0.95,
+    keep_summary: bool = False,
 ) -> ray.data.Dataset:
     """Hierarchical re-rollup for FLOOR-aligned tiers (1m -> 5m -> 1h).
 
     Valid only for tumbling (floor) windows where the coarse width is a
-    multiple of the fine width: count/sum/min/max compose; p95 requires the
-    fine tier to have kept its quantile summary column ('qsum').
+    multiple of the fine width: count/sum/min/max compose; p95 requires
+    the fine tier to have kept its quantile summary column ('qsum') —
+    without it p95_v is NaN (documented). Pass ``keep_summary=True`` to
+    carry the merged qsum INTO the output so further hops of the chain
+    (1m -> 5m -> 1h) stay exact; it requires the input to have qsum.
+    With qsum the merge IS :func:`_merge_partition` — the same vectorized
+    blob decode as rollup_tiers, not a per-blob Python loop.
     """
     has_qsum = "qsum" in rollup_fine.schema().names
+    if keep_summary and not has_qsum:
+        raise ValueError(
+            "keep_summary=True requires the fine rollup to carry 'qsum' "
+            "(run rollup_tiers(..., keep_summary=True))"
+        )
 
     def to_coarse(batch: pa.Table) -> pa.Table:
         b = batch["bucket_us"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -437,34 +464,28 @@ def reaggregate(
             pa.array(coarse, type=pa.int64()),
         )
 
-    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
-        gb = df.groupby([key_col, "bucket_us"], sort=False)
-        agg = gb.agg(
-            cnt=("cnt", "sum"),
-            sum_v=("sum_v", "sum"),
-            min_v=("min_v", "min"),
-            max_v=("max_v", "max"),
-        ).reset_index()
-        if has_qsum:
-            p95s = [
-                QuantileSummary.merge_all(
-                    [QuantileSummary.from_bytes(b) for b in g], cap=quantile_cap
-                ).quantile(p)
-                for _, g in gb["qsum"]
-            ]
-        else:
-            p95s = [float("nan")] * len(agg)
-        return pd.DataFrame(
-            {
-                key_col: agg[key_col],
-                "bucket_us": agg["bucket_us"].astype(np.int64),
-                "cnt": agg["cnt"].astype(np.int64),
-                "sum_v": agg["sum_v"].astype(np.float64),
-                "min_v": agg["min_v"].astype(np.float64),
-                "max_v": agg["max_v"].astype(np.float64),
-                "p95_v": np.asarray(p95s, dtype=np.float64),
-            }
-        )
+    if has_qsum:
+        def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+            return _merge_partition(
+                df, key_col, "bucket_us", quantile_cap, p, keep_summary
+            )
+    else:
+        def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+            agg = (df.groupby([key_col, "bucket_us"], sort=False)
+                   .agg(cnt=("cnt", "sum"), sum_v=("sum_v", "sum"),
+                        min_v=("min_v", "min"), max_v=("max_v", "max"))
+                   .reset_index())
+            return pd.DataFrame(
+                {
+                    key_col: agg[key_col],
+                    "bucket_us": agg["bucket_us"].astype(np.int64),
+                    "cnt": agg["cnt"].astype(np.int64),
+                    "sum_v": agg["sum_v"].astype(np.float64),
+                    "min_v": agg["min_v"].astype(np.float64),
+                    "max_v": agg["max_v"].astype(np.float64),
+                    "p95_v": np.full(len(agg), np.nan),
+                }
+            )
 
     coarse = rollup_fine.map_batches(to_coarse, batch_format="pyarrow")
     return hash_partitioned_map(
