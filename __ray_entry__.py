@@ -2204,13 +2204,21 @@ def _q_word_topk(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE on ordering: the driver's oracle harness checks the FIRST 50
-    # entries in insertion order. Round 3 verified the original first-50
-    # (rollups .. redact_docs — all green in CORRECTNESS_r03.json); those
-    # keep their pytest + mirror-gate pins and now sit AFTER the 50
-    # operators that had not yet earned a hard driver check (VERDICT.md
-    # round-3 task #1). New round-4 operators append at the end and rotate
-    # into the window next round.
-    return {
+    # entries in insertion order. Rotation history:
+    #   round 3 — original first-50 (rollups .. redact_docs, "block B")
+    #             all green in CORRECTNESS_r03.json;
+    #   round 4 — the 50 previously-unchecked ops ("block A") moved into
+    #             the window, all green in CORRECTNESS_r04.json;
+    #   round 5 — the 8 round-4 additions ("block C": cross-doc span
+    #             family, JPEG/video codecs, shuffled export, mixture
+    #             sampling) rotate into positions 1-8, backfilled with the
+    #             42 block-B entries whose last hard driver check is the
+    #             oldest (r03), per VERDICT.md round-4 task #1. Blocks
+    #             keep their pytest + mirror-gate pins while out of the
+    #             window.
+    # _WINDOW_R5 below defines the first-50 order; the registry dict keeps
+    # its thematic grouping and inline docs.
+    all_q = {
         # ---- block A: driver window (unchecked before round 4) ----------
         # training-data text ops: repetition, corpus vocab
         "doc_repetition": _q_repetition,
@@ -2398,6 +2406,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # data mixing: per-lang rates to hit target char fractions (REAL SQL)
         "mixture_sample_docs": _q_mixture_sample,
     }
+    window = list(_WINDOW_R5)
+    assert len(window) == 50 and set(window) <= set(all_q)
+    ordered = {k: all_q[k] for k in window}
+    ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
+    return ordered
+
+
+# Round-5 driver window: block C (never driver-checked) + the first 42
+# block-B entries (last checked in CORRECTNESS_r03.json, the oldest hard
+# signal in the repo).
+_WINDOW_R5 = (
+    # ---- block C: round-4 additions, never in a driver window ----------
+    "shuffled_export_docs",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_video",
+    "cross_doc_dup_spans",
+    "strip_hot_spans_docs",
+    "benchmark_contamination",
+    "span_corrupt_docs",
+    "mixture_sample_docs",
+    # ---- block B backfill: 42 oldest-verified (r03) ---------------------
+    "rollup_1m",
+    "rollup_5m",
+    "rollup_1h",
+    "rollup_floor_1h",
+    "cumulative_counts_1m",
+    "cumulative_distinct_users_1m",
+    "dedup_keep_first_events",
+    "dedup_keep_none_events",
+    "gapfill_locf_1h",
+    "gapfill_linear_1h",
+    "widen_1h",
+    "topk_buckets",
+    "tree_chain_depths",
+    "order_priority_rollup",
+    "q1_pricing_summary",
+    "doc_token_counts",
+    "doc_quality",
+    "exact_dedup_docs",
+    "lang_id_docs",
+    "doc_fingerprints",
+    "minhash_lsh_pairs",
+    "minhash_clusters",
+    "ngram_jaccard_pairs",
+    "sample_docs_rate_25",
+    "sample_docs_per_source_10",
+    "sample_docs_weighted_30",
+    "simhash_docs",
+    "simhash_neardup_pairs",
+    "embedding_neardup_pairs",
+    "lsh_neardup_pairs",
+    "ann_topk_cosine",
+    "ivf_topk_cosine",
+    "pq_topk_cosine",
+    "multimodal_decode_stub",
+    "multimodal_decode_wav",
+    "multimodal_decode_png",
+    "compress_roundtrip_1h",
+    "range_read_1h",
+    "telemetry_join_fixture",
+    "corpus_end_to_end",
+    "asof_join_rollup",
+    "asof_join_forward",
+)
 
 
 # --------------------------------------------------------------------------
