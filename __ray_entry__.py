@@ -534,7 +534,7 @@ def _q_vocab_hist(sf_dir: str):
 
     ds = _seqs(sf_dir)
     # per-file combiner: _seqs is an untransformed parquet read
-    return vocab_histogram(ds, input_files=ds.input_files())
+    return vocab_histogram(ds, raw_shard_paths=ds.input_files())
 
 
 def _q_bigram_topk(sf_dir: str):
@@ -1681,7 +1681,7 @@ def _q_token_richness(sf_dir: str):
     ds = _seqs(sf_dir)
     # per-file combiner path: _seqs is an untransformed parquet read, so
     # its input_files ARE the corpus (exchange = n_files x keys x vocab)
-    out = source_token_richness(ds, input_files=ds.input_files())
+    out = source_token_richness(ds, raw_shard_paths=ds.input_files())
     return _round_cols(out, ["type_token_ratio"])
 
 

@@ -81,14 +81,14 @@ def main() -> None:
         t0 = time.time()
         if q == "vocab_hist":
             ds = _seqs()
-            out = vocab_histogram(ds, input_files=ds.input_files())
+            out = vocab_histogram(ds, raw_shard_paths=ds.input_files())
             n_out = out.count()
         elif q == "dup_ngram_frac":
             out = dup_ngram_stats(_seqs(), n=8)
             n_out = out.count()
         elif q == "richness":
             ds = _seqs()
-            out = source_token_richness(ds, input_files=ds.input_files())
+            out = source_token_richness(ds, raw_shard_paths=ds.input_files())
             n_out = out.count()
         else:
             raise SystemExit(f"unknown query {q!r}")

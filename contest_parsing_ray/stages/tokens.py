@@ -52,6 +52,11 @@ def _flat_with_offsets(
     offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
         col.offset : col.offset + len(col) + 1
     ].astype(np.int64)
+    # A sliced list Array keeps its parent's offsets buffer while
+    # flatten() rebases the values — rebase the offsets to match so every
+    # downstream kernel can index ``flat`` with them directly.
+    if len(offs) and offs[0]:
+        offs = offs - offs[0]
     return col, flat, offs
 
 
@@ -113,6 +118,36 @@ def _distinct_hash_doc(
     return hs_s[keep], d_s[keep]
 
 
+def _check_raw_shard_paths(seqs: ray.data.Dataset, paths) -> None:
+    """Best-effort guard for the per-shard combiner fast paths: the paths
+    must be the shard files of ``seqs`` ITSELF, and ``seqs`` must be an
+    untransformed parquet read — the fast path re-reads the shards, so a
+    driver-side transform on ``seqs`` would be silently ignored. This
+    catches passing another dataset's files / a stale list; it CANNOT
+    catch passing another dataset's files / a stale list, AND (on Ray
+    versions where lineage stops at a transform, so input_files() of a
+    mapped dataset is empty) passing a transformed dataset — hence also
+    the ``raw_shard_paths`` parameter name signalling the
+    untransformed-read contract at call sites."""
+    try:
+        actual = set(seqs.input_files())
+    except Exception:
+        actual = set()
+    if not actual:
+        raise ValueError(
+            "seqs has no input_files lineage — the raw_shard_paths fast "
+            "path requires an UNTRANSFORMED ray.data.read_parquet dataset "
+            "(the per-shard combiner re-reads the shards, so transforms "
+            "on seqs would be silently ignored)"
+        )
+    if set(map(str, paths)) != actual:
+        raise ValueError(
+            "raw_shard_paths do not match seqs.input_files(); the per-shard "
+            "fast path re-reads the shards directly and would silently "
+            "compute over different data"
+        )
+
+
 def _iter_shard_batches(paths, columns, batch_size: int = 65536):
     """Stream row-group-sized pyarrow Tables from parquet shard paths via
     the resolved filesystem — the shared inner loop of the per-file
@@ -134,20 +169,21 @@ def vocab_histogram(
     seqs: ray.data.Dataset,
     tokens_col: str = "tokens",
     num_partitions: int | None = None,
-    input_files: list[str] | None = None,
+    raw_shard_paths: list[str] | None = None,
 ) -> ray.data.Dataset:
     """→ ``(token_id, cnt)`` for every token id that occurs, ascending.
 
     Per-batch ``bincount`` partial (dense int domain beats value_counts),
     nonzero rows only; one small hash exchange sums partials per id.
 
-    ``input_files``: parquet shard paths for the SAME data as ``seqs``
-    (``seqs.input_files()`` on an untransformed read; transforms are NOT
-    replayed) — each task then streams its shard's row groups through one
-    vocab-sized bincount and emits ONE partial per file: exchange volume
+    ``raw_shard_paths``: parquet shard paths of ``seqs`` ITSELF, which
+    must be an UNTRANSFORMED read (``seqs.input_files()``; driver-side
+    transforms are NOT replayed — the fast path re-reads the shards) —
+    each task then streams its shard's row groups through one vocab-sized
+    bincount and emits ONE partial per file: exchange volume
     n_files x vocab independent of row count, and no intermediate
     full-payload blocks (see source_token_richness for the 100M-row spill
-    race this removes)."""
+    race this removes). Guarded best-effort by _check_raw_shard_paths."""
 
     def partial(b: pa.Table) -> pa.Table:
         flat = _flat_tokens(b[tokens_col])
@@ -184,9 +220,10 @@ def vocab_histogram(
             }
         )
 
-    if input_files is not None:
+    if raw_shard_paths is not None:
+        _check_raw_shard_paths(seqs, raw_shard_paths)
         partials = ray.data.from_items(
-            list(input_files), override_num_blocks=len(input_files)
+            list(raw_shard_paths), override_num_blocks=len(raw_shard_paths)
         ).map_batches(file_partial, batch_format="pyarrow")
     else:
         partials = seqs.select_columns([tokens_col]).map_batches(
@@ -476,7 +513,7 @@ def source_token_richness(
     tokens_col: str = "tokens",
     num_partitions: int | None = None,
     partial_batch_size: int | None = None,
-    input_files: list[str] | None = None,
+    raw_shard_paths: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Vocabulary-richness diagnostics per key over the raw token ids:
     ``(key, n_tokens, vocab_size, n_hapax, type_token_ratio)`` — hapax =
@@ -499,10 +536,11 @@ def source_token_richness(
     clamped to [4096, 65536] keeps small-SF task parallelism (4096 at
     <=2M rows) while capping exchange volume at corpus scale.
 
-    ``input_files`` (the corpus-scale path): parquet shard paths for the
-    SAME data as ``seqs`` (e.g. ``seqs.input_files()`` on an untransformed
-    read — caller's responsibility, transforms on ``seqs`` are NOT
-    replayed). The partial stage then maps over FILE PATHS — each task
+    ``raw_shard_paths`` (the corpus-scale path): parquet shard paths of
+    ``seqs`` ITSELF, which must be an UNTRANSFORMED read
+    (``seqs.input_files()``; transforms on ``seqs`` are NOT replayed —
+    guarded best-effort by _check_raw_shard_paths). The partial stage
+    then maps over FILE PATHS — each task
     streams its shard's row groups through a fixed keys x vocab bincount
     accumulator (~3 MB) and emits ONE partial per file, so (a) exchange
     volume is n_files x keys x vocab, independent of row count, and (b)
@@ -546,6 +584,12 @@ def source_token_richness(
         flat, per_tok = flat[keep], per_tok[keep]
         if len(flat) and flat.min() < 0:
             raise ValueError("negative token id — not a token-id column")
+        if len(flat) and int(flat.max()) >= 1 << 31:
+            # the composite exchange key packs token_id into the low 31
+            # bits — an out-of-contract vocab (module contract: list<int32>
+            # ids) must fail loudly, not merge counts across (key, token)
+            raise ValueError("token id >= 2^31 — exceeds the composite-key "
+                             "exchange contract (list<int32> token ids)")
         if not len(flat):
             z = np.zeros(0, dtype=np.int64)
             return z, z
@@ -607,9 +651,10 @@ def source_token_richness(
             kt_all = cnt_all = np.zeros(0, dtype=np.int64)
         return pa.table({"kt": pa.array(kt_all), "cnt": pa.array(cnt_all)})
 
-    if input_files is not None:
+    if raw_shard_paths is not None:
+        _check_raw_shard_paths(seqs, raw_shard_paths)
         parts = ray.data.from_items(
-            list(input_files), override_num_blocks=len(input_files)
+            list(raw_shard_paths), override_num_blocks=len(raw_shard_paths)
         ).map_batches(file_partial, batch_format="pyarrow")
     else:
         # Scale-aware partial size (see docstring): floor 4096 keeps
@@ -821,6 +866,7 @@ def reference_contamination_stats(
     n: int = 8,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
+    max_ref_hashes: int = 32_000_000,
 ) -> ray.data.Dataset:
     """Benchmark DECONTAMINATION signal: per corpus row, how much of the
     document is covered by n-gram spans that appear ANYWHERE in the
@@ -837,25 +883,38 @@ def reference_contamination_stats(
     broadcast once via ``ray.put`` — the documented contract is a
     reference that is small relative to the corpus (an eval suite is
     MBs against a 100-TB corpus); the corpus side is one streamed
-    batch pass, no exchange at all. A corpus-scale reference would use
+    batch pass, no exchange at all. The reference is STREAMED batch by
+    batch (per-batch distinct hash arrays only, never the token tables),
+    and an oversized reference fails loudly at ``max_ref_hashes``
+    (default 32M distinct grams ~ 256 MB driver-side) instead of as a
+    far-away driver OOM. A corpus-scale reference would use
     cross_doc_span_stats' pair-exchange path instead."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
 
     if isinstance(reference, pa.Table):
-        ref_tables = [reference]
+        ref_iter = iter([reference])
     else:
-        ref_tables = list(
-            reference.select_columns([tokens_col]).iter_batches(
-                batch_format="pyarrow"
-            )
+        ref_iter = reference.select_columns([tokens_col]).iter_batches(
+            batch_format="pyarrow"
         )
     hashes = []
-    for t in ref_tables:
+    n_hashes = 0
+    for t in ref_iter:
         _col, flat, offs = _flat_with_offsets(t[tokens_col])
         hs, _nw, _ok, _rel = _window_hashes(flat, offs, n)
         if len(hs):
-            hashes.append(hs.view(np.int64))
+            arr = np.unique(hs.view(np.int64))
+            hashes.append(arr)
+            n_hashes += len(arr)
+            if n_hashes > max_ref_hashes:
+                raise ValueError(
+                    f"reference exceeds max_ref_hashes={max_ref_hashes} "
+                    "distinct n-gram hashes — too large for the "
+                    "driver-broadcast decontamination path; use "
+                    "cross_doc_span_stats' pair-exchange path for a "
+                    "corpus-scale reference"
+                )
     hot = (
         np.unique(np.concatenate(hashes))
         if hashes
@@ -1128,7 +1187,7 @@ def span_corrupt(
             span_start, sent_of_span_global[span_rank], flat.astype(np.int64)
         )[emit]
         cs_e = np.concatenate(([0], np.cumsum(emit)))
-        in_offs = (cs_e[offs] - cs_e[offs[0]]).astype(np.int64)
+        in_offs = cs_e[offs].astype(np.int64)
         input_arr = pa.LargeListArray.from_arrays(
             pa.array(in_offs), pa.array(vals, pa.int64())
         )

@@ -445,7 +445,7 @@ def test_source_token_richness_per_file_combiner_matches_generic(tmp_path):
     ds = ray.data.read_parquet(paths)
     a = (source_token_richness(ds).to_pandas()
          .sort_values("k").reset_index(drop=True))
-    b = (source_token_richness(ds, input_files=paths).to_pandas()
+    b = (source_token_richness(ds, raw_shard_paths=paths).to_pandas()
          .sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert set(a["k"]) == {"a", "b", "c"}
@@ -470,7 +470,7 @@ def test_vocab_histogram_per_file_combiner_matches_generic(tmp_path):
     ds = ray.data.read_parquet(paths)
     a = (vocab_histogram(ds).to_pandas()
          .sort_values("token_id").reset_index(drop=True))
-    b = (vocab_histogram(ds, input_files=paths).to_pandas()
+    b = (vocab_histogram(ds, raw_shard_paths=paths).to_pandas()
          .sort_values("token_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert a["cnt"].sum() > 0
@@ -817,3 +817,92 @@ def test_span_corrupt_rejects_unrealizable_rate():
     })
     with pytest.raises(ValueError, match=r"\(0, 0.5\]"):
         span_corrupt(ray.data.from_arrow(t), mask_rate=0.7)
+
+
+def test_flat_with_offsets_rebases_sliced_arrays():
+    """A sliced non-zero-offset list Array must yield 0-based offsets that
+    index the (rebased) flattened values directly (ADVICE round-4 #3)."""
+    from contest_parsing_ray.stages.tokens import _flat_with_offsets
+
+    arr = pa.array([[1, 2], [3, 4, 5], [6], [7, 8]], pa.large_list(pa.int32()))
+    sl = arr.slice(1, 2)  # [[3,4,5],[6]] with parent offsets buffer
+    _col, flat, offs = _flat_with_offsets(sl)
+    assert offs[0] == 0
+    np.testing.assert_array_equal(offs, [0, 3, 4])
+    np.testing.assert_array_equal(flat, [3, 4, 5, 6])
+    # windows derived from offsets index flat correctly
+    np.testing.assert_array_equal(flat[offs[0]:offs[1]], [3, 4, 5])
+
+
+def test_richness_rejects_out_of_contract_token_ids():
+    """Token ids >= 2^31 would silently merge counts across (key, token)
+    pairs in the composite int64 exchange — must raise (ADVICE #1)."""
+    from contest_parsing_ray.stages.tokens import source_token_richness
+
+    t = pa.table({
+        "source": pa.array(["a"]),
+        "tokens": pa.array([[1, 2, 1 << 31]], pa.large_list(pa.int64())),
+    })
+    with pytest.raises(Exception, match="2\\^31"):
+        source_token_richness(ray.data.from_arrow(t)).to_pandas()
+
+
+def test_raw_shard_paths_mismatch_raises(tmp_path):
+    """Passing shard paths that are not the dataset's own input files must
+    fail loudly — the fast path re-reads the shards (ADVICE #2)."""
+    import pyarrow.parquet as pq
+
+    from contest_parsing_ray.stages.tokens import (
+        source_token_richness,
+        vocab_histogram,
+    )
+
+    t = pa.table({
+        "source": pa.array(["a", "b"]),
+        "tokens": pa.array([[1, 2], [3]], pa.large_list(pa.int32())),
+    })
+    p1 = str(tmp_path / "s1.parquet")
+    p2 = str(tmp_path / "s2.parquet")
+    pq.write_table(t, p1)
+    pq.write_table(t, p2)
+    ds = ray.data.read_parquet([p1])
+    with pytest.raises(ValueError, match="raw_shard_paths"):
+        vocab_histogram(ds, raw_shard_paths=[p2])
+    with pytest.raises(ValueError, match="raw_shard_paths"):
+        source_token_richness(ds, raw_shard_paths=[p1, p2])
+
+
+def test_reference_contamination_hash_cap(tmp_path):
+    """An oversized reference must fail loudly at max_ref_hashes instead
+    of as a driver OOM (ADVICE #4)."""
+    from contest_parsing_ray.stages.tokens import reference_contamination_stats
+
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["a"]),
+        "tokens": pa.array([[1, 2, 3, 4, 5, 6, 7, 8]],
+                           pa.large_list(pa.int32())),
+    }))
+    # 200 distinct 8-gram windows > cap of 100
+    ref = pa.table({
+        "tokens": pa.array([list(range(207))], pa.large_list(pa.int32())),
+    })
+    with pytest.raises(ValueError, match="max_ref_hashes"):
+        reference_contamination_stats(corpus, ref, n=8, max_ref_hashes=100)
+
+
+def test_raw_shard_paths_rejects_transformed_dataset(tmp_path):
+    """A transformed dataset has no input_files lineage on this Ray — the
+    fast path must refuse it rather than silently ignore the transform."""
+    import pyarrow.parquet as pq
+
+    from contest_parsing_ray.stages.tokens import vocab_histogram
+
+    t = pa.table({
+        "tokens": pa.array([[1, 2], [3]], pa.large_list(pa.int32())),
+    })
+    p = str(tmp_path / "s.parquet")
+    pq.write_table(t, p)
+    ds = ray.data.read_parquet([p]).map_batches(lambda b: b,
+                                                batch_format="pyarrow")
+    with pytest.raises(ValueError, match="input_files lineage"):
+        vocab_histogram(ds, raw_shard_paths=[p])
