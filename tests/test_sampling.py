@@ -314,3 +314,38 @@ def test_mixture_sample_zero_weight_key_keeps_all():
         budget_fraction=0.5,
     ).to_pandas()
     assert (out["lang"] == "zero").sum() == 10
+
+
+def test_md5_priority_vectorized_kernel_matches_hashlib_exhaustively():
+    """The numpy single-block MD5 kernel must agree bit-for-bit with
+    hashlib across edge shapes: empty strings, the 55-byte single-block
+    boundary, multi-block (>55B) fallback rows, multibyte UTF-8, sliced
+    arrow arrays, fixed-width fast path, and seed prefixes."""
+    import random
+    import string
+
+    from contest_parsing_ray.stages.sampling import seeded_md5_priority
+
+    def ref(ids, pre=b""):
+        return np.array(
+            [0xFFFFFFFFFFFFFFFF if x is None else int.from_bytes(
+                hashlib.md5(pre + str(x).encode()).digest()[:8], "big")
+             for x in ids], dtype=np.uint64)
+
+    rng = random.Random(5)
+    mixed = ["", "a", "x" * 54, "y" * 55, "z" * 56, "w" * 200,
+             "héllo-ünicode-日本語", None] + [
+        "".join(rng.choices(string.printable, k=rng.randint(0, 80)))
+        for _ in range(300)
+    ]
+    fixed = ["doc-%06d" % i for i in range(500)]
+    for ids in (mixed, fixed, [1, 22, 333, None, 0]):
+        np.testing.assert_array_equal(md5_priority(ids), ref(ids))
+        np.testing.assert_array_equal(
+            seeded_md5_priority(ids, 42), ref(ids, b"42:"))
+    # sliced non-zero-offset arrow input
+    arr = pa.array(["aa", "bb", "cc", "dd"], pa.large_string()).slice(1, 2)
+    np.testing.assert_array_equal(md5_priority(arr), ref(["bb", "cc"]))
+    # prefix pushing a 54-byte id past the single-block boundary
+    np.testing.assert_array_equal(
+        md5_priority(["x" * 54], prefix=b"42:"), ref(["x" * 54], b"42:"))
