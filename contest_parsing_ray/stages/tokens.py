@@ -123,8 +123,7 @@ def _check_raw_shard_paths(seqs: ray.data.Dataset, paths) -> None:
     must be the shard files of ``seqs`` ITSELF, and ``seqs`` must be an
     untransformed parquet read — the fast path re-reads the shards, so a
     driver-side transform on ``seqs`` would be silently ignored. This
-    catches passing another dataset's files / a stale list; it CANNOT
-    catch passing another dataset's files / a stale list, AND (on Ray
+    catches passing another dataset's files / a stale list, AND (on Ray
     versions where lineage stops at a transform, so input_files() of a
     mapped dataset is empty) passing a transformed dataset — hence also
     the ``raw_shard_paths`` parameter name signalling the
@@ -755,6 +754,7 @@ def cross_doc_span_stats(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    max_hot_spans: int | None = None,
 ) -> ray.data.Dataset:
     """Cross-document duplicated-SPAN statistics per row — the span-level
     granularity between ``dup_ngram_stats`` (within-doc repetition) and
@@ -772,9 +772,12 @@ def cross_doc_span_stats(
     doc_id) pairs → ONE hash exchange on the 64-bit gram hash → exact
     per-hash distinct-doc count (duplicate doc_ids collapse, matching
     COUNT(DISTINCT doc_id)) → the ``>= min_docs`` survivors collect to
-    the driver as the hot set (small when min_docs is meaningful;
-    hot-gram count is the documented scale contract — the approximate
-    siblings at 100-TB scale are MinHash buckets / CMS heavy hitters).
+    the driver as the hot set. ``max_hot_spans`` bounds that driver set
+    for boilerplate-heavy corpora where min_docs=2 makes it unbounded:
+    the ``max_hot_spans`` MOST-duplicated spans (by exact distinct-doc
+    count, ties by hash) survive and weaker ones are dropped — see
+    _hot_span_hashes for why exact-count truncation beats a CMS/MinHash
+    sketch here; None (default) keeps the exact unbounded collect.
     Pass 2: hot hashes broadcast once via ``ray.put``; each batch marks
     its windows by searchsorted membership and computes the per-doc
     interval-union length vectorized (equal-length sorted intervals:
@@ -794,6 +797,7 @@ def cross_doc_span_stats(
     hot = _hot_span_hashes(
         seqs, n=n, min_docs=min_docs, tokens_col=tokens_col,
         id_col=id_col, num_partitions=num_partitions,
+        max_hot_spans=max_hot_spans,
     )
     hot_ref = ray.put(hot)
 
@@ -939,6 +943,7 @@ def strip_cross_doc_spans(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    max_hot_spans: int | None = None,
 ) -> ray.data.Dataset:
     """The ACTUATOR for :func:`cross_doc_span_stats`: remove every token
     position covered by a hot cross-document n-gram span (>= ``min_docs``
@@ -956,6 +961,13 @@ def strip_cross_doc_spans(
     covered positions come from a +-1 delta array over the flat token
     buffer (interval union via cumsum — O(tokens), not O(windows x n)),
     then one boolean take rebuilds the list column zero-copy-adjacent.
+
+    ``max_hot_spans`` (the 100-TB path for boilerplate-heavy corpora
+    where the min_docs=2 hot set is unbounded): strip only the
+    ``max_hot_spans`` MOST-duplicated spans — exact distinct-doc-count
+    top-K truncation, see _hot_span_hashes. Recall degrades from the
+    weakest (least-shared) spans first; the detector reports what the
+    same cap would leave behind.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -966,6 +978,7 @@ def strip_cross_doc_spans(
     hot = _hot_span_hashes(
         seqs, n=n, min_docs=min_docs, tokens_col=tokens_col,
         id_col=id_col, num_partitions=num_partitions,
+        max_hot_spans=max_hot_spans,
     )
     hot_ref = ray.put(hot)
 
@@ -1022,10 +1035,30 @@ def _hot_span_hashes(
     tokens_col: str,
     id_col: str,
     num_partitions: int | None,
+    max_hot_spans: int | None = None,
 ) -> np.ndarray:
     """Sorted int64 hashes of n-gram spans in >= min_docs distinct docs —
     pass 1 of cross_doc_span_stats/strip_cross_doc_spans (see the
-    detector's docstring for the exchange design and scale contract)."""
+    detector's docstring for the exchange design and scale contract).
+
+    ``max_hot_spans`` is the 100-TB driver-memory bound: when set, each
+    hash partition emits only its ``max_hot_spans`` strongest survivors
+    and the driver keeps the global strongest ``max_hot_spans``, ordered
+    by ``(-distinct_docs, hash)`` (deterministic cut, ties included by
+    hash order). Every hash lives in exactly ONE partition of the
+    exchange, so per-partition counts are EXACT and per-partition top-K →
+    global top-K is the true global top-K — no sketch needed. A CMS
+    heavy-hitter pass (state/sketches.py) was considered and rejected:
+    the pair exchange must run anyway to get COUNT(DISTINCT doc) right
+    (a CMS over raw windows would count OCCURRENCES, inflating within-doc
+    repeats), and once the exchange has exact counts, truncating them
+    dominates any sketch on both error (zero false positives, exact
+    counts) and cost (no second pass). What the cap changes is RECALL
+    only: with H true hot spans and cap K < H, the K most-duplicated
+    spans are kept and the H - K weakest (lowest distinct-doc counts,
+    i.e. closest to min_docs) are dropped — the right degradation for
+    boilerplate stripping, where strength = how many docs share the
+    span. Unset (None) keeps the exact unbounded collect."""
 
     def pair_partial(b: pa.Table) -> pa.Table:
         col, flat, offs = _flat_with_offsets(b[tokens_col])
@@ -1053,8 +1086,10 @@ def _hot_span_hashes(
     )
 
     def hot_per_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "ndocs": pa.array([], pa.int64())})
         if t.num_rows == 0:
-            return pa.table({"h": pa.array([], pa.int64())})
+            return empty
         hs = t["h"].to_numpy(zero_copy_only=False)
         enc = t["doc"].combine_chunks().dictionary_encode()
         didx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1063,7 +1098,15 @@ def _hot_span_hashes(
         newh[1:] = hs_d[1:] != hs_d[:-1]
         starts = np.flatnonzero(newh)
         ndocs = np.diff(np.append(starts, len(hs_d)))
-        return pa.table({"h": pa.array(hs_d[starts][ndocs >= min_docs])})
+        keep = ndocs >= min_docs
+        h_k, nd_k = hs_d[starts][keep], ndocs[keep].astype(np.int64)
+        if max_hot_spans is not None and len(h_k) > max_hot_spans:
+            # this partition's strongest K by (-ndocs, h) — since each
+            # hash is wholly in one partition, the union of per-partition
+            # top-Ks contains the exact global top-K
+            order = np.lexsort((h_k, -nd_k))[:max_hot_spans]
+            h_k, nd_k = h_k[order], nd_k[order]
+        return pa.table({"h": pa.array(h_k), "ndocs": pa.array(nd_k)})
 
     from ._shuffle import hash_partitioned_map
 
@@ -1071,13 +1114,18 @@ def _hot_span_hashes(
         pairs, ["h"], hot_per_partition,
         num_partitions=num_partitions, batch_format="pyarrow",
     )
-    return np.sort(
-        np.concatenate(
-            [t["h"].to_numpy(zero_copy_only=False)
-             for t in hot_ds.iter_batches(batch_format="pyarrow")]
-            or [np.zeros(0, dtype=np.int64)]
-        )
-    )
+    hs_parts, nd_parts = [], []
+    for t in hot_ds.iter_batches(batch_format="pyarrow"):
+        hs_parts.append(t["h"].to_numpy(zero_copy_only=False))
+        nd_parts.append(t["ndocs"].to_numpy(zero_copy_only=False))
+    if not hs_parts:
+        return np.zeros(0, dtype=np.int64)
+    h_all = np.concatenate(hs_parts)
+    if max_hot_spans is not None and len(h_all) > max_hot_spans:
+        nd_all = np.concatenate(nd_parts)
+        order = np.lexsort((h_all, -nd_all))[:max_hot_spans]
+        h_all = h_all[order]
+    return np.sort(h_all)
 
 
 def span_corrupt(

@@ -906,3 +906,93 @@ def test_raw_shard_paths_rejects_transformed_dataset(tmp_path):
                                                 batch_format="pyarrow")
     with pytest.raises(ValueError, match="input_files lineage"):
         vocab_histogram(ds, raw_shard_paths=[p])
+
+
+def test_max_hot_spans_bounded_driver_set_on_boilerplate_corpus():
+    """The 100-TB hot-span path: a boilerplate-heavy corpus (50% of docs
+    share a template) with min_docs=2 has an unbounded hot set; with
+    ``max_hot_spans=K`` the driver set is bounded at K and contains
+    exactly the K most-duplicated spans (brute-force oracle), recall
+    degrades from the weakest spans first, and the strip actuator still
+    removes the template. cap >= |hot| reproduces the exact path."""
+    from collections import defaultdict
+
+    from contest_parsing_ray.stages.tokens import (
+        _hot_span_hashes,
+        _window_hashes,
+        cross_doc_span_stats,
+        strip_cross_doc_spans,
+    )
+
+    n = 8
+    rng = np.random.default_rng(123)
+    template = rng.integers(1000, 2000, 30).astype(np.int32).tolist()
+    mid = [rng.integers(2000, 3000, 12).astype(np.int32).tolist()
+           for _ in range(10)]  # shared by varying subsets of docs
+    docs, ids = [], []
+    for i in range(200):
+        body = rng.integers(10_000, 50_000, 40).astype(np.int32).tolist()
+        toks = list(body)
+        if i % 2 == 0:
+            toks = template + toks          # 50% share the template
+        if i % 3 == 0:
+            toks += mid[i % 10]             # mid-frequency spans
+        docs.append(toks)
+        ids.append(f"doc-{i:04d}")
+    t = pa.table({
+        "doc_id": pa.array(ids),
+        "tokens": pa.array(docs, pa.large_list(pa.int32())),
+    })
+    ds = ray.data.from_arrow(t)
+
+    # brute-force oracle: distinct-doc count per window hash
+    by_hash = defaultdict(set)
+    for did, toks in zip(ids, docs):
+        arr = np.asarray(toks, np.int32)
+        offs = np.array([0, len(arr)], np.int64)
+        hs, _nw, _ok, _rel = _window_hashes(arr, offs, n)
+        for h in np.unique(hs.view(np.int64)):
+            by_hash[int(h)].add(did)
+    exact_hot = {h for h, d in by_hash.items() if len(d) >= 2}
+    order = sorted(exact_hot, key=lambda h: (-len(by_hash[h]), h))
+
+    got_exact = _hot_span_hashes(ds, n=n, min_docs=2, tokens_col="tokens",
+                                 id_col="doc_id", num_partitions=4)
+    assert set(got_exact.tolist()) == exact_hot
+    assert len(exact_hot) > 60  # genuinely boilerplate-heavy
+
+    K = 40
+    got_cap = _hot_span_hashes(ds, n=n, min_docs=2, tokens_col="tokens",
+                               id_col="doc_id", num_partitions=4,
+                               max_hot_spans=K)
+    assert len(got_cap) == K  # bounded driver set
+    assert set(got_cap.tolist()) == set(order[:K])  # exact top-K
+    recall = len(set(got_cap.tolist()) & exact_hot) / len(exact_hot)
+    assert abs(recall - K / len(exact_hot)) < 1e-9  # weakest dropped first
+
+    # the template's windows are the most-shared spans -> all in top-K
+    tmpl = np.asarray(template, np.int32)
+    th, _, _, _ = _window_hashes(
+        tmpl, np.array([0, len(tmpl)], np.int64), n)
+    assert set(th.view(np.int64).tolist()) <= set(got_cap.tolist())
+
+    # capped strip still removes the template from every doc
+    cleaned = strip_cross_doc_spans(
+        ds, n=n, min_docs=2, max_hot_spans=K, num_partitions=4
+    ).to_pandas().set_index("doc_id")
+    tset = set()
+    for i in range(len(template) - n + 1):
+        tset.add(tuple(template[i:i + n]))
+    for did, toks in zip(ids, docs):
+        row = cleaned.loc[did, "tokens"]
+        grams = {tuple(row[i:i + n]) for i in range(len(row) - n + 1)}
+        assert not (grams & tset), f"template survived in {did}"
+
+    # cap >= |hot| == exact path, for detector and strip
+    big = len(exact_hot) + 10
+    a = (cross_doc_span_stats(ds, n=n, min_docs=2, num_partitions=4)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (cross_doc_span_stats(ds, n=n, min_docs=2, num_partitions=4,
+                              max_hot_spans=big)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
