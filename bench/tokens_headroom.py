@@ -33,6 +33,7 @@ def main() -> None:
         "--queries", default="vocab_hist,dup_ngram_frac,richness"
     )
     ap.add_argument("--num-files", type=int, default=128)
+    ap.add_argument("--max-hot-spans", type=int, default=1_000_000)
     args = ap.parse_args()
 
     import ray
@@ -67,9 +68,12 @@ def main() -> None:
 
     import ray.data
 
+    from contest_parsing_ray.stages.sampling import hash_split
     from contest_parsing_ray.stages.tokens import (
+        cross_doc_span_stats,
         dup_ngram_stats,
         source_token_richness,
+        strip_cross_doc_spans,
         vocab_histogram,
     )
 
@@ -89,6 +93,26 @@ def main() -> None:
         elif q == "richness":
             ds = _seqs()
             out = source_token_richness(ds, raw_shard_paths=ds.input_files())
+            n_out = out.count()
+        elif q == "cross_doc_spans":
+            # bounded-driver hot set (the 100-TB configuration); the
+            # exchange is still the exact window-count-sized pair pass
+            out = cross_doc_span_stats(
+                _seqs(), n=8, min_docs=2, max_hot_spans=args.max_hot_spans
+            )
+            n_out = out.count()
+        elif q == "strip_spans":
+            out = strip_cross_doc_spans(
+                _seqs(), n=8, min_docs=2, max_hot_spans=args.max_hot_spans
+            )
+            # consume via an aggregate over the cleaned lengths so the
+            # full payload is produced but not collected
+            n_out = out.select_columns(["n_tok"]).count()
+        elif q == "split":
+            out = hash_split(
+                _seqs().select_columns(["doc_id"]), "doc_id",
+                {"train": 0.9, "val": 0.05, "test": 0.05},
+            )
             n_out = out.count()
         else:
             raise SystemExit(f"unknown query {q!r}")

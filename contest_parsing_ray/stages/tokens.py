@@ -1061,6 +1061,15 @@ def _hot_span_hashes(
     span. Unset (None) keeps the exact unbounded collect."""
 
     def pair_partial(b: pa.Table) -> pa.Table:
+        # doc identity travels as a 64-bit hash of the id string, not the
+        # string itself: the exchange is the cost of this operator (one
+        # row per batch-distinct (span, doc) pair), and two fixed-width
+        # int64 columns ship ~2x less than (int64, string) at corpus
+        # scale. Distinctness survives the encoding (same id -> same
+        # hash, so duplicate doc_id rows still collapse); two DIFFERENT
+        # ids colliding at 64 bits merges their counts with probability
+        # ~ n_docs^2 / 2^64 — the same negligible-and-deterministic
+        # contract as the span hash itself.
         col, flat, offs = _flat_with_offsets(b[tokens_col])
         idc = b[id_col].combine_chunks()
         if idc.null_count:
@@ -1068,8 +1077,11 @@ def _hot_span_hashes(
         hs, n_win, _ok, _rel = _window_hashes(flat, offs, n)
         if not len(hs):
             return pa.table({"h": pa.array([], pa.int64()),
-                             "doc": pa.array([], pa.string())})
+                             "doc_h": pa.array([], pa.int64())})
+        from ._shuffle import hash64_column
+
         enc = idc.dictionary_encode()
+        dict_h = hash64_column(enc.dictionary).view(np.int64)
         didx = np.repeat(
             enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
             n_win,
@@ -1077,8 +1089,7 @@ def _hot_span_hashes(
         hs_d, d_d = _distinct_hash_doc(hs, didx)
         return pa.table({
             "h": pa.array(hs_d.view(np.int64)),
-            "doc": pc.take(enc.dictionary.cast(pa.string()),
-                           pa.array(d_d)),
+            "doc_h": pa.array(dict_h[d_d]),
         })
 
     pairs = seqs.select_columns([id_col, tokens_col]).map_batches(
@@ -1091,9 +1102,8 @@ def _hot_span_hashes(
         if t.num_rows == 0:
             return empty
         hs = t["h"].to_numpy(zero_copy_only=False)
-        enc = t["doc"].combine_chunks().dictionary_encode()
-        didx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        hs_d, _d_d = _distinct_hash_doc(hs, didx)
+        doc_h = t["doc_h"].to_numpy(zero_copy_only=False)
+        hs_d, _d_d = _distinct_hash_doc(hs, doc_h)
         newh = np.ones(len(hs_d), dtype=bool)
         newh[1:] = hs_d[1:] != hs_d[:-1]
         starts = np.flatnonzero(newh)
@@ -1110,9 +1120,25 @@ def _hot_span_hashes(
 
     from ._shuffle import hash_partitioned_map
 
+    pair_bytes = None
+    if num_partitions is None:
+        # the exchange is window-count-sized (NOT pre-aggregated), so the
+        # partition count must scale with volume or one partition's
+        # lexsort blows a worker heap at 30M+ rows. n_tok is a cheap
+        # column-pruned scan when present; fall back to the CPU default.
+        try:
+            if "n_tok" in seqs.schema().names:
+                tot = int(seqs.select_columns(["n_tok"]).sum("n_tok"))
+                n_rows = seqs.count()
+                windows = max(tot - n_rows * (n - 1), 0)
+                pair_bytes = windows * 16  # two int64 columns
+        except Exception:
+            pair_bytes = None
+
     hot_ds = hash_partitioned_map(
         pairs, ["h"], hot_per_partition,
         num_partitions=num_partitions, batch_format="pyarrow",
+        input_bytes=pair_bytes,
     )
     hs_parts, nd_parts = [], []
     for t in hot_ds.iter_batches(batch_format="pyarrow"):
