@@ -555,10 +555,19 @@ def _q_bigram_topk(sf_dir: str):
 
 def _q_word_entropy(sf_dir: str):
     """Per-source word-distribution diagnostics (domain-mixing signal):
-    total/distinct words + Shannon entropy, ROUND 6 for the hash compare."""
+    total/distinct words + Shannon entropy, ROUND 6 for the hash compare.
+    Null-source rows are unattributable and dropped up front (the stage
+    itself REFUSES null keys by contract); the oracle carries the same
+    WHERE."""
+    import pyarrow.compute as pc
+
     from contest_parsing_ray.stages.text import source_word_stats
 
-    out = source_word_stats(_docs(sf_dir))
+    docs = _docs(sf_dir).map_batches(
+        lambda b: b.filter(pc.is_valid(b["source"])),
+        batch_format="pyarrow",
+    )
+    out = source_word_stats(docs)
     return _round_cols(out, ["entropy"])
 
 
@@ -582,15 +591,19 @@ def _q_quality(sf_dir: str):
     )
 
 
-def _add_md5(df: pd.DataFrame) -> pd.DataFrame:
-    df["md5"] = [hashlib.md5(t.encode()).hexdigest() for t in df["text"].fillna("")]
-    return df
+def _add_md5(batch: pa.Table) -> pa.Table:
+    """Arrow-native md5-of-text append (null text = empty string, the
+    engine-wide contract) — pyarrow batch format so nullable int columns
+    are not upcast to float through a pandas roundtrip."""
+    txt = batch["text"].combine_chunks().fill_null("").to_pylist()
+    md5s = [hashlib.md5(t.encode()).hexdigest() for t in txt]
+    return batch.append_column("md5", pa.array(md5s, pa.string()))
 
 
 def _q_dedup_docs(sf_dir: str):
     from contest_parsing_ray.stages.dedup import dedup
 
-    docs = _docs(sf_dir).map_batches(_add_md5, batch_format="pandas")
+    docs = _docs(sf_dir).map_batches(_add_md5, batch_format="pyarrow")
     out = dedup(docs, key="md5", keep="first", tiebreak_cols=("doc_id",))
     return out.select_columns(["doc_id", "md5", "lang", "source", "n_chars"])
 
@@ -2749,13 +2762,13 @@ GROUP BY 1, 2
 SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_words,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens
-FROM documents
+FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) documents
 """,
         "pack_offsets_4096": rf"""
 WITH t AS (
   SELECT doc_id,
          CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens
-  FROM documents
+  FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) documents
 ), o AS (
   SELECT doc_id, n_ws_tokens,
          CAST(COALESCE(SUM(n_ws_tokens) OVER (ORDER BY doc_id
@@ -2870,7 +2883,8 @@ FROM c JOIN t USING (event_type) GROUP BY c.event_type
         "source_word_entropy": r"""
 WITH w AS (
   SELECT source, unnest(regexp_extract_all(text, '\S+')) AS word
-  FROM documents
+  FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) documents
+  WHERE source IS NOT NULL
 ), c AS (
   SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2
 ), tot AS (
@@ -2901,7 +2915,7 @@ SELECT doc_id, source, n_chars FROM (
         # VERIFIES with string shingles, so values match SQL exactly
         "ngram_jaccard_pairs": r"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) documents
 ), sh AS (
   SELECT doc_id,
          unnest(list_distinct([array_to_string(w[i:i+2], ' ')
@@ -2955,11 +2969,11 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
          / GREATEST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')), 1)
          AS mean_word_len
-FROM documents
+FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) documents
 """,
         "exact_dedup_docs": """
 SELECT doc_id, md5(text) AS md5, lang, source, n_chars
-FROM documents
+FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) documents
 QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """,
         "embedding_neardup_pairs": """
@@ -3099,11 +3113,11 @@ SELECT doc_id,
        regexp_replace(text, '{_REDACT_PAT}', '<ENT>', 'g') AS text_redacted,
        CAST(len(regexp_extract_all(text, '{_REDACT_PAT}')) AS BIGINT)
          AS n_redacted
-FROM documents
+FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) documents
 """,
         "doc_repetition": """
 WITH w AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) documents
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_words_sep,
@@ -3114,7 +3128,7 @@ FROM w GROUP BY 1
 """,
         "word_topk_docs": """
 SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
-FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) documents)
 GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 50
 """,
         "events_in_sessions": f"""
@@ -3187,7 +3201,7 @@ QUALIFY ROW_NUMBER() OVER (
 """,
         "curate_docs": """
 WITH words AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) documents
 ), rep AS (
   SELECT doc_id,
          1.0 - CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*) AS dup_word_frac
@@ -3197,7 +3211,7 @@ WITH words AS (
          CAST(length(regexp_extract_all(d.text, '[A-Za-z0-9_]+')) AS BIGINT)
            AS n_words,
          r.dup_word_frac
-  FROM documents d JOIN rep r USING (doc_id)
+  FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) documents d JOIN rep r USING (doc_id)
 ), kept AS (
   SELECT * FROM scored WHERE n_words >= 20 AND dup_word_frac <= 0.7
 )

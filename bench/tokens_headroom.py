@@ -95,15 +95,20 @@ def main() -> None:
             out = source_token_richness(ds, raw_shard_paths=ds.input_files())
             n_out = out.count()
         elif q == "cross_doc_spans":
-            # bounded-driver hot set (the 100-TB configuration); the
-            # exchange is still the exact window-count-sized pair pass
+            # the 100-TB configuration: bounded-driver hot set, per-shard
+            # fused read+pair combiner (no payload at the boundary), and
+            # hash-domain slicing bounding the materialized exchange
+            ds = _seqs()
             out = cross_doc_span_stats(
-                _seqs(), n=8, min_docs=2, max_hot_spans=args.max_hot_spans
+                ds, n=8, min_docs=2, max_hot_spans=args.max_hot_spans,
+                raw_shard_paths=ds.input_files(),
             )
             n_out = out.count()
         elif q == "strip_spans":
+            ds = _seqs()
             out = strip_cross_doc_spans(
-                _seqs(), n=8, min_docs=2, max_hot_spans=args.max_hot_spans
+                ds, n=8, min_docs=2, max_hot_spans=args.max_hot_spans,
+                raw_shard_paths=ds.input_files(),
             )
             # consume via an aggregate over the cleaned lengths so the
             # full payload is produced but not collected

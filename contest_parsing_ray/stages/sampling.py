@@ -31,6 +31,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ._shuffle import hash_partitioned_map
@@ -282,25 +283,31 @@ def hash_sample_weighted(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        w = pd.to_numeric(df[weight_col], errors="coerce").to_numpy(
-            dtype=np.float64, na_value=np.nan
+    def partial(t: pa.Table) -> pa.Table:
+        # arrow-native: no pandas roundtrip (it upcasts nullable int
+        # columns to float64, corrupting the output schema)
+        w = pc.cast(t[weight_col], pa.float64(), safe=False).to_numpy(
+            zero_copy_only=False
         )
         ok = np.isfinite(w) & (w > 0)
-        df = df[ok]
-        if len(df) == 0:
-            return df.assign(__key=pd.Series(dtype=np.float64))
-        u = (md5_priority(df[id_col]).astype(np.float64) + 0.5) / float(
-            2**64
+        t = t.filter(pa.array(ok))
+        key = np.zeros(t.num_rows, dtype=np.float64)
+        if t.num_rows:
+            u = (md5_priority(t[id_col]).astype(np.float64) + 0.5) / float(
+                2**64
+            )
+            key = np.power(u, 1.0 / w[ok])
+        t = t.append_column("__key", pa.array(key))
+        idx = pc.sort_indices(
+            t, sort_keys=[("__key", "descending"), (id_col, "ascending")]
         )
-        key = np.power(u, 1.0 / w[ok])
-        df = df.assign(__key=key)
-        df = df.sort_values(["__key", id_col], ascending=[False, True], kind="stable")
-        return df.head(k)
+        return t.take(idx.slice(0, k))
 
-    pruned = ds.map_batches(partial, batch_format="pandas")
+    pruned = ds.map_batches(partial, batch_format="pyarrow")
     top = pruned.sort(["__key", id_col], descending=[True, False]).limit(k)
-    return top.map_batches(lambda df: df.drop(columns="__key"), batch_format="pandas")
+    return top.map_batches(
+        lambda t: t.drop_columns(["__key"]), batch_format="pyarrow"
+    )
 
 
 def hash_split(

@@ -755,6 +755,9 @@ def cross_doc_span_stats(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     max_hot_spans: int | None = None,
+    num_slices: int | None = None,
+    slice_bytes: int = 24 << 30,
+    raw_shard_paths: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Cross-document duplicated-SPAN statistics per row — the span-level
     granularity between ``dup_ngram_stats`` (within-doc repetition) and
@@ -797,7 +800,8 @@ def cross_doc_span_stats(
     hot = _hot_span_hashes(
         seqs, n=n, min_docs=min_docs, tokens_col=tokens_col,
         id_col=id_col, num_partitions=num_partitions,
-        max_hot_spans=max_hot_spans,
+        max_hot_spans=max_hot_spans, num_slices=num_slices,
+        slice_bytes=slice_bytes, raw_shard_paths=raw_shard_paths,
     )
     hot_ref = ray.put(hot)
 
@@ -944,6 +948,9 @@ def strip_cross_doc_spans(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     max_hot_spans: int | None = None,
+    num_slices: int | None = None,
+    slice_bytes: int = 24 << 30,
+    raw_shard_paths: list[str] | None = None,
 ) -> ray.data.Dataset:
     """The ACTUATOR for :func:`cross_doc_span_stats`: remove every token
     position covered by a hot cross-document n-gram span (>= ``min_docs``
@@ -978,7 +985,8 @@ def strip_cross_doc_spans(
     hot = _hot_span_hashes(
         seqs, n=n, min_docs=min_docs, tokens_col=tokens_col,
         id_col=id_col, num_partitions=num_partitions,
-        max_hot_spans=max_hot_spans,
+        max_hot_spans=max_hot_spans, num_slices=num_slices,
+        slice_bytes=slice_bytes, raw_shard_paths=raw_shard_paths,
     )
     hot_ref = ray.put(hot)
 
@@ -1036,6 +1044,9 @@ def _hot_span_hashes(
     id_col: str,
     num_partitions: int | None,
     max_hot_spans: int | None = None,
+    num_slices: int | None = None,
+    slice_bytes: int = 24 << 30,
+    raw_shard_paths: list[str] | None = None,
 ) -> np.ndarray:
     """Sorted int64 hashes of n-gram spans in >= min_docs distinct docs —
     pass 1 of cross_doc_span_stats/strip_cross_doc_spans (see the
@@ -1060,41 +1071,86 @@ def _hot_span_hashes(
     boilerplate stripping, where strength = how many docs share the
     span. Unset (None) keeps the exact unbounded collect."""
 
-    def pair_partial(b: pa.Table) -> pa.Table:
-        # doc identity travels as a 64-bit hash of the id string, not the
-        # string itself: the exchange is the cost of this operator (one
-        # row per batch-distinct (span, doc) pair), and two fixed-width
-        # int64 columns ship ~2x less than (int64, string) at corpus
-        # scale. Distinctness survives the encoding (same id -> same
-        # hash, so duplicate doc_id rows still collapse); two DIFFERENT
-        # ids colliding at 64 bits merges their counts with probability
-        # ~ n_docs^2 / 2^64 — the same negligible-and-deterministic
-        # contract as the span hash itself.
-        col, flat, offs = _flat_with_offsets(b[tokens_col])
-        idc = b[id_col].combine_chunks()
-        if idc.null_count:
-            raise ValueError(f"null {id_col} — cross-doc counts undefined")
-        hs, n_win, _ok, _rel = _window_hashes(flat, offs, n)
-        if not len(hs):
-            return pa.table({"h": pa.array([], pa.int64()),
-                             "doc_h": pa.array([], pa.int64())})
-        from ._shuffle import hash64_column
+    def make_pair_partial(slice_idx: int, n_slices: int):
+        def pair_partial(b: pa.Table) -> pa.Table:
+            # doc identity travels as a 64-bit hash of the id string, not
+            # the string itself: the exchange is the cost of this operator
+            # (one row per batch-distinct (span, doc) pair), and two
+            # fixed-width int64 columns ship ~2x less than (int64, string)
+            # at corpus scale. Distinctness survives the encoding (same id
+            # -> same hash, so duplicate doc_id rows still collapse); two
+            # DIFFERENT ids colliding at 64 bits merges their counts with
+            # probability ~ n_docs^2 / 2^64 — the same negligible-and-
+            # deterministic contract as the span hash itself.
+            col, flat, offs = _flat_with_offsets(b[tokens_col])
+            idc = b[id_col].combine_chunks()
+            if idc.null_count:
+                raise ValueError(f"null {id_col} — cross-doc counts undefined")
+            hs, n_win, _ok, _rel = _window_hashes(flat, offs, n)
+            didx_full = None
+            if len(hs) and n_slices > 1:
+                # hash-domain slice: this pass keeps only h % S == s.
+                # h is splitmix output, so slices are unbiased; each hash
+                # lives in exactly one slice — exactness is preserved.
+                sl = hs % np.uint64(n_slices) == np.uint64(slice_idx)
+                from ._shuffle import hash64_column as _h64
 
-        enc = idc.dictionary_encode()
-        dict_h = hash64_column(enc.dictionary).view(np.int64)
-        didx = np.repeat(
-            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
-            n_win,
-        )
-        hs_d, d_d = _distinct_hash_doc(hs, didx)
-        return pa.table({
-            "h": pa.array(hs_d.view(np.int64)),
-            "doc_h": pa.array(dict_h[d_d]),
-        })
+                enc = idc.dictionary_encode()
+                didx_full = np.repeat(
+                    enc.indices.to_numpy(zero_copy_only=False).astype(
+                        np.int64),
+                    n_win,
+                )[sl]
+                hs = hs[sl]
+            if not len(hs):
+                return pa.table({"h": pa.array([], pa.int64()),
+                                 "doc_h": pa.array([], pa.int64())})
+            from ._shuffle import hash64_column
 
-    pairs = seqs.select_columns([id_col, tokens_col]).map_batches(
-        pair_partial, batch_format="pyarrow"
-    )
+            enc = idc.dictionary_encode()
+            dict_h = hash64_column(enc.dictionary).view(np.int64)
+            didx = (didx_full if didx_full is not None else np.repeat(
+                enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+                n_win,
+            ))
+            hs_d, d_d = _distinct_hash_doc(hs, didx)
+            return pa.table({
+                "h": pa.array(hs_d.view(np.int64)),
+                "doc_h": pa.array(dict_h[d_d]),
+            })
+
+        return pair_partial
+
+    def make_file_pair_partial(slice_idx: int, n_slices: int):
+        """ONE pair table per parquet shard: stream row groups through
+        pair_partial and dedup (h, doc_h) across the file. The read+
+        combine fusion that beats the generic path at corpus scale: the
+        operator feeding an all-to-all is exempt from streaming
+        backpressure on this Ray, so a separate read op races its
+        decompressed token payload (~20 GB at 30M rows) into spill ahead
+        of the compute — the same failure mode the richness per-file
+        combiner closed in round 4. Fused, only the pair output itself
+        ever materializes."""
+        pp = make_pair_partial(slice_idx, n_slices)
+
+        def file_pair_partial(b: pa.Table) -> pa.Table:
+            outs = []
+            for chunk in _iter_shard_batches(
+                b["item"].to_pylist(), [id_col, tokens_col]
+            ):
+                t = pp(chunk)
+                if t.num_rows:
+                    outs.append(t)
+            if not outs:
+                return pa.table({"h": pa.array([], pa.int64()),
+                                 "doc_h": pa.array([], pa.int64())})
+            allt = pa.concat_tables(outs)
+            hs = allt["h"].to_numpy(zero_copy_only=False)
+            dh = allt["doc_h"].to_numpy(zero_copy_only=False)
+            hs_d, d_d = _distinct_hash_doc(hs, dh)
+            return pa.table({"h": pa.array(hs_d), "doc_h": pa.array(d_d)})
+
+        return file_pair_partial
 
     def hot_per_partition(t: pa.Table) -> pa.Table:
         empty = pa.table({"h": pa.array([], pa.int64()),
@@ -1121,29 +1177,59 @@ def _hot_span_hashes(
     from ._shuffle import hash_partitioned_map
 
     pair_bytes = None
-    if num_partitions is None:
-        # the exchange is window-count-sized (NOT pre-aggregated), so the
-        # partition count must scale with volume or one partition's
-        # lexsort blows a worker heap at 30M+ rows. n_tok is a cheap
-        # column-pruned scan when present; fall back to the CPU default.
-        try:
-            if "n_tok" in seqs.schema().names:
-                tot = int(seqs.select_columns(["n_tok"]).sum("n_tok"))
-                n_rows = seqs.count()
-                windows = max(tot - n_rows * (n - 1), 0)
-                pair_bytes = windows * 16  # two int64 columns
-        except Exception:
-            pair_bytes = None
+    try:
+        # the exchange is window-count-sized (NOT pre-aggregated), so both
+        # the partition count and the slice count must scale with volume:
+        # one partition's lexsort would blow a worker heap at 30M+ rows,
+        # and the WHOLE exchange materializes at the all-to-all boundary —
+        # the 30M headroom run (67 GB of pairs) ran this single node out
+        # of disk. n_tok is a cheap column-pruned scan when present.
+        if "n_tok" in seqs.schema().names:
+            tot = int(seqs.select_columns(["n_tok"]).sum("n_tok"))
+            n_rows = seqs.count()
+            windows = max(tot - n_rows * (n - 1), 0)
+            pair_bytes = windows * 16  # two int64 columns
+    except Exception:
+        pair_bytes = None
 
-    hot_ds = hash_partitioned_map(
-        pairs, ["h"], hot_per_partition,
-        num_partitions=num_partitions, batch_format="pyarrow",
-        input_bytes=pair_bytes,
-    )
+    # Hash-domain slicing: run the exchange as S sequential passes over
+    # h % S == s, bounding the materialized exchange to pair_bytes / S —
+    # the external-memory answer to an exchange bigger than the cluster's
+    # spill capacity. Costs S re-reads + re-hashes of the corpus (cheap,
+    # pruned columns) in exchange for bounded peak storage; S == 1
+    # whenever the exchange fits the budget, so small corpora are
+    # untouched. On a real N-node cluster per-node disk scales with N and
+    # the budget below (per-run override via slice_bytes) rises with it.
+    if num_slices is None:
+        if pair_bytes and slice_bytes:
+            num_slices = max(1, -(-pair_bytes // int(slice_bytes)))
+        else:
+            num_slices = 1
+    num_slices = max(1, int(num_slices))
+
     hs_parts, nd_parts = [], []
-    for t in hot_ds.iter_batches(batch_format="pyarrow"):
-        hs_parts.append(t["h"].to_numpy(zero_copy_only=False))
-        nd_parts.append(t["ndocs"].to_numpy(zero_copy_only=False))
+    for s in range(num_slices):
+        if raw_shard_paths is not None:
+            _check_raw_shard_paths(seqs, raw_shard_paths)
+            pairs = ray.data.from_items(
+                list(raw_shard_paths),
+                override_num_blocks=len(raw_shard_paths),
+            ).map_batches(
+                make_file_pair_partial(s, num_slices),
+                batch_format="pyarrow",
+            )
+        else:
+            pairs = seqs.select_columns([id_col, tokens_col]).map_batches(
+                make_pair_partial(s, num_slices), batch_format="pyarrow"
+            )
+        hot_ds = hash_partitioned_map(
+            pairs, ["h"], hot_per_partition,
+            num_partitions=num_partitions, batch_format="pyarrow",
+            input_bytes=(pair_bytes // num_slices) if pair_bytes else None,
+        )
+        for t in hot_ds.iter_batches(batch_format="pyarrow"):
+            hs_parts.append(t["h"].to_numpy(zero_copy_only=False))
+            nd_parts.append(t["ndocs"].to_numpy(zero_copy_only=False))
     if not hs_parts:
         return np.zeros(0, dtype=np.int64)
     h_all = np.concatenate(hs_parts)

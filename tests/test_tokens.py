@@ -996,3 +996,82 @@ def test_max_hot_spans_bounded_driver_set_on_boilerplate_corpus():
                               max_hot_spans=big)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_hot_span_hash_slicing_matches_single_pass():
+    """Hash-domain slicing (the bounded-disk exchange mode) must be
+    exactly equivalent to the single-pass exchange — every hash lives in
+    one slice, so the union of per-slice hot sets is the hot set."""
+    from contest_parsing_ray.stages.tokens import (
+        _hot_span_hashes,
+        cross_doc_span_stats,
+    )
+
+    rng = np.random.default_rng(77)
+    shared = rng.integers(0, 500, 25).astype(np.int32).tolist()
+    ids, toks = [], []
+    for i in range(120):
+        body = rng.integers(1000, 30_000, int(rng.integers(0, 50)))
+        body = body.astype(np.int32).tolist()
+        if i % 3 == 0:
+            body = shared + body
+        ids.append(f"d{i:03d}")
+        toks.append(body)
+    t = pa.table({
+        "doc_id": pa.array(ids),
+        "tokens": pa.array(toks, pa.large_list(pa.int32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    one = _hot_span_hashes(ds, n=8, min_docs=2, tokens_col="tokens",
+                           id_col="doc_id", num_partitions=4, num_slices=1)
+    sliced = _hot_span_hashes(ds, n=8, min_docs=2, tokens_col="tokens",
+                              id_col="doc_id", num_partitions=4,
+                              num_slices=5)
+    np.testing.assert_array_equal(one, sliced)
+    assert len(one) > 0
+    # and through the public detector, capped + sliced together
+    a = (cross_doc_span_stats(ds, n=8, min_docs=2, num_partitions=4)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (cross_doc_span_stats(ds, n=8, min_docs=2, num_partitions=4,
+                              num_slices=3, max_hot_spans=10_000)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hot_span_per_shard_combiner_matches_generic(tmp_path):
+    """The raw_shard_paths fused read+pair path (the corpus-scale recipe
+    that keeps the token payload out of the all-to-all boundary) must
+    agree exactly with the generic map_batches path, sliced or not."""
+    import pyarrow.parquet as pq
+
+    from contest_parsing_ray.stages.tokens import cross_doc_span_stats
+
+    rng = np.random.default_rng(55)
+    shared = rng.integers(0, 400, 20).astype(np.int32).tolist()
+    paths = []
+    k = 0
+    for i in range(4):
+        ids, toks = [], []
+        for _ in range(60):
+            body = rng.integers(1000, 30_000, int(rng.integers(0, 40)))
+            body = body.astype(np.int32).tolist()
+            if k % 3 == 0:
+                body = shared + body
+            ids.append(f"d{k:04d}")
+            toks.append(body)
+            k += 1
+        t = pa.table({
+            "doc_id": pa.array(ids),
+            "tokens": pa.array(toks, pa.large_list(pa.int32())),
+        })
+        p = str(tmp_path / f"shard-{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    ds = ray.data.read_parquet(paths)
+    a = (cross_doc_span_stats(ds, n=8, min_docs=2, num_partitions=4)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (cross_doc_span_stats(ds, n=8, min_docs=2, num_partitions=4,
+                              raw_shard_paths=paths, num_slices=3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_hot_windows"] > 0).any()

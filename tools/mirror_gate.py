@@ -106,20 +106,48 @@ NULL_GATE_QUERIES = [
     "type_transition_matrix",
     "top3_events_per_type",
     "cumulative_distinct_users_1m",
+    "cumulative_counts_1m",
     "hot_user_events",
     "events_in_sessions",
+    "dedup_keep_first_events",
+    "dedup_keep_none_events",
+    "profile_events",
+    # documents-table dirt (round-5 extension): null text, empty text,
+    # null lang, null source — the realistic corpus dirt for the
+    # text/sampling/mixing families. Tokens-axis queries are golden-pinned
+    # at sf0.01 so they cannot ride this variant; their dirt coverage
+    # (empty token arrays, null keys, null doc_id refusal) lives in the
+    # DuckDB-oracle pytests instead (test_tokens.py).
+    "doc_repetition",
+    "word_topk_docs",
+    "curate_docs",
+    "doc_token_counts",
+    "doc_quality",
+    "exact_dedup_docs",
+    "ngram_jaccard_pairs",
+    "sample_docs_rate_25",
+    "sample_docs_per_source_10",
+    "sample_docs_weighted_30",
+    "train_val_test_split",
+    "redact_docs",
+    "shuffled_export_docs",
+    "mixture_sample_docs",
+    "source_word_entropy",
 ]
 
 
 def make_null_variant(sf_dir: str) -> str:
-    """Copy the sf tables into /tmp with deterministic nulls injected into
-    events: ~3% of `value` and ~2% of `user_id` (by splitmix64 of event_id)
-    set to NULL. Other tables are copied untouched."""
+    """Copy the sf tables into /tmp with deterministic dirt injected:
+    events — ~3% of `value` and ~2% of `user_id` (by splitmix64 of
+    event_id) set to NULL; documents — ~2% null text, ~2% empty text,
+    ~1.5% null lang, ~1.5% null source (by splitmix64 of doc_id), with
+    n_chars kept consistent (NULL for null text, 0 for empty). Other
+    tables are copied untouched."""
     import numpy as np
     import pyarrow.parquet as pq
 
     out = f"/tmp/mirror_nulls_{os.path.basename(sf_dir.rstrip('/'))}"
-    marker = os.path.join(out, ".done")
+    marker = os.path.join(out, ".done2")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -128,6 +156,41 @@ def make_null_variant(sf_dir: str) -> str:
         if not os.path.exists(src):
             continue
         t = pq.read_table(src)
+        if tbl == "documents":
+            did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                z = did + np.uint64(0x9E3779B97F4A7C15)
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                z ^= z >> np.uint64(31)
+            null_t = (z % np.uint64(101)) < 2
+            empty_t = ((z % np.uint64(103)) < 2) & ~null_t
+            null_l = (z % np.uint64(107)) < 2
+            null_s = (z % np.uint64(109)) < 2
+            cols = {}
+            for name in t.column_names:
+                c = t[name]
+                if name == "text":
+                    arr = c.to_numpy(zero_copy_only=False).astype(object)
+                    arr[null_t] = None
+                    arr[empty_t] = ""
+                    c = pa.array(arr, type=pa.string(), from_pandas=True)
+                elif name == "n_chars":
+                    arr = c.to_numpy(zero_copy_only=False).astype(object)
+                    arr[null_t] = None
+                    arr[empty_t] = 0
+                    c = pa.array(arr, type=t.schema.field(name).type,
+                                 from_pandas=True)
+                elif name == "lang":
+                    arr = c.to_numpy(zero_copy_only=False).astype(object)
+                    arr[null_l] = None
+                    c = pa.array(arr, type=pa.string(), from_pandas=True)
+                elif name == "source":
+                    arr = c.to_numpy(zero_copy_only=False).astype(object)
+                    arr[null_s] = None
+                    c = pa.array(arr, type=pa.string(), from_pandas=True)
+                cols[name] = c
+            t = pa.table(cols)
         if tbl == "events":
             eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
             with np.errstate(over="ignore"):
