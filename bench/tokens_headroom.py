@@ -34,6 +34,7 @@ def main() -> None:
     )
     ap.add_argument("--num-files", type=int, default=128)
     ap.add_argument("--max-hot-spans", type=int, default=1_000_000)
+    ap.add_argument("--slice-bytes", type=int, default=8 << 30)
     args = ap.parse_args()
 
     import ray
@@ -102,6 +103,7 @@ def main() -> None:
             out = cross_doc_span_stats(
                 ds, n=8, min_docs=2, max_hot_spans=args.max_hot_spans,
                 raw_shard_paths=ds.input_files(),
+                slice_bytes=args.slice_bytes,
             )
             n_out = out.count()
         elif q == "strip_spans":
@@ -109,6 +111,7 @@ def main() -> None:
             out = strip_cross_doc_spans(
                 ds, n=8, min_docs=2, max_hot_spans=args.max_hot_spans,
                 raw_shard_paths=ds.input_files(),
+                slice_bytes=args.slice_bytes,
             )
             # consume via an aggregate over the cleaned lengths so the
             # full payload is produced but not collected

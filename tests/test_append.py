@@ -189,3 +189,71 @@ def test_distributed_retention_many_partitions(tmp_path):
     for root in (tdir, sdir):
         t = pads.dataset(os.path.join(root, "source=s00")).to_table()
         assert min(t["bucket_us"].to_pylist()) >= 1_500_000
+
+
+def test_append_late_events_update_finalized_buckets_and_chunks(
+    corpus, tmp_path
+):
+    """LATE-DATA CONTRACT (round-5 task #8): appending a shard whose
+    events land in already-finalized buckets must (a) take the
+    incremental path, (b) merge the deltas into those old buckets
+    exactly (tiers == from-scratch rebuild), and (c) leave the
+    compressed chunks (exec-5 output) consistent — chunks are a pure
+    function of the tier data and are regenerated on append, so the
+    incremental run's chunks must equal a from-scratch rebuild's
+    byte-for-byte."""
+    import pyarrow as pa
+
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(out_dir=out, quantile_cap=CAP)
+    m1 = run_rollup_pipeline(corpus, cfg)
+    assert m1["tiers"]
+    before = _tier(out, "1h")
+
+    # late shard: rows re-pinned to the corpus's EARLIEST minute (buckets
+    # finalized long ago), with fresh seq/doc ids so dedup keeps them
+    base0 = pq.read_table(os.path.join(corpus, "part-0000.parquet"))
+    ids = base0["doc_id"].to_pylist()
+    min_minute = min(int(i.split("/")[1]) for i in ids)
+    late = base0.slice(0, 200)
+    new_ids = [
+        f"{i.split('/')[0]}/{min_minute:012d}/{900000 + k:06d}"
+        for k, i in enumerate(late["doc_id"].to_pylist())
+    ]
+    late = late.set_column(
+        late.schema.get_field_index("doc_id"), "doc_id",
+        pa.array(new_ids, pa.string()),
+    )
+    pq.write_table(late, os.path.join(corpus, "part-9100.parquet"))
+
+    m2 = run_rollup_pipeline(corpus, cfg)
+    assert m2.get("incremental_append") is True
+
+    # the earliest (long-finalized) 1h bucket gained the late counts
+    after = _tier(out, "1h")
+    b0 = before.groupby("bucket_us")["cnt"].sum()
+    a0 = after.groupby("bucket_us")["cnt"].sum()
+    first_bucket = a0.index.min()
+    assert a0[first_bucket] == b0.get(first_bucket, 0) + 200
+
+    # tiers: incremental == from-scratch
+    out2 = str(tmp_path / "scratch")
+    run_rollup_pipeline(
+        corpus, PipelineConfig(out_dir=out2, quantile_cap=CAP), resume=False
+    )
+    for tier in ("1m", "5m", "1h"):
+        pd.testing.assert_frame_equal(_tier(out, tier), _tier(out2, tier))
+
+    # chunks: regenerated on append, equal to the rebuild's byte-for-byte
+    for tier in ("1m", "5m", "1h"):
+        ca = pads.dataset(
+            os.path.join(out, "chunks", f"tier={tier}")
+        ).to_table().to_pandas()
+        cb = pads.dataset(
+            os.path.join(out2, "chunks", f"tier={tier}")
+        ).to_table().to_pandas()
+        key = ["source", "chunk_id"]
+        ca = ca.sort_values(key, kind="stable").reset_index(drop=True)
+        cb = cb.sort_values(key, kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(ca[sorted(ca.columns)],
+                                      cb[sorted(cb.columns)])
