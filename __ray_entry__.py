@@ -20,6 +20,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 W1M = 60_000_000
 W5M = 300_000_000
@@ -232,6 +233,12 @@ def _q_tree(sf_dir: str):
     from contest_parsing_ray.stages.tree import tree_depth_stats
 
     ev = _events(sf_dir, columns=["ts", "event_id", "user_id"])
+    # null user_id rows have no chain identity — drop them up front (the
+    # oracle carries the same WHERE; no-op on the clean corpus)
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.is_valid(b["user_id"])),
+        batch_format="pyarrow",
+    )
 
     def chain(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -2707,7 +2714,7 @@ WITH o AS (
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
            AS self_depth,
          COUNT(*) OVER (PARTITION BY user_id) AS n
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 )
 SELECT user_id, event_id,
        CAST(self_depth AS BIGINT) AS self_depth,
@@ -3109,11 +3116,13 @@ SELECT user_id, CAST(sess AS BIGINT) AS session_id,
 FROM s GROUP BY 1, 2
 """,
         "redact_docs": f"""
+-- null text propagates (engine RegexRedact contract: null in -> null out,
+-- matching SQL regexp_replace(NULL) semantics) — deliberately NOT COALESCEd
 SELECT doc_id,
        regexp_replace(text, '{_REDACT_PAT}', '<ENT>', 'g') AS text_redacted,
        CAST(len(regexp_extract_all(text, '{_REDACT_PAT}')) AS BIGINT)
          AS n_redacted
-FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) documents
+FROM documents
 """,
         "doc_repetition": """
 WITH w AS (
@@ -3211,7 +3220,7 @@ WITH words AS (
          CAST(length(regexp_extract_all(d.text, '[A-Za-z0-9_]+')) AS BIGINT)
            AS n_words,
          r.dup_word_frac
-  FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) documents d JOIN rep r USING (doc_id)
+  FROM (SELECT * REPLACE (COALESCE(text, '') AS text) FROM documents) d JOIN rep r USING (doc_id)
 ), kept AS (
   SELECT * FROM scored WHERE n_words >= 20 AND dup_word_frac <= 0.7
 )

@@ -65,6 +65,9 @@ NULL_GATE_QUERIES = [
     "quantiles_by_type",
     "rollup_1h",
     "rollup_1m",
+    "rollup_5m",
+    "rollup_floor_1h",
+    "tree_chain_depths",
     "record_high_1h",
     "melt_rollup_1h",
     "value_histogram_20",
@@ -133,6 +136,7 @@ NULL_GATE_QUERIES = [
     "shuffled_export_docs",
     "mixture_sample_docs",
     "source_word_entropy",
+    "pack_offsets_4096",
 ]
 
 
