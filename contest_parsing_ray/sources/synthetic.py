@@ -244,8 +244,14 @@ def write_sequences_parquet(
         cols_ref = ray.put(_scalar_columns(n_rows, seed, dup_fraction, gap_minutes))
         # token generation is memory-bandwidth-bound, not compute-bound:
         # 32 concurrent generators starve each other to ~3 aggregate cores
-        # on this class of host. num_cpus=4 caps concurrency at ~cpus/4.
-        shard_task = ray.remote(num_cpus=4)(_write_shard)
+        # on this class of host. num_cpus=4 caps concurrency at ~cpus/4 —
+        # clamped to the cluster's actual CPU count, else a 2-CPU scaling
+        # run can never schedule the task and ray.get deadlocks.
+        try:
+            avail = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            avail = 4
+        shard_task = ray.remote(num_cpus=max(1, min(4, avail)))(_write_shard)
         ray.get([shard_task.remote(i, cols_ref) for i in range(num_files)])
     else:
         cols = _scalar_columns(n_rows, seed, dup_fraction, gap_minutes)
