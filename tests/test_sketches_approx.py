@@ -100,3 +100,37 @@ def test_approx_distinct_ignores_null_values():
     # COUNT(DISTINCT v) = 2 ("x" and ""); the null row contributes nothing
     # and must not alias the empty string
     assert got["approx_distinct"].tolist() == [2]
+
+
+def test_hll_approx_distinct_within_error_vs_exact_sf0001():
+    """Secondary invariant for the golden-pinned approx_distinct_users
+    query: the HLL estimate at sf0.001 must sit within the sketch's
+    theoretical error envelope of the EXACT distinct count computed
+    independently (pandas nunique) — the golden pins determinism, this
+    pins correctness."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join("/root/testdata/sf0.001", "events.parquet"),
+        columns=["event_type", "user_id"],
+    ).to_pandas()
+    exact = t.groupby("event_type")["user_id"].nunique()
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    got = m.queries()["approx_distinct_users"]("/root/testdata/sf0.001")
+    df = got.to_pandas() if hasattr(got, "to_pandas") else got
+    df = df.set_index(df.columns[0])
+    est_col = [c for c in df.columns if "distinct" in c or "approx" in c]
+    assert est_col, df.columns
+    # HLL with p=14: relative error ~1.04/sqrt(2^14) = 0.8%; allow 5 sigma
+    for et, exact_n in exact.items():
+        est = float(df.loc[et, est_col[0]])
+        assert abs(est - exact_n) <= max(5 * 0.0081 * exact_n, 3.0), (
+            et, est, exact_n)
