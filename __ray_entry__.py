@@ -2427,7 +2427,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_docs": _q_mixture_sample,
     }
     window = list(_WINDOW_R5)
-    assert len(window) == 50 and set(window) <= set(all_q)
+    if len(window) != 50 or not set(window) <= set(all_q):
+        # not an assert: python -O would strip it and silently backfill
+        # the driver's 50-query window from registry insertion order
+        raise RuntimeError("_WINDOW_R5 must name exactly 50 registered queries")
     ordered = {k: all_q[k] for k in window}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
     return ordered

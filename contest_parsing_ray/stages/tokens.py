@@ -139,7 +139,13 @@ def _check_raw_shard_paths(seqs: ray.data.Dataset, paths) -> None:
             "(the per-shard combiner re-reads the shards, so transforms "
             "on seqs would be silently ignored)"
         )
-    if set(map(str, paths)) != actual:
+    paths = list(map(str, paths))
+    if len(paths) != len(set(paths)):
+        raise ValueError(
+            "raw_shard_paths contains duplicate paths; the per-shard fast "
+            "path would read those shards twice and double their counts"
+        )
+    if set(paths) != actual:
         raise ValueError(
             "raw_shard_paths do not match seqs.input_files(); the per-shard "
             "fast path re-reads the shards directly and would silently "
@@ -907,22 +913,30 @@ def reference_contamination_stats(
             batch_format="pyarrow"
         )
     hashes = []
-    n_hashes = 0
+    n_pending = 0
     for t in ref_iter:
         _col, flat, offs = _flat_with_offsets(t[tokens_col])
         hs, _nw, _ok, _rel = _window_hashes(flat, offs, n)
         if len(hs):
             arr = np.unique(hs.view(np.int64))
             hashes.append(arr)
-            n_hashes += len(arr)
-            if n_hashes > max_ref_hashes:
-                raise ValueError(
-                    f"reference exceeds max_ref_hashes={max_ref_hashes} "
-                    "distinct n-gram hashes — too large for the "
-                    "driver-broadcast decontamination path; use "
-                    "cross_doc_span_stats' pair-exchange path for a "
-                    "corpus-scale reference"
-                )
+            n_pending += len(arr)
+            if n_pending > max_ref_hashes:
+                # compress to the GLOBAL distinct set before judging the
+                # cap — per-batch distinct sums over-count shared grams
+                # (a boilerplate-heavy eval suite repeats templates
+                # across batches), so only a still-oversized global set
+                # is a contract violation. Memory stays <= ~2x cap.
+                merged = np.unique(np.concatenate(hashes))
+                hashes, n_pending = [merged], len(merged)
+                if n_pending > max_ref_hashes:
+                    raise ValueError(
+                        f"reference exceeds max_ref_hashes="
+                        f"{max_ref_hashes} distinct n-gram hashes — too "
+                        "large for the driver-broadcast decontamination "
+                        "path; use cross_doc_span_stats' pair-exchange "
+                        "path for a corpus-scale reference"
+                    )
     hot = (
         np.unique(np.concatenate(hashes))
         if hashes
@@ -1087,32 +1101,25 @@ def _hot_span_hashes(
             if idc.null_count:
                 raise ValueError(f"null {id_col} — cross-doc counts undefined")
             hs, n_win, _ok, _rel = _window_hashes(flat, offs, n)
-            didx_full = None
-            if len(hs) and n_slices > 1:
-                # hash-domain slice: this pass keeps only h % S == s.
-                # h is splitmix output, so slices are unbiased; each hash
-                # lives in exactly one slice — exactness is preserved.
-                sl = hs % np.uint64(n_slices) == np.uint64(slice_idx)
-                from ._shuffle import hash64_column as _h64
-
+            if len(hs):
                 enc = idc.dictionary_encode()
-                didx_full = np.repeat(
+                didx = np.repeat(
                     enc.indices.to_numpy(zero_copy_only=False).astype(
                         np.int64),
                     n_win,
-                )[sl]
-                hs = hs[sl]
+                )
+                if n_slices > 1:
+                    # hash-domain slice: this pass keeps only h % S == s.
+                    # h is splitmix output, so slices are unbiased; each
+                    # hash lives in exactly one slice — exactness holds.
+                    sl = hs % np.uint64(n_slices) == np.uint64(slice_idx)
+                    hs, didx = hs[sl], didx[sl]
             if not len(hs):
                 return pa.table({"h": pa.array([], pa.int64()),
                                  "doc_h": pa.array([], pa.int64())})
             from ._shuffle import hash64_column
 
-            enc = idc.dictionary_encode()
             dict_h = hash64_column(enc.dictionary).view(np.int64)
-            didx = (didx_full if didx_full is not None else np.repeat(
-                enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
-                n_win,
-            ))
             hs_d, d_d = _distinct_hash_doc(hs, didx)
             return pa.table({
                 "h": pa.array(hs_d.view(np.int64)),
@@ -1177,20 +1184,34 @@ def _hot_span_hashes(
     from ._shuffle import hash_partitioned_map
 
     pair_bytes = None
-    try:
+    if num_slices is None or num_partitions is None:
         # the exchange is window-count-sized (NOT pre-aggregated), so both
         # the partition count and the slice count must scale with volume:
         # one partition's lexsort would blow a worker heap at 30M+ rows,
         # and the WHOLE exchange materializes at the all-to-all boundary —
         # the 30M headroom run (67 GB of pairs) ran this single node out
-        # of disk. n_tok is a cheap column-pruned scan when present.
-        if "n_tok" in seqs.schema().names:
-            tot = int(seqs.select_columns(["n_tok"]).sum("n_tok"))
-            n_rows = seqs.count()
-            windows = max(tot - n_rows * (n - 1), 0)
-            pair_bytes = windows * 16  # two int64 columns
-    except Exception:
-        pair_bytes = None
+        # of disk. ONE column-pruned pass over n_tok when present (the
+        # per-doc max(L-n+1, 0) clamp matters: a corpus of many sub-n
+        # docs would otherwise drive the estimate to 0 and silently
+        # disable the disk-safety slicing); skipped entirely when the
+        # caller fixed both knobs — on a transformed seqs this pass
+        # replays the upstream pipeline.
+        try:
+            if "n_tok" in seqs.schema().names:
+                def _win_partial(b: pa.Table) -> pa.Table:
+                    nt = b["n_tok"].to_numpy(zero_copy_only=False)
+                    w = int(np.maximum(
+                        nt.astype(np.int64) - (n - 1), 0).sum())
+                    return pa.table({"w": pa.array([w], pa.int64())})
+
+                windows = int(
+                    seqs.select_columns(["n_tok"])
+                    .map_batches(_win_partial, batch_format="pyarrow")
+                    .sum("w")
+                )
+                pair_bytes = windows * 16  # two int64 columns
+        except Exception:
+            pair_bytes = None
 
     # Hash-domain slicing: run the exchange as S sequential passes over
     # h % S == s, bounding the materialized exchange to pair_bytes / S —
@@ -1207,10 +1228,11 @@ def _hot_span_hashes(
             num_slices = 1
     num_slices = max(1, int(num_slices))
 
+    if raw_shard_paths is not None:
+        _check_raw_shard_paths(seqs, raw_shard_paths)
     hs_parts, nd_parts = [], []
     for s in range(num_slices):
         if raw_shard_paths is not None:
-            _check_raw_shard_paths(seqs, raw_shard_paths)
             pairs = ray.data.from_items(
                 list(raw_shard_paths),
                 override_num_blocks=len(raw_shard_paths),

@@ -1075,3 +1075,41 @@ def test_hot_span_per_shard_combiner_matches_generic(tmp_path):
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert (a["n_hot_windows"] > 0).any()
+
+
+def test_reference_contamination_cap_counts_global_distinct():
+    """The max_ref_hashes cap must judge the GLOBAL distinct gram set,
+    not the sum of per-batch distincts — a boilerplate-heavy reference
+    (same template repeated across many batches) is legal as long as its
+    distinct grams fit (review round-5 finding #1)."""
+    from contest_parsing_ray.stages.tokens import reference_contamination_stats
+
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["a"]),
+        "tokens": pa.array([[1, 2, 3, 4, 5, 6, 7, 8]],
+                           pa.large_list(pa.int32())),
+    }))
+    shared = list(range(20))  # 13 distinct 8-grams, repeated in every row
+    ref = ray.data.from_arrow(pa.table({
+        "tokens": pa.array([shared] * 500, pa.large_list(pa.int32())),
+    })).repartition(10)
+    out = reference_contamination_stats(
+        corpus, ref, n=8, max_ref_hashes=50).to_pandas()
+    assert len(out) == 1  # 500 * 13 per-batch distincts, 13 global: OK
+
+
+def test_raw_shard_paths_duplicates_raise(tmp_path):
+    """A duplicated shard path would be read twice and double its counts
+    — the set-compare guard alone missed it (review round-5 finding #3)."""
+    import pyarrow.parquet as pq
+
+    from contest_parsing_ray.stages.tokens import vocab_histogram
+
+    p = str(tmp_path / "s.parquet")
+    pq.write_table(
+        pa.table({"tokens": pa.array([[1, 2]], pa.large_list(pa.int32()))}),
+        p,
+    )
+    ds = ray.data.read_parquet([p])
+    with pytest.raises(ValueError, match="duplicate"):
+        vocab_histogram(ds, raw_shard_paths=[p, p])

@@ -150,6 +150,15 @@ def make_null_variant(sf_dir: str) -> str:
     import numpy as np
     import pyarrow.parquet as pq
 
+    def _mix(ids):
+        # one local copy of the library's splitmix64 (_shuffle._splitmix64)
+        # so the deterministic dirt needs no engine import in the gate
+        with np.errstate(over="ignore"):
+            z = ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
     out = f"/tmp/mirror_nulls_{os.path.basename(sf_dir.rstrip('/'))}"
     marker = os.path.join(out, ".done2")
     if os.path.exists(marker):
@@ -161,12 +170,7 @@ def make_null_variant(sf_dir: str) -> str:
             continue
         t = pq.read_table(src)
         if tbl == "documents":
-            did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            with np.errstate(over="ignore"):
-                z = did + np.uint64(0x9E3779B97F4A7C15)
-                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-                z ^= z >> np.uint64(31)
+            z = _mix(t["doc_id"].to_numpy(zero_copy_only=False))
             null_t = (z % np.uint64(101)) < 2
             empty_t = ((z % np.uint64(103)) < 2) & ~null_t
             null_l = (z % np.uint64(107)) < 2
@@ -196,12 +200,7 @@ def make_null_variant(sf_dir: str) -> str:
                 cols[name] = c
             t = pa.table(cols)
         if tbl == "events":
-            eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            with np.errstate(over="ignore"):
-                z = eid + np.uint64(0x9E3779B97F4A7C15)
-                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-                z ^= z >> np.uint64(31)
+            z = _mix(t["event_id"].to_numpy(zero_copy_only=False))
             null_v = (z % np.uint64(100)) < 3
             null_u = (z % np.uint64(97)) < 2
             cols = {}
