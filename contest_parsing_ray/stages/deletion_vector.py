@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import json
 import os
+import posixpath
 import shutil
 from typing import Iterator
 
@@ -85,6 +86,37 @@ def dv_manifest_file(out_dir: str) -> str:
     return os.path.join(out_dir, "dv_manifest.json")
 
 
+def _create_dir(path: str) -> None:
+    from ..fsutil import resolve_fs
+
+    fsys, p = resolve_fs(path)
+    fsys.create_dir(p, recursive=True)
+
+
+def _read_dv_manifest(out_dir: str) -> dict:
+    """URI-aware manifest read (file:// and s3:// out_dirs resolve like
+    state/manifest.py; a raw open() on a URI would create a literal
+    './file:/...' path relative to the cwd)."""
+    from ..fsutil import resolve_fs
+
+    fsys, d = resolve_fs(out_dir)
+    with fsys.open_input_stream(posixpath.join(d, "dv_manifest.json")) as f:
+        return json.loads(f.read().decode())
+
+
+def _write_dv_manifest(out_dir: str, manifest: dict) -> None:
+    """URI-aware atomic-ish manifest write (tmp + move, the
+    state/manifest.py pattern)."""
+    from ..fsutil import resolve_fs
+
+    fsys, d = resolve_fs(out_dir)
+    fsys.create_dir(d, recursive=True)
+    tmp = posixpath.join(d, "dv_manifest.json.tmp")
+    with fsys.open_output_stream(tmp) as f:
+        f.write(json.dumps(manifest, indent=1).encode())
+    fsys.move(tmp, posixpath.join(d, "dv_manifest.json"))
+
+
 def sidecar_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "sidecar", "data")
 
@@ -103,8 +135,7 @@ def read_fused_partials(out_dir: str, expected_fp: str):
     partials from the sidecar — the two paths merge to identical tier
     points below the quantile cap)."""
     try:
-        with open(dv_manifest_file(out_dir)) as f:
-            manifest = json.load(f)
+        manifest = _read_dv_manifest(out_dir)
     except OSError:
         return None
     if manifest.get("partials_fingerprint") != expected_fp:
@@ -297,7 +328,7 @@ def build_deduped_dv(
     pdir = None
     if partial_fn is not None:
         pdir = fused_partials_dir(out_dir)
-        os.makedirs(pdir, exist_ok=True)
+        _create_dir(pdir)
     # one block per file so the per-file scan tasks actually fan out
     # (from_items packs items into few blocks by default -> serial scan)
     file_items = ray.data.from_items(
@@ -315,7 +346,7 @@ def build_deduped_dv(
 
     # promote clean sidecar files into the final layout (metadata renames)
     t0 = time.perf_counter()
-    os.makedirs(sidecar_dir(out_dir), exist_ok=True)
+    _create_dir(sidecar_dir(out_dir))
     ok_root = os.path.join(raw_dir, f"{_FLAG}=ok")
     if os.path.isdir(ok_root):
         for f in os.listdir(ok_root):
@@ -326,7 +357,7 @@ def build_deduped_dv(
     # flagged slice → winners/losers by actual key
     n_deleted = 0
     n_suspects = 0
-    os.makedirs(dv_dir(out_dir), exist_ok=True)
+    _create_dir(dv_dir(out_dir))
     dup_root = os.path.join(raw_dir, f"{_FLAG}=dup")
     if os.path.isdir(dup_root):
         dup_ds = pads.dataset(dup_root)
@@ -440,11 +471,7 @@ def build_deduped_dv(
     }
     if partial_fn is not None:
         manifest["partials_fingerprint"] = partials_fingerprint
-    tmp = dv_manifest_file(out_dir) + ".tmp"
-    os.makedirs(out_dir, exist_ok=True)
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, dv_manifest_file(out_dir))
+    _write_dv_manifest(out_dir, manifest)
     return manifest
 
 
@@ -518,8 +545,7 @@ class _ReadDeduped:
 
 def read_deduped_dv(out_dir: str, batch_rows: int = 65536) -> ray.data.Dataset:
     """Full-payload deduped Dataset from (input files, deletion vectors)."""
-    with open(dv_manifest_file(out_dir)) as f:
-        manifest = json.load(f)
+    manifest = _read_dv_manifest(out_dir)
     dv_ref = ray.put(load_deletion_vectors(out_dir))
     file_items = ray.data.from_items(
         [{"path": p, "file_idx": i} for i, p in enumerate(manifest["files"])],
@@ -586,8 +612,7 @@ def append_deduped_dv(
 
     if keep != "first":
         raise ValueError("append supports keep='first' only")
-    with open(dv_manifest_file(out_dir)) as f:
-        manifest = json.load(f)
+    manifest = _read_dv_manifest(out_dir)
     if manifest.get("keep") != "first":
         raise ValueError("existing build used a different keep policy")
     prior_files = manifest["files"]
@@ -697,9 +722,6 @@ def append_deduped_dv(
             "sidecar_files": appended_sidecar,
         }
     )
-    tmp = dv_manifest_file(out_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, dv_manifest_file(out_dir))
+    _write_dv_manifest(out_dir, manifest)
     manifest["appended_sidecar"] = appended_sidecar
     return manifest

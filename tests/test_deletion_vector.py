@@ -218,3 +218,27 @@ def test_fused_partials_stale_config_falls_back(sequences_dir, tmp_path):
         resume=False,
     )
     pd.testing.assert_frame_equal(_tier_frame(out, "2m"), _tier_frame(fresh, "2m"))
+
+
+def test_dv_manifest_io_accepts_file_uri(tmp_path):
+    """A file:// out_dir must write the manifest AT the resolved path —
+    a raw open() would create a literal './file:/...' directory relative
+    to the cwd (the round-3 stray artifact this guards against)."""
+    import json
+    import os
+
+    from contest_parsing_ray.stages.deletion_vector import (
+        _read_dv_manifest,
+        _write_dv_manifest,
+        dv_manifest_file,
+    )
+
+    out = str(tmp_path / "dv_out")
+    uri = "file://" + out
+    _write_dv_manifest(uri, {"files": [], "policy": "first"})
+    # the manifest exists at the RESOLVED local path
+    assert os.path.exists(dv_manifest_file(out))
+    assert not os.path.exists("file:")  # no literal URI-named dir in cwd
+    m = _read_dv_manifest(uri)
+    assert m["policy"] == "first"
+    assert _read_dv_manifest(out) == m  # plain-path read sees the same file

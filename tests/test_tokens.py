@@ -523,6 +523,8 @@ def test_cross_doc_span_stats_matches_duckdb():
         toks.append(body)
     docs.append("tiny")
     toks.append([1, 2, 3])
+    docs.append("empty")
+    toks.append([])  # realistic corpus dirt: empty token arrays
     t = pa.table({
         "doc_id": pa.array(docs),
         "tokens": pa.array(toks, pa.large_list(pa.int32())),
