@@ -796,7 +796,7 @@ def _q_multimodal_wav(sf_dir: str):
         )
 
     media = docs.map_batches(to_media, batch_format="pyarrow")
-    out = decode_wav_features(media, concurrency=2, batch_size=128)
+    out = decode_wav_features(media, concurrency=8, batch_size=64)
     out = _round_cols(out, ["rms", "peak", "zcr", "dc_mean", "duration_s"])
     return out.select_columns(
         ["doc_id", "sample_rate", "n_samples", "duration_s", "rms", "peak",
@@ -830,7 +830,7 @@ def _q_multimodal_png(sf_dir: str):
         )
 
     media = docs.map_batches(to_media, batch_format="pyarrow")
-    out = decode_png_features(media, concurrency=2, batch_size=128)
+    out = decode_png_features(media, concurrency=8, batch_size=64)
     out = _round_cols(out, ["mean_px", "std_px"])
     return out.select_columns(
         ["doc_id", "width", "height", "n_channels", "mean_px", "std_px",
@@ -866,7 +866,7 @@ def _q_multimodal_jpeg(sf_dir: str):
         )
 
     media = docs.map_batches(to_media, batch_format="pyarrow")
-    out = decode_jpeg_features(media, concurrency=2, batch_size=128)
+    out = decode_jpeg_features(media, concurrency=8, batch_size=64)
     out = _round_cols(out, ["mean_px", "std_px"])
     return out.select_columns(
         ["doc_id", "width", "height", "n_channels", "subsampled", "mean_px",
@@ -901,7 +901,12 @@ def _q_multimodal_video(sf_dir: str):
         )
 
     media = docs.map_batches(to_media, batch_format="pyarrow")
-    out = decode_video_features(media, frame_stride=2, concurrency=2, batch_size=64)
+    # autoscaling pool (1, 12): the per-frame numpy JPEG decode is the
+    # bench's slowest single query and is embarrassingly parallel across
+    # videos; batch 16 keeps resident payload bytes per actor bounded
+    # while giving the pool enough batches to fan out (5000 docs at sf0.1)
+    out = decode_video_features(media, frame_stride=2, concurrency=12,
+                                batch_size=16)
     out = _round_cols(out, ["mean_px", "std_px", "motion"])
     return out.select_columns(
         ["doc_id", "width", "height", "n_frames", "n_sampled", "fps_x1000",

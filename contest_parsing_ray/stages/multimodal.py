@@ -107,7 +107,10 @@ def decode_features(
         fn_constructor_kwargs={"payload_col": payload_col, "fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        # passed through verbatim: an int is a FIXED pool — (1, n)
+        # autoscaling ramps one actor at a time and the ramp dominates
+        # short runs (measured on the video sibling: 5.9 s -> 4.2 s)
+        concurrency=concurrency,
     )
 
 
@@ -267,7 +270,10 @@ def decode_wav_features(
         fn_constructor_kwargs={"payload_col": payload_col, "strict": strict},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        # passed through verbatim: an int is a FIXED pool — (1, n)
+        # autoscaling ramps one actor at a time and the ramp dominates
+        # short runs (measured on the video sibling: 5.9 s -> 4.2 s)
+        concurrency=concurrency,
     )
 
 
@@ -521,7 +527,10 @@ def decode_png_features(
         fn_constructor_kwargs={"payload_col": payload_col, "strict": strict},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        # passed through verbatim: an int is a FIXED pool — (1, n)
+        # autoscaling ramps one actor at a time and the ramp dominates
+        # short runs (measured on the video sibling: 5.9 s -> 4.2 s)
+        concurrency=concurrency,
     )
 
 
@@ -1189,7 +1198,10 @@ def decode_jpeg_features(
         fn_constructor_kwargs={"payload_col": payload_col, "strict": strict},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        # passed through verbatim: an int is a FIXED pool — (1, n)
+        # autoscaling ramps one actor at a time and the ramp dominates
+        # short runs (measured on the video sibling: 5.9 s -> 4.2 s)
+        concurrency=concurrency,
     )
 
 

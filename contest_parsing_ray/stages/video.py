@@ -271,7 +271,10 @@ def decode_video_features(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        # passed through verbatim: an int is a FIXED pool — (1, n)
+        # autoscaling ramps one actor at a time, and on short runs the
+        # ramp dominates the wall
+        concurrency=concurrency,
     )
 
 
