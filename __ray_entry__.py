@@ -635,7 +635,8 @@ def _q_minhash(sf_dir: str):
     from contest_parsing_ray.stages.neardup import minhash_lsh_pairs
 
     docs = _docs(sf_dir)
-    return minhash_lsh_pairs(docs, id_col="doc_id", jaccard_threshold=0.5, concurrency=2)
+    return minhash_lsh_pairs(docs, id_col="doc_id", jaccard_threshold=0.5,
+                             concurrency=8)
 
 
 def _q_minhash_clusters(sf_dir: str):

@@ -283,7 +283,9 @@ def minhash_lsh_pairs(
             bands=bands, shingle_n=shingle_n,
         ),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
+        # verbatim: int = FIXED pool ((1, n) autoscaling ramps one actor
+        # at a time; the ramp dominates short runs — see stages/video.py)
+        concurrency=concurrency,
     )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -389,7 +391,9 @@ def simhash_docs(
 ) -> ray.data.Dataset:
     return docs.map_batches(
         SimHash, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", concurrency=(1, concurrency),
+        batch_format="pandas",
+        # verbatim: int = FIXED pool (see stages/video.py)
+        concurrency=concurrency,
     )
 
 
@@ -1027,7 +1031,9 @@ def ngram_jaccard_pairs(
         NgramShingles,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, n=n),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
+        # verbatim: int = FIXED pool ((1, n) autoscaling ramps one actor
+        # at a time; the ramp dominates short runs — see stages/video.py)
+        concurrency=concurrency,
     )
 
     def attach_df(df: pd.DataFrame) -> pd.DataFrame:
