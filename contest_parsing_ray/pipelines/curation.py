@@ -18,6 +18,8 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
+from ..stages._shuffle import pool_size
+
 from ..stages.dedup import dedup
 from ..stages.text import RepetitionScore, TokenCount
 
@@ -37,11 +39,11 @@ def curate_documents(
     ``id_col``."""
     out = docs.map_batches(
         TokenCount, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", concurrency=(1, concurrency),
+        batch_format="pandas", concurrency=pool_size(concurrency),
     )
     out = out.map_batches(
         RepetitionScore, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", concurrency=(1, concurrency),
+        batch_format="pyarrow", concurrency=pool_size(concurrency),
     )
 
     def keep(b: pa.Table) -> pa.Table:

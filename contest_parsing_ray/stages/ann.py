@@ -19,7 +19,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ._shuffle import hash_partitioned_map
+from ._shuffle import hash_partitioned_map, pool_size
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -63,7 +63,7 @@ def brute_force_topk(
             return pd.DataFrame(rows)
 
     partials = embeddings.map_batches(
-        PartialTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+        PartialTopK, batch_format="pandas", batch_size=4096, concurrency=pool_size(4)
     )
 
     return hash_partitioned_map(
@@ -209,7 +209,7 @@ def ivf_topk_cosine(
             )
 
     partials = embeddings.map_batches(
-        IVFPartial, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+        IVFPartial, batch_format="pandas", batch_size=4096, concurrency=pool_size(4)
     )
 
     return hash_partitioned_map(
@@ -291,7 +291,7 @@ def lsh_bucket_neardup(
             )
 
     bucketed = embeddings.map_batches(
-        Bucketize, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+        Bucketize, batch_format="pandas", batch_size=4096, concurrency=pool_size(4)
     )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -489,7 +489,7 @@ def pq_topk_cosine(
             )
 
     partials = embeddings.map_batches(
-        PQPartial, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+        PQPartial, batch_format="pandas", batch_size=4096, concurrency=pool_size(4)
     )
     return hash_partitioned_map(
         partials, ["query_id"], _merge_topk(k, id_col),

@@ -24,6 +24,8 @@ Exact round-trip is asserted in tests (bit-identical float64 / int64).
 from __future__ import annotations
 
 import numpy as np
+
+from ._shuffle import pool_size
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -466,7 +468,7 @@ def decompress_chunks(
         fn_constructor_kwargs={"key_col": key_col},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, concurrency),
+        concurrency=pool_size(concurrency),
     )
 
 

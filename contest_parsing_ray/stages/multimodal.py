@@ -42,7 +42,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ._shuffle import _splitmix64
+from ._shuffle import _splitmix64, pool_size
 
 FEATURE_DIM = 8
 
@@ -110,7 +110,7 @@ def decode_features(
         # passed through verbatim: an int is a FIXED pool — (1, n)
         # autoscaling ramps one actor at a time and the ramp dominates
         # short runs (measured on the video sibling: 5.9 s -> 4.2 s)
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
 
 
@@ -273,7 +273,7 @@ def decode_wav_features(
         # passed through verbatim: an int is a FIXED pool — (1, n)
         # autoscaling ramps one actor at a time and the ramp dominates
         # short runs (measured on the video sibling: 5.9 s -> 4.2 s)
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
 
 
@@ -530,7 +530,7 @@ def decode_png_features(
         # passed through verbatim: an int is a FIXED pool — (1, n)
         # autoscaling ramps one actor at a time and the ramp dominates
         # short runs (measured on the video sibling: 5.9 s -> 4.2 s)
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
 
 
@@ -1201,7 +1201,7 @@ def decode_jpeg_features(
         # passed through verbatim: an int is a FIXED pool — (1, n)
         # autoscaling ramps one actor at a time and the ramp dominates
         # short runs (measured on the video sibling: 5.9 s -> 4.2 s)
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
 
 

@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ._shuffle import _splitmix64, hash64_strings
+from ._shuffle import _splitmix64, hash64_strings, pool_size
 
 _SEEDS = np.arange(1, 129, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
 _SHINGLE_PRIME = np.uint64(1099511628211)
@@ -285,7 +285,7 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         # verbatim: int = FIXED pool ((1, n) autoscaling ramps one actor
         # at a time; the ramp dominates short runs — see stages/video.py)
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -393,7 +393,7 @@ def simhash_docs(
         SimHash, fn_constructor_kwargs={"text_col": text_col},
         batch_format="pandas",
         # verbatim: int = FIXED pool (see stages/video.py)
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
 
 
@@ -1033,7 +1033,7 @@ def ngram_jaccard_pairs(
         batch_format="pyarrow",
         # verbatim: int = FIXED pool ((1, n) autoscaling ramps one actor
         # at a time; the ramp dominates short runs — see stages/video.py)
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
 
     def attach_df(df: pd.DataFrame) -> pd.DataFrame:

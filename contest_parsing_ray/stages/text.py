@@ -20,6 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ._shuffle import pool_size
+
 _WORD_RE = r"[A-Za-z0-9_]+"
 
 # Seed corpora for the char-trigram language profiles (authored here; the
@@ -443,19 +445,19 @@ def analyze_text(
     fingerprint in one actor-pool pipeline."""
     out = docs.map_batches(
         TokenCount, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", concurrency=(1, concurrency),
+        batch_format="pandas", concurrency=pool_size(concurrency),
     )
     out = out.map_batches(
         QualityScore, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", concurrency=(1, concurrency),
+        batch_format="pandas", concurrency=pool_size(concurrency),
     )
     out = out.map_batches(
         LangId, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", concurrency=(1, concurrency),
+        batch_format="pandas", concurrency=pool_size(concurrency),
     )
     out = out.map_batches(
         Fingerprint, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", concurrency=(1, concurrency),
+        batch_format="pyarrow", concurrency=pool_size(concurrency),
     )
     return out
 

@@ -38,6 +38,7 @@ import pyarrow as pa
 import ray.data
 
 from .multimodal import decode_jpeg, encode_jpeg_baseline
+from ._shuffle import pool_size
 
 __all__ = [
     "encode_avi_mjpeg",
@@ -274,7 +275,7 @@ def decode_video_features(
         # passed through verbatim: an int is a FIXED pool — (1, n)
         # autoscaling ramps one actor at a time, and on short runs the
         # ramp dominates the wall
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
 
 
